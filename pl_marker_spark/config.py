@@ -1,0 +1,60 @@
+"""Pipeline configuration.
+
+Mirrors the reference's argparse knobs that affect *semantics*
+(reference: run_acener.py:786-936, run_re.py:1020-1120) — everything else
+(devices, fp16, DataLoader workers) is owned by Spark.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- NER stage (reference run_acener.py defaults / run_train_ner_PLMarker.sh) ---
+    max_seq_length_ner: int = 256        # reference uses 512; smaller default keeps tests fast
+    max_pair_length_ner: int = 256       # K1 group size (run_acener.py:119,267)
+    max_mention_ori_length: int = 8      # span word-length cap (run_acener.py:244)
+    # --- RE stage (reference run_re.py / run_train_re.sh) ---
+    max_seq_length_re: int = 256
+    max_pair_length_re: int = 32         # K3 object-group size (scripts/run_train_re.sh:31)
+    # --- decode / suppression semantics ---
+    overlap_any: bool = False            # OntoNotes any-overlap rule vs same-label rule
+                                         # (run_acener.py:721-727); default = ACE/SciERC
+    use_ner_results: bool = True         # carry NER-stage labels into RE instead of the
+                                         # aux object-NER head (run_re.py:756-759)
+    eval_logsoftmax: bool = False        # run_re.py:750-754
+    eval_softmax: bool = False
+    # --- packing variants (run_acener.py:266-315) ---
+    group_edge: bool = False
+    group_axis: int = 0                  # 0=start, 1=end (random axis not supported:
+                                         # determinism is a pipeline invariant)
+    group_sort: bool = False
+    # --- engine knobs (no reference equivalent) ---
+    shuffle_partitions: int = 32
+    salt_buckets: int = 8                # skew salting for turn-level grouped maps
+    assemble_tensors: bool = False       # build K5 marker tensors inside the inference
+                                         # UDF (parity demo; surrogate does not need them)
+
+    def budget_ner(self) -> int:
+        """Subword budget for NER context windows (run_acener.py:151)."""
+        return self.max_seq_length_ner - 2
+
+    def budget_re(self) -> int:
+        """Subword budget for RE context windows; -4 reserves the two solid
+        subject-marker tokens plus CLS/SEP (run_re.py:165)."""
+        return self.max_seq_length_re - 4
+
+
+DEFAULT_CONFIG = PipelineConfig()
+
+# Small config used by unit tests so context truncation paths are exercised.
+TEST_CONFIG = PipelineConfig(
+    max_seq_length_ner=64,
+    max_seq_length_re=64,
+    max_pair_length_ner=16,
+    max_pair_length_re=4,
+    shuffle_partitions=4,
+    salt_buckets=2,
+)

@@ -1,0 +1,246 @@
+"""Pure per-conversation kernels: token alignment, context windowing, span
+enumeration, and packing. These run *inside* Arrow-batched grouped-map UDFs
+on executors (never on the driver) and are also unit-tested against
+hand-computed examples.
+
+Semantics (with reference citations; all /root/reference):
+- P4/P5 alignment prefix sums: run_acener.py:187-201
+- P6/P7 balanced context window + CLS/SEP wrap: run_acener.py:212-231
+  (RE variant budgets -4 and hard-truncates: run_re.py:242-262)
+- C1 exhaustive span enumeration with word-alignment + length cap:
+  run_acener.py:233-249
+- K1 neighborhood packing / K2 edge-aware packing: run_acener.py:266-315
+- C3/K3/K4 subject-oriented packing with solid markers and the +1/+2
+  levitated-offset arithmetic: run_re.py:286-355
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+
+import numpy as np
+
+from .config import PipelineConfig
+from .tokenizer import CLS, SEP, SUB_L, SUB_R, tokenize_word
+from .world import stable_hash
+
+
+@dataclass
+class ConvIndex:
+    """Conversation-level token/subword alignment (one conversation)."""
+
+    words: list[str]                      # conversation-level word stream
+    subwords: list[str]
+    token2subword: list[int]              # word i -> first subword index (+ total at end)
+    subword2token: list[int]              # subword -> word index
+    sent_word_bounds: list[int]           # prefix sums of per-turn word counts
+    sent_subword_bounds: list[int]        # prefix sums of per-turn subword counts
+
+    @property
+    def n_sents(self) -> int:
+        return len(self.sent_word_bounds) - 1
+
+
+def build_conv_index(turn_words: list[list[str]]) -> ConvIndex:
+    words = [w for tw in turn_words for w in tw]
+    pieces = [tokenize_word(w) for w in words]
+    subwords = [p for pl in pieces for p in pl]
+    lens = [len(pl) for pl in pieces]
+    token2subword = [0] + list(itertools.accumulate(lens))
+    subword2token = [i for i, n in enumerate(lens) for _ in range(n)]
+    sent_word_bounds = [0] + list(itertools.accumulate(len(tw) for tw in turn_words))
+    sent_subword_bounds = [token2subword[b] for b in sent_word_bounds]
+    return ConvIndex(words, subwords, token2subword, subword2token,
+                     sent_word_bounds, sent_subword_bounds)
+
+
+@dataclass
+class Window:
+    """One turn's context window."""
+
+    tokens: list[str]       # [CLS] + context/sentence subwords + [SEP]
+    doc_offset: int         # conversation-subword index of tokens[1]
+    sent_sub_start: int     # conversation-subword range of the center sentence
+    sent_sub_end: int
+
+
+def context_window(idx: ConvIndex, n: int, budget: int, truncate: bool) -> Window:
+    """Balanced greedy context fill around sentence ``n``; smaller side is
+    capped at half first (run_acener.py:212-231). ``truncate`` selects the
+    RE behavior (hard slice to budget, run_re.py:261) instead of the NER
+    assertion."""
+    s0, s1 = idx.sent_subword_bounds[n], idx.sent_subword_bounds[n + 1]
+    left_len = s0
+    right_len = len(idx.subwords) - s1
+    sent_len = s1 - s0
+    half = (budget - sent_len) // 2
+    left_ctx = right_ctx = 0
+    if sent_len < budget or not truncate:
+        if left_len < right_len:
+            left_ctx = min(left_len, half)
+            right_ctx = min(right_len, budget - left_ctx - sent_len)
+        else:
+            right_ctx = min(right_len, half)
+            left_ctx = min(left_len, budget - right_ctx - sent_len)
+    doc_offset = s0 - left_ctx
+    target = idx.subwords[doc_offset : s1 + right_ctx]
+    if truncate:
+        target = target[:budget]
+    elif len(target) > budget:
+        raise ValueError(
+            f"sentence {n} ({sent_len} subwords) exceeds window budget {budget}"
+        )
+    return Window([CLS] + target + [SEP], doc_offset, s0, s1)
+
+
+def enumerate_spans(
+    idx: ConvIndex, n: int, win: Window, max_mention_len: int
+) -> list[tuple[int, int, int, int]]:
+    """All candidate spans of sentence ``n``: subword-aligned, word-length
+    capped (C1). Returns (win_start, win_end, word_start, word_end) where
+    win_* are CLS-shifted inclusive window-subword coords — identical to the
+    reference's ``(entity_start+1, entity_end)`` encoding
+    (run_acener.py:249) — and word_* are conversation-level word indices.
+    Enumeration order is (start asc, end asc), the reference's order."""
+    ws0 = idx.sent_word_bounds[n]
+    ws1 = idx.sent_word_bounds[n + 1]  # exclusive
+    out = []
+    for ws in range(ws0, ws1):
+        lo = idx.token2subword[ws] - win.doc_offset + 1
+        for we in range(ws, min(ws + max_mention_len, ws1)):
+            hi = idx.token2subword[we + 1] - win.doc_offset  # inclusive (CLS-shifted)
+            out.append((lo, hi, ws, we))
+    return out
+
+
+def pack_groups(spans: list, cfg: PipelineConfig) -> list[list]:
+    """K1 fixed-size chunking, or K2 edge-aware packing that never splits a
+    run of equal group-axis values (run_acener.py:287-315; deterministic
+    ascending sort — the reference's random axis/direction is a train-time
+    regularizer, see SURVEY.md §4)."""
+    dL = cfg.max_pair_length_ner
+    if not cfg.group_edge:
+        return [spans[i : i + dL] for i in range(0, len(spans), dL)]
+    ax = cfg.group_axis
+    ordered = sorted(spans, key=lambda x: (x[ax], x[1 - ax]))
+    groups = []
+    start = 0
+    while start < len(ordered):
+        end = start + dL
+        if end >= len(ordered):
+            end = len(ordered)
+        else:
+            while end > start and ordered[end - 1][ax] == ordered[end][ax]:
+                end -= 1
+            if end == start:
+                end = start + dL
+        groups.append(ordered[start:end])
+        start = end
+    return groups
+
+
+@dataclass
+class SubjectInstance:
+    """One packed RE instance: a marked subject and ≤max_pair_length objects."""
+
+    sub_word: tuple[int, int]        # subject (word_start, word_end)
+    sub_label: str
+    sub_win: tuple[int, int]         # subject window coords after marker insertion
+    tokens: list[str]                # window with solid markers spliced in
+    # objects: (win_left, win_right, obj_label, word_start, word_end)
+    objects: list[tuple[int, int, str, int, int]]
+
+
+def subject_instances(
+    idx: ConvIndex,
+    n: int,
+    win: Window,
+    mentions: list[tuple[int, int, str]],  # (word_start, word_end, label) sorted
+    cfg: PipelineConfig,
+) -> list[SubjectInstance]:
+    """C3 pair generation + K3/K4 subject-oriented packing.
+
+    Faithful to run_re.py:286-355: solid markers splice around the subject
+    (sub_e += 2), object window coords get +1/+2 shifts past the inserted
+    markers, and objects whose right edge falls outside the sequence budget
+    are dropped (as are subjects whose own markers do)."""
+    max_seq = cfg.max_seq_length_re
+    out: list[SubjectInstance] = []
+    for sub in mentions:
+        sub_s = idx.token2subword[sub[0]] - win.doc_offset + 1
+        sub_e = idx.token2subword[sub[1] + 1] - win.doc_offset
+        tokens = (
+            win.tokens[:sub_s] + [SUB_L] + win.tokens[sub_s : sub_e + 1]
+            + [SUB_R] + win.tokens[sub_e + 1 :]
+        )
+        sub_e += 2
+        if sub_e >= max_seq - 1:
+            continue
+        objs: list[tuple[int, int, str, int, int]] = []
+        for obj in mentions:
+            left = idx.token2subword[obj[0]] - win.doc_offset + 1
+            right = idx.token2subword[obj[1] + 1] - win.doc_offset
+            if obj[0] >= sub[0]:
+                left += 1
+                if obj[0] > sub[1]:
+                    left += 1
+            if obj[1] >= sub[0]:
+                right += 1
+                if obj[1] > sub[1]:
+                    right += 1
+            if right >= max_seq - 1:
+                continue
+            objs.append((left, right, obj[2], obj[0], obj[1]))
+        dL = cfg.max_pair_length_re
+        # zero surviving objects -> zero packed rows, as in the reference's
+        # per-chunk loop over an empty candidate list
+        for i in range(0, len(objs), dL):
+            out.append(
+                SubjectInstance(
+                    sub_word=(sub[0], sub[1]),
+                    sub_label=sub[2],
+                    sub_win=(sub_s, sub_e),
+                    tokens=tokens,
+                    objects=objs[i : i + dL],
+                )
+            )
+    return out
+
+
+def _token_id(tok: str) -> int:
+    """Deterministic vocab stand-in for tokenizer.convert_tokens_to_ids."""
+    return stable_hash(tok) % 30000 + 10
+
+
+def assemble_ner_tensors(
+    window: list[str], spans: list[tuple[int, int]], max_seq: int, max_pairs: int
+):
+    """K5 levitated-marker tensor assembly (parity demo for the real-encoder
+    path; the surrogate does not consume these).
+
+    Reference run_acener.py:326-400: input_ids padded to max_seq followed by
+    interleaved start/end marker ids; each marker pair copies its span's
+    position ids; the 2D attention mask lets the text block attend to itself
+    and each marker pair attend to (text + itself + its partner)."""
+    L = len(window)
+    P = min(len(spans), max_pairs)
+    width = max_seq + 2 * P
+    input_ids = np.zeros(width, dtype=np.int64)
+    input_ids[:L] = [_token_id(t) for t in window]
+    position_ids = np.zeros(width, dtype=np.int64)
+    position_ids[:L] = np.arange(L)
+    attention = np.zeros((width, width), dtype=np.int8)
+    attention[:L, :L] = 1
+    for k, (lo, hi) in enumerate(spans[:P]):
+        m1 = max_seq + k
+        m2 = max_seq + P + k
+        input_ids[m1] = 1  # start-marker id ([unused1]-style slot)
+        input_ids[m2] = 2  # end-marker id
+        position_ids[m1] = lo
+        position_ids[m2] = hi
+        attention[m1, :L] = 1
+        attention[m2, :L] = 1
+        attention[m1, m1] = attention[m1, m2] = 1
+        attention[m2, m1] = attention[m2, m2] = 1
+    return input_ids, position_ids, attention

@@ -1,0 +1,117 @@
+"""Stage 3 — NER inference + decode + suppression.
+
+- I1/I6: the packed-head forward + softmax/argmax decode
+  (reference modeling_bert.py:3213-3281, run_acener.py:661-692) as a
+  shuffle-free ``mapInPandas`` over packed groups; the surrogate model reads
+  the span surfaces out of each group's context window exactly where the
+  reference head reads marker/endpoint hidden states.
+- O1: NIL filtering happens at emit time (run_acener.py:691).
+- O3: greedy non-overlap suppression per (conv_id, turn_idx) as a grouped
+  map (run_acener.py:699-731) — inherently sequential but sentence-local;
+  score-desc order with (start, end) tiebreak is order-equivalent to the
+  reference's stable sort because surrogate scores are tie-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import PipelineConfig
+from ..kernels import assemble_ner_tensors
+from ..surrogate import ner_decode, ner_logits_for_surfaces
+from ..tokenizer import surface_of_span
+from ..world import NER_LABELS
+
+SPAN_SCORES_SCHEMA = (
+    "conv_id string, turn_idx int, start int, end int, label string, score double"
+)
+MENTIONS_SCHEMA = SPAN_SCORES_SCHEMA
+
+
+def make_infer_fn(cfg: PipelineConfig):
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_conv, out_turn = [], []
+            out_s, out_e, out_lab, out_score = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                window = list(row.window)
+                los, his = row.win_s, row.win_e
+                if cfg.assemble_tensors:
+                    # K5 parity path: build the packed marker tensors the real
+                    # encoder would consume (shape/positions/2D mask).
+                    assemble_ner_tensors(window, list(zip(los, his)),
+                                         cfg.max_seq_length_ner,
+                                         cfg.max_pair_length_ner)
+                surfaces = [surface_of_span(window, int(lo), int(hi))
+                            for lo, hi in zip(los, his)]
+                probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
+                keep = preds != 0
+                k = int(keep.sum())
+                if k == 0:
+                    continue
+                out_conv.extend([row.conv_id] * k)
+                out_turn.extend([row.turn_idx] * k)
+                ws = np.asarray(row.word_s)[keep]
+                we = np.asarray(row.word_e)[keep]
+                out_s.extend(ws.tolist())
+                out_e.extend(we.tolist())
+                out_lab.extend(NER_LABELS[p] for p in preds[keep])
+                out_score.extend(probs[keep].tolist())
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series(out_conv, dtype="object"),
+                    "turn_idx": pd.Series(out_turn, dtype="int32"),
+                    "start": pd.Series(out_s, dtype="int32"),
+                    "end": pd.Series(out_e, dtype="int32"),
+                    "label": pd.Series(out_lab, dtype="object"),
+                    "score": pd.Series(out_score, dtype="float64"),
+                }
+            )
+
+    return infer
+
+
+def infer_ner(packed_ner: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """packed groups -> raw NIL-filtered span scores (pre-suppression)."""
+    return packed_ner.mapInPandas(make_infer_fn(cfg), schema=SPAN_SCORES_SCHEMA)
+
+
+def _overlap_mat(s: np.ndarray, e: np.ndarray) -> np.ndarray:
+    """Pairwise span-overlap matrix (is_overlap, run_acener.py:708-713)."""
+    return (s[:, None] <= e[None, :]) & (s[None, :] <= e[:, None])
+
+
+def make_suppress_fn(cfg: PipelineConfig):
+    overlap_any = cfg.overlap_any
+
+    def suppress(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["score", "start", "end"], ascending=[False, True, True]
+        ).reset_index(drop=True)
+        s = pdf["start"].to_numpy()
+        e = pdf["end"].to_numpy()
+        lab = pdf["label"].to_numpy()
+        ov = _overlap_mat(s, e)
+        keep_idx: list[int] = []
+        for i in range(len(pdf)):
+            clash = False
+            for j in keep_idx:
+                if ov[i, j] and (overlap_any or lab[i] == lab[j]):
+                    clash = True
+                    break
+            if not clash:
+                keep_idx.append(i)
+        return pdf.iloc[keep_idx]
+
+    return suppress
+
+
+def suppress_mentions(span_scores: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """O3 greedy suppression -> mentions table."""
+    return span_scores.groupBy("conv_id", "turn_idx").applyInPandas(
+        make_suppress_fn(cfg), schema=MENTIONS_SCHEMA
+    )

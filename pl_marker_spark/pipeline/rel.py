@@ -1,0 +1,245 @@
+"""Stage 5 — RE inference, bidirectional fusion, suppression, refinement.
+
+- I2: two-tower packed RE head (reference modeling_bert.py:2223-2297) as a
+  shuffle-free ``mapInPandas`` emitting one row per (subject, object) pair.
+- O4/O5: bidirectional score fusion + inverse-label decode
+  (run_re.py:783-823) expressed *relationally*: a self-join of pair scores on
+  the reversed key, ``zip_with`` addition against the static label-block
+  permutation, and pure column expressions for argmax/swap — all JVM-side.
+- O6: relation non-overlap suppression (run_re.py:825-852), per-turn grouped
+  map like the NER stage.
+- O7: NER refinement ("first kept relation naming a span wins",
+  run_re.py:854-897) as window-function joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..surrogate import aux_obj_ner, re_logits_for_pair
+from ..world import NUM_REL, NUM_SYM, REL_LABELS
+
+PAIR_SCORES_SCHEMA = (
+    "conv_id string, turn_idx int, s1 int, e1 int, s2 int, e2 int, "
+    "logits array<double>, obj_ner string"
+)
+TRIPLES_RAW_SCHEMA = (
+    "conv_id string, turn_idx int, s1 int, e1 int, s2 int, e2 int, "
+    "pred string, score double, m1_ner string, m2_ner string"
+)
+
+
+def make_pair_infer_fn(cfg: PipelineConfig):
+    use_ner = cfg.use_ner_results
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            conv, turn = [], []
+            s1, e1, s2, e2, logits, obj_ner = [], [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                for ol, osurf, ows, owe in zip(
+                    row.o_label, row.o_surface, row.o_ws, row.o_we
+                ):
+                    conv.append(row.conv_id)
+                    turn.append(row.turn_idx)
+                    s1.append(row.sub_s)
+                    e1.append(row.sub_e)
+                    s2.append(int(ows))
+                    e2.append(int(owe))
+                    logits.append(re_logits_for_pair(row.sub_surface, osurf))
+                    obj_ner.append(ol if use_ner else aux_obj_ner(osurf))
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": pd.Series(turn, dtype="int32"),
+                    "s1": pd.Series(s1, dtype="int32"),
+                    "e1": pd.Series(e1, dtype="int32"),
+                    "s2": pd.Series(s2, dtype="int32"),
+                    "e2": pd.Series(e2, dtype="int32"),
+                    "logits": logits,
+                    "obj_ner": obj_ner,
+                }
+            )
+
+    return infer
+
+
+def infer_pairs(packed_re: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """packed RE groups -> one scored row per (subject, object) pair.
+
+    The scores dict of the reference (run_re.py:770) keyed by span pair is
+    last-write-wins; span keys are unique here because the NER stage emits at
+    most one mention per span, so a plain DataFrame is equivalent."""
+    return packed_re.mapInPandas(make_pair_infer_fn(cfg), schema=PAIR_SCORES_SCHEMA)
+
+
+def _permuted(col):
+    """Label-block permutation of a reversed pair's logit vector
+    (run_re.py:804): [sym block][inverse block][forward-asym block]."""
+    return F.concat(
+        F.slice(col, 1, NUM_SYM),
+        F.slice(col, NUM_REL + 1, NUM_REL - NUM_SYM),
+        F.slice(col, NUM_SYM + 1, NUM_REL - NUM_SYM),
+    )
+
+
+def fuse_and_decode(pair_scores: DataFrame) -> DataFrame:
+    """O4 bidirectional fusion + O5 inverse decode, fully relational.
+
+    The reference iterates pairs in packing order and fuses each with its
+    reverse; processing order does not affect the outcome because the fused
+    vector of the reverse orientation is exactly the permutation of the
+    canonical one, and the decode step un-swaps inverse winners. We therefore
+    canonicalize on (s1,e1) < (s2,e2) and self-join the reverse orientation."""
+    fwd_cond = (F.col("s1") < F.col("s2")) | (
+        (F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2"))
+    )
+    a = pair_scores.filter(fwd_cond)
+    b = (
+        pair_scores.filter(~fwd_cond)
+        .filter((F.col("s1") != F.col("s2")) | (F.col("e1") != F.col("e2")))
+        .select(
+            F.col("conv_id"), F.col("turn_idx"),
+            F.col("s2").alias("s1"), F.col("e2").alias("e1"),
+            F.col("s1").alias("s2"), F.col("e1").alias("e2"),
+            F.col("logits").alias("rev_logits"),
+            F.col("obj_ner").alias("rev_obj_ner"),
+        )
+    )
+    j = a.join(b, ["conv_id", "turn_idx", "s1", "e1", "s2", "e2"], "inner")
+    fused = F.zip_with("logits", _permuted(F.col("rev_logits")), lambda x, y: x + y)
+    j = (
+        j.filter(F.col("obj_ner") != "NIL")          # m2 NER gate (run_re.py:792)
+        .filter(F.col("rev_obj_ner") != "NIL")       # m1 NER gate (run_re.py:811)
+        .withColumn("fused", fused)
+        .withColumn(
+            "argmax",
+            (F.array_position(F.col("fused"), F.array_max(F.col("fused"))) - 1).cast("int"),
+        )
+        .filter(F.col("argmax") > 0)
+    )
+    inverse = F.col("argmax") >= NUM_REL
+    label_idx = F.when(inverse, F.col("argmax") - NUM_REL + NUM_SYM).otherwise(
+        F.col("argmax")
+    )
+    label_arr = F.array(*[F.lit(l) for l in REL_LABELS])
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        F.when(inverse, F.col("s2")).otherwise(F.col("s1")).alias("s1"),
+        F.when(inverse, F.col("e2")).otherwise(F.col("e1")).alias("e1"),
+        F.when(inverse, F.col("s1")).otherwise(F.col("s2")).alias("s2"),
+        F.when(inverse, F.col("e1")).otherwise(F.col("e2")).alias("e2"),
+        F.element_at(label_arr, label_idx + 1).alias("pred"),
+        # quirk preserved: the reported score indexes the *forward* label slot
+        # of the canonical-orientation fused vector (run_re.py:814-821)
+        F.element_at(F.col("fused"), label_idx + 1).alias("score"),
+        # m1's NER label came from the reversed entry, m2's from the forward
+        F.when(inverse, F.col("obj_ner")).otherwise(F.col("rev_obj_ner")).alias("m1_ner"),
+        F.when(inverse, F.col("rev_obj_ner")).otherwise(F.col("obj_ner")).alias("m2_ner"),
+    )
+
+
+def _suppress_re(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(
+        ["score", "s1", "e1", "s2", "e2"], ascending=[False, True, True, True, True]
+    ).reset_index(drop=True)
+    kept: list[int] = []
+    s1 = pdf["s1"].to_numpy(); e1 = pdf["e1"].to_numpy()
+    s2 = pdf["s2"].to_numpy(); e2 = pdf["e2"].to_numpy()
+    lab = pdf["pred"].to_numpy()
+
+    def ov(i, j, s, e):
+        return s[j] <= e[i] and s[i] <= e[j]
+
+    for i in range(len(pdf)):
+        clash = False
+        for j in kept:
+            if lab[i] == lab[j] and ov(i, j, s1, e1) and ov(i, j, s2, e2):
+                clash = True
+                break
+        if not clash:
+            kept.append(i)
+    return pdf.iloc[kept]
+
+
+def suppress_triples(decoded: DataFrame) -> DataFrame:
+    """O6 greedy relation suppression per turn."""
+    return decoded.groupBy("conv_id", "turn_idx").applyInPandas(
+        _suppress_re, schema=TRIPLES_RAW_SCHEMA
+    )
+
+
+def refine_types(triples_raw: DataFrame, mentions: DataFrame):
+    """O7 — first kept relation naming a span assigns its type.
+
+    Returns (triples, mentions_refined). Acceptance order is score-desc with
+    the span tiebreak (identical to the suppression order); within one triple
+    the subject slot precedes the object slot, hence seq = 2*rank + slot."""
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.desc("score"), "s1", "e1", "s2", "e2"
+    )
+    ranked = triples_raw.withColumn("r", F.row_number().over(w) - 1)
+    sides = ranked.select(
+        "conv_id", "turn_idx",
+        F.col("s1").alias("start"), F.col("e1").alias("end"),
+        F.col("m1_ner").alias("ner"), (2 * F.col("r")).alias("seq"),
+    ).unionByName(
+        ranked.select(
+            "conv_id", "turn_idx",
+            F.col("s2").alias("start"), F.col("e2").alias("end"),
+            F.col("m2_ner").alias("ner"), (2 * F.col("r") + 1).alias("seq"),
+        )
+    )
+    w2 = Window.partitionBy("conv_id", "turn_idx", "start", "end").orderBy("seq")
+    refined_map = (
+        sides.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("conv_id", "turn_idx", "start", "end", F.col("ner").alias("refined"))
+    )
+    triples = (
+        ranked.alias("t")
+        .join(
+            refined_map.alias("a"),
+            (F.col("t.conv_id") == F.col("a.conv_id"))
+            & (F.col("t.turn_idx") == F.col("a.turn_idx"))
+            & (F.col("t.s1") == F.col("a.start"))
+            & (F.col("t.e1") == F.col("a.end")),
+            "left",
+        )
+        .select("t.*", F.col("a.refined").alias("subj_type"))
+        .alias("t2")
+        .join(
+            refined_map.alias("b"),
+            (F.col("t2.conv_id") == F.col("b.conv_id"))
+            & (F.col("t2.turn_idx") == F.col("b.turn_idx"))
+            & (F.col("t2.s2") == F.col("b.start"))
+            & (F.col("t2.e2") == F.col("b.end")),
+            "left",
+        )
+        .select(
+            "t2.conv_id", "t2.turn_idx", "t2.s1", "t2.e1", "t2.s2", "t2.e2",
+            "t2.pred", "t2.score",
+            F.col("t2.subj_type").alias("subj_type"),
+            F.col("b.refined").alias("obj_type"),
+        )
+    )
+    mentions_refined = (
+        mentions.alias("m")
+        .join(
+            refined_map.alias("r"),
+            ["conv_id", "turn_idx", "start", "end"],
+            "left",
+        )
+        .select(
+            "conv_id", "turn_idx", "start", "end",
+            F.coalesce(F.col("r.refined"), F.col("m.label")).alias("label"),
+            "m.score",
+        )
+    )
+    return triples, mentions_refined

@@ -1,0 +1,75 @@
+"""Stage 4 — RE subject-oriented packing.
+
+C3 pair generation + K3/K4 solid-marker packing (reference
+run_re.py:286-355, kernels.subject_instances). Implemented as a *cogrouped*
+map: turns and the NER stage's mentions are co-partitioned by ``conv_id`` and
+joined in-process per conversation — one shuffle each side, no row blow-up
+before packing. The subject×object pair explosion (the skew the north rule
+targets) happens inside the kernel bounded by ``max_pair_length_re`` per
+packed row, so group output size is capped by construction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import PipelineConfig
+from ..kernels import context_window, subject_instances
+from ..pipeline.spanpack import _conv_index_from_rows
+
+PACKED_RE_SCHEMA = (
+    "conv_id string, turn_idx int, group_id int, "
+    "sub_s int, sub_e int, sub_label string, sub_surface string, "
+    "o_left array<int>, o_right array<int>, o_label array<string>, "
+    "o_ws array<int>, o_we array<int>, o_surface array<string>"
+)
+
+
+def make_repack_fn(cfg: PipelineConfig):
+    budget = cfg.budget_re()
+
+    def repack(key, turns_pdf: pd.DataFrame, mentions_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "turn_idx", "group_id", "sub_s", "sub_e", "sub_label",
+                "sub_surface", "o_left", "o_right", "o_label", "o_ws", "o_we",
+                "o_surface"]
+        if mentions_pdf.empty or turns_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        turns_pdf, idx = _conv_index_from_rows(turns_pdf)
+        cid = key[0]
+        # mention rows per sentence ordinal, sorted like the reference sink
+        # (run_acener.py:777 item.sort())
+        tid_to_ord = {int(t): n for n, t in enumerate(turns_pdf["turn_idx"])}
+        by_turn: dict[int, list[tuple[int, int, str]]] = {}
+        for r in mentions_pdf.itertuples(index=False):
+            by_turn.setdefault(int(r.turn_idx), []).append(
+                (int(r.start), int(r.end), r.label)
+            )
+        rows = []
+        for tid, ments in sorted(by_turn.items()):
+            ments.sort()
+            n = tid_to_ord[tid]
+            win = context_window(idx, n, budget, truncate=True)
+            for gid, inst in enumerate(subject_instances(idx, n, win, ments, cfg)):
+                sub_surface = " ".join(idx.words[inst.sub_word[0]: inst.sub_word[1] + 1])
+                rows.append(
+                    (
+                        cid, tid, gid, inst.sub_word[0], inst.sub_word[1],
+                        inst.sub_label, sub_surface,
+                        [o[0] for o in inst.objects], [o[1] for o in inst.objects],
+                        [o[2] for o in inst.objects], [o[3] for o in inst.objects],
+                        [o[4] for o in inst.objects],
+                        [" ".join(idx.words[o[3]: o[4] + 1]) for o in inst.objects],
+                    )
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return repack
+
+
+def repack_re(turns_tok: DataFrame, mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return (
+        turns_tok.groupBy("conv_id")
+        .cogroup(mentions.groupBy("conv_id"))
+        .applyInPandas(make_repack_fn(cfg), schema=PACKED_RE_SCHEMA)
+    )

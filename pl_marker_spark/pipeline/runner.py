@@ -1,0 +1,67 @@
+"""End-to-end pipeline driver: transcripts → … → triples (+ graph stages).
+
+Stage graph (each node a checkpoint table, SURVEY.md §7):
+
+    transcripts ─▶ turns_tok ─▶ packed_ner ─▶ span_scores ─▶ mentions
+         │                                                      │
+         └──────────────────────▶ packed_re ◀───────────────────┘
+                                      │
+                     pair_scores ─▶ triples_raw ─▶ triples / mentions_refined
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import PipelineConfig
+from ..checkpoint import CheckpointStore
+from .assemble import assemble
+from .ner import infer_ner, suppress_mentions
+from .rel import fuse_and_decode, infer_pairs, refine_types, suppress_triples
+from .repack import repack_re
+from .spanpack import spanpack_ner
+
+
+def run_extraction(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    store: CheckpointStore | None = None,
+) -> dict[str, DataFrame]:
+    """Run transcripts → triples. With a CheckpointStore each stage is
+    materialized + resumable; without one the plan stays lazy end-to-end."""
+
+    def ck(name: str, build):
+        if store is None:
+            return build()
+        return store.stage(name, build)
+
+    turns_tok = ck("turns_tok", lambda: assemble(transcripts))
+    packed_ner = ck("packed_ner", lambda: spanpack_ner(turns_tok, cfg))
+    span_scores = ck("span_scores", lambda: infer_ner(packed_ner, cfg))
+    mentions = ck("mentions", lambda: suppress_mentions(span_scores, cfg))
+    packed_re = ck("packed_re", lambda: repack_re(turns_tok, mentions, cfg))
+    pair_scores = ck("pair_scores", lambda: infer_pairs(packed_re, cfg))
+    triples_raw = ck("triples_raw", lambda: suppress_triples(fuse_and_decode(pair_scores)))
+
+    def build_final():
+        t, _ = refine_types(triples_raw, mentions)
+        return t
+
+    def build_refined():
+        _, m = refine_types(triples_raw, mentions)
+        return m
+
+    triples = ck("triples", build_final)
+    mentions_refined = ck("mentions_refined", build_refined)
+    return {
+        "turns_tok": turns_tok,
+        "packed_ner": packed_ner,
+        "span_scores": span_scores,
+        "mentions": mentions,
+        "packed_re": packed_re,
+        "pair_scores": pair_scores,
+        "triples_raw": triples_raw,
+        "triples": triples,
+        "mentions_refined": mentions_refined,
+    }

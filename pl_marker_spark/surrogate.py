@@ -1,0 +1,99 @@
+"""Deterministic surrogate model.
+
+Stands in for the packed-marker BERT heads so correctness and benchmarks
+need no GPU/weights (SURVEY.md §7 design stance). Same interface contract
+as the reference heads:
+
+- NER head: span -> logits over NER_LABELS
+  (reference BertForACEBothOneDropoutSub / modeling_bert.py:3213-3281:
+  features from marker+text endpoints -> linear -> per-span logits).
+- RE head: (subject, object) -> logits over ``REL_LOGIT_DIM`` =
+  forward labels + inverse copies of the asymmetric block
+  (reference modeling_bert.py:2223-2297 two-tower broadcast-add), plus an
+  auxiliary object-NER label (run_re.py:756-769).
+
+The surrogate is a pure function of the *span surfaces the model would
+read from its context window*, so the Spark UDFs and the single-process
+oracle provably compute identical scores. Deterministic jitter removes all
+score ties, making the reference's stable `-score` sorts order-equivalent
+to an explicit (score desc, span asc) sort (SURVEY.md §4 tiebreak note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .world import (
+    GAZETTEER,
+    NER_INDEX,
+    NER_LABELS,
+    NUM_NER,
+    NUM_REL,
+    NUM_SYM,
+    REL_INDEX,
+    REL_LOGIT_DIM,
+    REL_TABLE,
+    jitter,
+)
+
+_NIL_BASE = 2.0
+_HIT = 5.0
+
+
+def ner_logits_for_surfaces(surfaces: list[str]) -> np.ndarray:
+    """(n_spans,) surfaces -> (n_spans, NUM_NER) logits."""
+    out = np.zeros((len(surfaces), NUM_NER), dtype=np.float64)
+    out[:, 0] = _NIL_BASE
+    for i, s in enumerate(surfaces):
+        label = GAZETTEER.get(s)
+        if label is not None:
+            out[i, NER_INDEX[label]] = _HIT + jitter("ner|" + s)
+    return out
+
+
+def ner_decode(logits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """softmax -> (max prob, argmax label index); reference I6
+    (run_acener.py:681-683)."""
+    z = logits - logits.max(axis=1, keepdims=True)
+    e = np.exp(z)
+    probs = e / e.sum(axis=1, keepdims=True)
+    pred = probs.argmax(axis=1)
+    return probs[np.arange(len(pred)), pred], pred
+
+
+def ner_label_name(idx: int) -> str:
+    return NER_LABELS[idx]
+
+
+def re_logits_for_pair(sub_surface: str, obj_surface: str) -> list[float]:
+    """One (subject, object) pair -> REL_LOGIT_DIM logits.
+
+    Forward hit lights the forward label; a reverse table hit lights the
+    symmetric label directly (symmetric relations hold both ways) or the
+    inverse-block copy of the asymmetric label — exactly the label algebra
+    the reference's bidirectional fusion (run_re.py:783-823) expects."""
+    v = [0.0] * REL_LOGIT_DIM
+    v[0] = _NIL_BASE
+    fwd = REL_TABLE.get((sub_surface, obj_surface))
+    if fwd is not None:
+        v[REL_INDEX[fwd]] = _HIT + jitter(f"re|{sub_surface}|{obj_surface}|{fwd}")
+    rev = REL_TABLE.get((obj_surface, sub_surface))
+    if rev is not None:
+        j = jitter(f"re|{obj_surface}|{sub_surface}|{rev}")
+        idx = REL_INDEX[rev]
+        if idx < NUM_SYM:
+            v[idx] = _HIT + j
+        else:
+            v[NUM_REL + idx - NUM_SYM] = _HIT + j
+    return v
+
+
+def aux_obj_ner(obj_surface: str) -> str:
+    """Aux object-NER head (reference joint head, run_re.py:759)."""
+    return GAZETTEER.get(obj_surface, "NIL")
+
+
+def permute_reverse_logits(v: list[float]) -> list[float]:
+    """The fusion permutation: swap forward/inverse asymmetric blocks, keep
+    the symmetric block (reference run_re.py:804)."""
+    return list(v[:NUM_SYM]) + list(v[NUM_REL:]) + list(v[NUM_SYM:NUM_REL])

@@ -1,0 +1,132 @@
+"""Hand-computed kernel tests: alignment (P4/P5), windowing (P6/P7), span
+enumeration (C1), packing (K1/K2), subject packing (C3/K3/K4), K5 tensors.
+
+The hand-check example follows FIXTURES.md §6.
+"""
+
+import numpy as np
+
+from pl_marker_spark.config import PipelineConfig
+from pl_marker_spark.kernels import (
+    assemble_ner_tensors,
+    build_conv_index,
+    context_window,
+    enumerate_spans,
+    pack_groups,
+    subject_instances,
+)
+from pl_marker_spark.tokenizer import CLS, SEP, SUB_L, SUB_R
+
+CFG = PipelineConfig(
+    max_seq_length_ner=32, max_pair_length_ner=4, max_mention_ori_length=3,
+    max_seq_length_re=32, max_pair_length_re=2,
+)
+
+# 2 turns: words of lengths <=4 stay single-piece, longer split every 4 chars
+TURNS = [["Alice", "of", "Acme", "met", "Bob"], ["Bob", "nodded", "."]]
+
+
+def test_alignment():
+    idx = build_conv_index(TURNS)
+    # Alice -> 2 pieces; nodded -> 2 pieces
+    assert idx.subwords[:3] == ["Alic", "##e", "of"]
+    assert idx.token2subword == [0, 2, 3, 4, 5, 6, 7, 9, 10]
+    assert idx.subword2token == [0, 0, 1, 2, 3, 4, 5, 6, 6, 7]
+    assert idx.sent_word_bounds == [0, 5, 8]
+    assert idx.sent_subword_bounds == [0, 6, 10]
+
+
+def test_context_window_fits_all():
+    idx = build_conv_index(TURNS)
+    win = context_window(idx, 0, budget=30, truncate=False)
+    # whole conversation fits: right context = all 4 remaining subwords
+    assert win.tokens == [CLS] + idx.subwords + [SEP]
+    assert win.doc_offset == 0
+    win1 = context_window(idx, 1, budget=30, truncate=False)
+    assert win1.tokens == [CLS] + idx.subwords + [SEP]
+    assert win1.doc_offset == 0
+
+
+def test_context_window_balanced_truncation():
+    idx = build_conv_index(TURNS)
+    # budget 8, sentence 0 is 6 subwords -> half=(8-6)//2=1; left=0 < right=4
+    # -> left_ctx=0, right_ctx=min(4, 8-0-6)=2
+    win = context_window(idx, 0, budget=8, truncate=False)
+    assert win.tokens == [CLS] + idx.subwords[:8] + [SEP]
+    # sentence 1 (4 subwords): left=6 >= right=0 -> right_ctx=0,
+    # left_ctx=min(6, 8-0-4)=4
+    win1 = context_window(idx, 1, budget=8, truncate=False)
+    assert win1.doc_offset == 2
+    assert win1.tokens == [CLS] + idx.subwords[2:10] + [SEP]
+
+
+def test_enumerate_spans():
+    idx = build_conv_index(TURNS)
+    win = context_window(idx, 1, budget=30, truncate=False)
+    spans = enumerate_spans(idx, 1, win, max_mention_len=2)
+    # sentence 1 words: Bob(5) nodded(6) .(7); max len 2
+    assert [(s[2], s[3]) for s in spans] == [(5, 5), (5, 6), (6, 6), (6, 7), (7, 7)]
+    # window coords: CLS-shifted inclusive; Bob at conv subword 6
+    lo, hi, ws, we = spans[0]
+    assert (lo, hi) == (6 - win.doc_offset + 1, 7 - win.doc_offset)
+    # nodded spans two subwords
+    lo2, hi2, _, _ = spans[2]
+    assert hi2 - lo2 == 1
+
+
+def test_pack_groups_k1():
+    spans = list(range(10))
+    groups = pack_groups(spans, CFG)
+    assert [len(g) for g in groups] == [4, 4, 2]
+    assert groups[0] == [0, 1, 2, 3]
+
+
+def test_pack_groups_k2_edge():
+    cfg = PipelineConfig(max_pair_length_ner=3, group_edge=True, group_axis=0)
+    spans = [(0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (2, 0)]
+    groups = pack_groups(spans, cfg)
+    # run of start=0 exceeds budget 3 -> hard cut; then never split runs
+    assert groups[0] == [(0, 0), (0, 1), (0, 2)]
+    assert groups[1] == [(0, 3), (1, 0), (2, 0)]
+
+    spans2 = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0)]
+    groups2 = pack_groups(cfg=cfg, spans=spans2)
+    # budget 3 would split the (1,*) run -> back off to boundary
+    assert groups2[0] == [(0, 0), (0, 1)]
+    assert groups2[1] == [(1, 0), (1, 1), (2, 0)]
+
+
+def test_subject_instances_marker_math():
+    idx = build_conv_index(TURNS)
+    win = context_window(idx, 0, budget=28, truncate=True)
+    mentions = [(0, 0, "PER"), (2, 2, "ORG"), (4, 4, "PER")]
+    insts = subject_instances(idx, 0, win, mentions, CFG)
+    # 3 subjects x ceil(3/2) chunks = 6 instances
+    assert len(insts) == 6
+    first = insts[0]
+    assert first.sub_word == (0, 0)
+    # subject Alice = subwords[0..1]; CLS-shifted -> sub_s=1, marker-end=+2
+    assert first.sub_win == (1, 4)
+    assert first.tokens[:5] == [CLS, SUB_L, "Alic", "##e", SUB_R]
+    # object window coords get the +1/+2 shifts past the subject markers
+    # (run_re.py:323-331): obj Acme (word 2, subword 3) start>sub -> left+2
+    left, right, label, ws, we = first.objects[1]
+    assert (ws, we, label) == (2, 2, "ORG")
+    assert left == 3 - win.doc_offset + 1 + 2
+    assert right == 4 - win.doc_offset + 2
+    # subject in the middle: objects before it unshifted
+    mid = [i for i in insts if i.sub_word == (2, 2)][0]
+    l0, r0, _, ws0, _ = mid.objects[0]
+    assert ws0 == 0 and l0 == 0 - win.doc_offset + 1 and r0 == 2 - win.doc_offset
+
+
+def test_assemble_ner_tensors_shapes():
+    window = [CLS, "Alic", "##e", "of", SEP]
+    ids, pos, att = assemble_ner_tensors(window, [(1, 2), (3, 3)], 16, 4)
+    assert ids.shape == (20,) and att.shape == (20, 20)
+    assert pos[16] == 1 and pos[18] == 2  # start marker copies span start
+    assert pos[17] == 3 and pos[19] == 3
+    assert att[:5, :5].all()
+    assert att[16, 18] == 1 and att[16, 17] == 0
+    assert int(att[16, :5].sum()) == 5
+    assert not att[5:16].any()
