@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "triples": N,
+ "triples_per_sec": ..., "turns_per_sec": ...}
+
+The flagship entry is the full KG pipeline (transcripts → packed markers →
+mentions → fused triples → graph) with per-stage checkpoints, exactly as it
+would run under spark-submit; the remaining entries are the heavy catalog
+operators over the driver's parquet tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = 0.1
+    for part in sf_dir.replace("/", " ").split():
+        if part.startswith("sf"):
+            try:
+                sf = float(part[2:])
+            except ValueError:
+                pass
+
+    from pl_marker_spark import queries_catalog, synth
+    from pl_marker_spark.checkpoint import CheckpointStore
+    from pl_marker_spark.config import DEFAULT_CONFIG
+    from pl_marker_spark.pipeline.runner import run_full_pipeline
+    from pl_marker_spark.session import get_spark
+
+    spark = get_spark(app="pl-marker-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- flagship: end-to-end KG pipeline on synthetic transcripts ---------
+    n_convs = max(50, int(20000 * sf))
+    ckdir = tempfile.mkdtemp(prefix="plm_bench_")
+    try:
+        t0 = time.time()
+        transcripts = synth.transcripts_df(spark, n_convs)
+        store = CheckpointStore(spark, ckdir, run_id="bench")
+        out = run_full_pipeline(spark, transcripts, DEFAULT_CONFIG, store)
+        n_triples = out["triples"].count()
+        n_edges = out["edges"].count()
+        n_turns = out["turns_tok"].count()
+        dt = time.time() - t0
+        timings["kg_pipeline_e2e"] = round(dt, 3)
+        extras["triples"] = n_triples
+        extras["graph_edges"] = n_edges
+        extras["turns"] = n_turns
+        extras["triples_per_sec"] = round(n_triples / dt, 2)
+        extras["turns_per_sec"] = round(n_turns / dt, 2)
+    finally:
+        shutil.rmtree(ckdir, ignore_errors=True)
+
+    # --- heavy catalog operators over the sf tables -------------------------
+    qs = queries_catalog.queries()
+    for name in ("c1_span_enum", "k1_pack_groups", "p4_prefix_sum",
+                 "minhash_neardup", "dedup_exact", "jaccard_neardup",
+                 "ann_cosine_topk", "fingerprint"):
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "kg-pipeline+catalog wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

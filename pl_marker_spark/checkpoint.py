@@ -47,6 +47,7 @@ class CheckpointStore:
         a materialized, resumable table)."""
         path = self._path(name)
         if self.is_complete(name):
+            self.spark.catalog.refreshByPath(path)
             self._log(name, resumed=True, rows=None, secs=0.0)
             return self.spark.read.parquet(path)
         t0 = time.time()
@@ -54,14 +55,29 @@ class CheckpointStore:
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
         df.write.mode("overwrite").parquet(path)
+        self.spark.catalog.refreshByPath(path)
         out = self.spark.read.parquet(path)
-        lineage = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-            F.count("*").alias("rows")
+        # one action: per-partition lineage; total rows derived from it
+        lineage = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
         )
-        lineage.write.mode("overwrite").parquet(
-            os.path.join(self.base, "_lineage", name)
-        )
-        rows = out.count()
+        rows = sum(r["rows"] for r in lineage)
+        os.makedirs(os.path.join(self.base, "_lineage"), exist_ok=True)
+        with open(os.path.join(self.base, "_lineage", f"{name}.json"), "w") as f:
+            json.dump(
+                {
+                    "stage": name,
+                    "run_id": self.run_id,
+                    "partitions": [
+                        {"partition_id": r["partition_id"], "rows": r["rows"]}
+                        for r in lineage
+                    ],
+                    "rows": rows,
+                },
+                f,
+            )
         self._log(name, resumed=False, rows=rows, secs=time.time() - t0)
         return out
 

@@ -1,0 +1,114 @@
+"""Stage 7 — canonicalization: connected components over similarity edges.
+
+Alternating large-star / small-star (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SOCC 2014) as iterative DataFrame self-joins —
+the standard shuffle-bounded CC algorithm:
+
+- large-star: every strictly-larger neighbor of u attaches to the minimum
+  of u's neighborhood (∪ u itself)
+- small-star: every not-larger neighbor (and u) attaches to that minimum
+
+Converges in O(log² n) rounds; each round is one hash aggregation + one
+join per star. Giant-component skew is absorbed because stars always hang
+leaves off the current minimum. Rounds are localCheckpoint()-ed to truncate
+lineage (an iterative self-join otherwise grows the plan exponentially).
+
+Both-direction / both-output-edge fan-out uses ``explode(array(struct …))``
+projections instead of self-unions — one plan, no duplicate attribute
+references, and one fewer scan of the edge list per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _both_directions(edges: DataFrame) -> DataFrame:
+    """(u,v) -> symmetric closure via a single exploded projection."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbrs = _both_directions(edges)
+    mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    j = e.join(mins, "u")
+    return (
+        j.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.greatest("v", "mn").alias("u"),
+                        F.least("v", "mn").alias("v"),
+                    ),
+                    F.struct(F.col("u").alias("u"), F.col("mn").alias("v")),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _signature(df: DataFrame) -> tuple:
+    """One-action convergence fingerprint: (row count, xor-ish hash sum).
+    Collision odds are ~2^-64 per round — acceptable for loop termination
+    (the assignment itself stays exact)."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # xor: no ANSI overflow
+    ).first()
+    return (row["n"], row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 16) -> DataFrame:
+    """edges (src, dst) -> assignment (sid, component); component id is the
+    minimum node id in the component."""
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    cur = e.localCheckpoint()
+    sig = _signature(cur)
+    if sig[0] == 0:
+        return nodes.select(F.col("u").alias("sid"), F.col("u").alias("component"))
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nsig = _signature(nxt)
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    assign = (
+        _both_directions(cur)
+        .groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        .select(F.col("u").alias("sid"), "component")
+    )
+    return nodes.join(assign, nodes.u == assign.sid, "left").select(
+        F.col("u").alias("sid"),
+        F.coalesce("component", F.col("u")).alias("component"),
+    )

@@ -180,65 +180,58 @@ def refine_types(triples_raw: DataFrame, mentions: DataFrame):
 
     Returns (triples, mentions_refined). Acceptance order is score-desc with
     the span tiebreak (identical to the suppression order); within one triple
-    the subject slot precedes the object slot, hence seq = 2*rank + slot."""
+    the subject slot precedes the object slot, hence seq = 2*rank + slot.
+
+    Implementation note: the triple rows are melted to one row per (triple,
+    slot) so the refined-type map joins exactly once, then pivoted back with
+    an aggregate. Joining the same map DataFrame twice (subject side + object
+    side) trips Spark's self-join attribute deduplication and can silently
+    duplicate matches — observed on Spark 4.1 with a parquet-backed input."""
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
         F.desc("score"), "s1", "e1", "s2", "e2"
     )
     ranked = triples_raw.withColumn("r", F.row_number().over(w) - 1)
-    sides = ranked.select(
-        "conv_id", "turn_idx",
-        F.col("s1").alias("start"), F.col("e1").alias("end"),
-        F.col("m1_ner").alias("ner"), (2 * F.col("r")).alias("seq"),
-    ).unionByName(
-        ranked.select(
-            "conv_id", "turn_idx",
-            F.col("s2").alias("start"), F.col("e2").alias("end"),
-            F.col("m2_ner").alias("ner"), (2 * F.col("r") + 1).alias("seq"),
-        )
+    melted = ranked.select(
+        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score", "r",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("slot"), F.col("s1").alias("start"),
+                    F.col("e1").alias("end"), F.col("m1_ner").alias("ner"),
+                ),
+                F.struct(
+                    F.lit(1).alias("slot"), F.col("s2").alias("start"),
+                    F.col("e2").alias("end"), F.col("m2_ner").alias("ner"),
+                ),
+            )
+        ).alias("x"),
+    ).select(
+        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score",
+        "x.slot", "x.start", "x.end", "x.ner",
+        (2 * F.col("r") + F.col("x.slot")).alias("seq"),
     )
     w2 = Window.partitionBy("conv_id", "turn_idx", "start", "end").orderBy("seq")
     refined_map = (
-        sides.withColumn("rn", F.row_number().over(w2))
+        melted.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") == 1)
-        .select("conv_id", "turn_idx", "start", "end", F.col("ner").alias("refined"))
+        .select("conv_id", "turn_idx", "start", "end",
+                F.col("ner").alias("refined"))
     )
     triples = (
-        ranked.alias("t")
-        .join(
-            refined_map.alias("a"),
-            (F.col("t.conv_id") == F.col("a.conv_id"))
-            & (F.col("t.turn_idx") == F.col("a.turn_idx"))
-            & (F.col("t.s1") == F.col("a.start"))
-            & (F.col("t.e1") == F.col("a.end")),
-            "left",
-        )
-        .select("t.*", F.col("a.refined").alias("subj_type"))
-        .alias("t2")
-        .join(
-            refined_map.alias("b"),
-            (F.col("t2.conv_id") == F.col("b.conv_id"))
-            & (F.col("t2.turn_idx") == F.col("b.turn_idx"))
-            & (F.col("t2.s2") == F.col("b.start"))
-            & (F.col("t2.e2") == F.col("b.end")),
-            "left",
-        )
-        .select(
-            "t2.conv_id", "t2.turn_idx", "t2.s1", "t2.e1", "t2.s2", "t2.e2",
-            "t2.pred", "t2.score",
-            F.col("t2.subj_type").alias("subj_type"),
-            F.col("b.refined").alias("obj_type"),
+        melted.drop("ner", "seq")
+        .join(refined_map, ["conv_id", "turn_idx", "start", "end"], "left")
+        .groupBy("conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score")
+        .agg(
+            F.max(F.when(F.col("slot") == 0, F.col("refined"))).alias("subj_type"),
+            F.max(F.when(F.col("slot") == 1, F.col("refined"))).alias("obj_type"),
         )
     )
     mentions_refined = (
         mentions.alias("m")
-        .join(
-            refined_map.alias("r"),
-            ["conv_id", "turn_idx", "start", "end"],
-            "left",
-        )
+        .join(refined_map, ["conv_id", "turn_idx", "start", "end"], "left")
         .select(
             "conv_id", "turn_idx", "start", "end",
-            F.coalesce(F.col("r.refined"), F.col("m.label")).alias("label"),
+            F.coalesce(F.col("refined"), F.col("m.label")).alias("label"),
             "m.score",
         )
     )

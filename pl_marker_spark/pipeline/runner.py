@@ -65,3 +65,19 @@ def run_extraction(
         "triples": triples,
         "mentions_refined": mentions_refined,
     }
+
+
+def run_full_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    store: CheckpointStore | None = None,
+) -> dict[str, DataFrame]:
+    """Extraction + entity linking + canonicalization + graph materialize."""
+    from .graph import build_graph
+
+    out = run_extraction(spark, transcripts, cfg, store)
+    ck = None if store is None else store.stage
+    g = build_graph(out["mentions_refined"], out["triples"], out["turns_tok"], ck=ck)
+    out.update(g)
+    return out

@@ -1,0 +1,513 @@
+"""Driver-facing query catalog: SQL-expressible operators from SURVEY.md §2
+over the driver's parquet tables, each with a DuckDB oracle twin, plus
+rows-only entries for the model-dependent pipeline stages and the
+training-data ops (dedup / similarity / text analysis).
+
+Conventions (driver compare = row count + schema + order-insensitive
+value hash): every computed column is aliased identically on both sides;
+doubles are rounded to 6 decimals; counts are cast to bigint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _doc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------- C1 span enumeration + K1 packing (documents as proxy corpus) ----
+
+def q_c1_span_enum(spark, sf_dir):
+    """C1: exhaustive bounded span enumeration (run_acener.py:233-249) —
+    span count per document with max word-length 8."""
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    spans = d.select(
+        "doc_id",
+        F.posexplode("ws").alias("s", "w"),
+        F.size("ws").alias("n"),
+    ).select(
+        "doc_id",
+        F.explode(F.sequence(F.col("s"), F.least(F.col("s") + 7, F.col("n") - 1))).alias("e"),
+    )
+    return spans.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_spans"))
+
+
+SQL_C1 = """
+WITH d AS (SELECT doc_id, len(string_split(text,' ')) AS n FROM documents),
+x AS (SELECT doc_id, n, UNNEST(range(n)) AS s FROM d),
+y AS (SELECT doc_id, s, UNNEST(range(s, CASE WHEN s+8 < n THEN s+8 ELSE n END)) AS e FROM x)
+SELECT doc_id, count(*)::BIGINT AS n_spans FROM y GROUP BY doc_id
+"""
+
+
+def q_k1_pack_groups(spark, sf_dir):
+    """K1: chunk each document's enumerated spans into groups of ≤256 in
+    (start, end) order (run_acener.py:266-285); rows = per-group sizes."""
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    spans = d.select(
+        "doc_id", F.posexplode("ws").alias("s", "w"), F.size("ws").alias("n")
+    ).select(
+        "doc_id", "s",
+        F.explode(F.sequence(F.col("s"), F.least(F.col("s") + 7, F.col("n") - 1))).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    return (
+        spans.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("group_id", (F.col("rn") / 256).cast("long"))
+        .groupBy("doc_id", "group_id")
+        .agg(F.count("*").cast("long").alias("group_size"))
+    )
+
+
+SQL_K1 = """
+WITH d AS (SELECT doc_id, len(string_split(text,' ')) AS n FROM documents),
+x AS (SELECT doc_id, n, UNNEST(range(n)) AS s FROM d),
+y AS (SELECT doc_id, s, UNNEST(range(s, CASE WHEN s+8 < n THEN s+8 ELSE n END)) AS e FROM x),
+r AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY s, e) - 1) AS rn FROM y)
+SELECT doc_id, (rn // 256)::BIGINT AS group_id, count(*)::BIGINT AS group_size
+FROM r GROUP BY doc_id, rn // 256
+"""
+
+
+# ---------- window ops (P4 prefix sum, O13 top-k, sessionize) --------------
+
+def q_p4_prefix_sum(spark, sf_dir):
+    """P4: running prefix sum per partition key in stable order
+    (run_acener.py:187-193 boundary prefix sums)."""
+    e = _doc(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 6).alias("run_sum"),
+    )
+
+
+SQL_P4 = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 6) AS run_sum
+FROM events
+"""
+
+
+def q_o13_topk(spark, sf_dir):
+    """O13: rank-based top-k per group (run_ner.py:1057-1062 top-256
+    candidates per sentence)."""
+    e = _doc(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SQL_O13 = """
+SELECT user_id, event_id, round(value, 6) AS value, rk::BIGINT AS rk
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+      FROM events)
+WHERE rk <= 3
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) per user — the
+    conversation-window-assembly pattern (P6) over an event stream."""
+    e = _doc(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch, 1).over(w)
+    return (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sess", F.sum("new_sess").over(w))
+        .groupBy("user_id")
+        .agg(F.countDistinct("sess").cast("long").alias("n_sessions"),
+             F.count("*").cast("long").alias("n_events"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g)
+SELECT user_id, count(DISTINCT sess)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+# ---------- aggregates (O11 micro-PRF, O15 seed stats) ----------------------
+
+def q_o11_micro_prf(spark, sf_dir):
+    """O11: micro P/R/F1 arithmetic with zero guards (run_acener.py:751-757)
+    over a derived pred/gold pair of sets."""
+    li = _doc(spark, sf_dir, "lineitem")
+    flags = li.select(
+        (F.col("l_discount") > 0.05).alias("pred"),
+        (F.col("l_tax") > 0.04).alias("gold"),
+    )
+    agg = flags.agg(
+        F.sum(F.when(F.col("pred") & F.col("gold"), 1).otherwise(0)).alias("cor"),
+        F.sum(F.when(F.col("pred"), 1).otherwise(0)).alias("tot_pred"),
+        F.sum(F.when(F.col("gold"), 1).otherwise(0)).alias("tot_recall"),
+    )
+    p = F.col("cor") / F.col("tot_pred")
+    r = F.col("cor") / F.col("tot_recall")
+    return agg.select(
+        F.col("cor").cast("long").alias("cor"),
+        F.col("tot_pred").cast("long").alias("tot_pred"),
+        F.col("tot_recall").cast("long").alias("tot_recall"),
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(2 * p * r / (p + r), 6).alias("f1"),
+    )
+
+
+SQL_O11 = """
+WITH f AS (SELECT (l_discount > 0.05) AS pred, (l_tax > 0.04) AS gold FROM lineitem),
+a AS (SELECT sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS cor,
+             sum(CASE WHEN pred THEN 1 ELSE 0 END) AS tot_pred,
+             sum(CASE WHEN gold THEN 1 ELSE 0 END) AS tot_recall
+      FROM f)
+SELECT cor::BIGINT AS cor, tot_pred::BIGINT AS tot_pred, tot_recall::BIGINT AS tot_recall,
+       round(cor / tot_pred, 6) AS precision,
+       round(cor / tot_recall, 6) AS recall,
+       round(2 * (cor/tot_pred) * (cor/tot_recall) / (cor/tot_pred + cor/tot_recall), 6) AS f1
+FROM a
+"""
+
+
+def q_o15_seed_stats(spark, sf_dir):
+    """O15: mean/stddev across runs (sumup.py:23-167) — grouped avg/stddev."""
+    e = _doc(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+    )
+
+
+SQL_O15 = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(avg(value), 6) AS mean_value,
+       round(stddev_samp(value), 6) AS std_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------- text / training-data ops ----------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact deduplication: hash-groupBy on content, keep min id."""
+    d = _doc(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex token counts."""
+    d = _doc(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length / mean word length / non-alpha ratio."""
+    d = _doc(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace("text", r"[^a-z ]", ""))
+    n_words = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_obs"),
+        n_words.cast("long").alias("n_words"),
+        F.round((F.length("text") - n_words + 1) / n_words, 6).alias("mean_word_len"),
+        F.round((F.length("text") - alpha) / F.length("text"), 6).alias("non_alpha_ratio"),
+    )
+
+
+SQL_QUALITY = """
+SELECT doc_id, length(text)::BIGINT AS n_chars_obs,
+       len(string_split(text,' '))::BIGINT AS n_words,
+       round((length(text) - len(string_split(text,' ')) + 1)
+             / len(string_split(text,' ')), 6) AS mean_word_len,
+       round((length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))
+             / length(text), 6) AS non_alpha_ratio
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit ratio over whitespace tokens."""
+    d = _doc(spark, sf_dir, "documents")
+    stop = ("the", "and", "of", "a", "to", "in", "is")
+    ws = F.split("text", " ")
+    hits = F.size(F.filter(ws, lambda w: w.isin(*stop)))
+    ratio = hits / F.size(ws)
+    return d.select(
+        "doc_id",
+        hits.cast("long").alias("stop_hits"),
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.08, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+SQL_LANG_ID = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+h AS (SELECT doc_id, len(ws) AS n,
+             len(list_filter(ws, x -> x IN ('the','and','of','a','to','in','is'))) AS hits
+      FROM w)
+SELECT doc_id, hits::BIGINT AS stop_hits, round(hits / n, 6) AS stop_ratio,
+       CASE WHEN hits / n >= 0.08 THEN 'en' ELSE 'other' END AS lang_guess
+FROM h
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: order-aware polynomial word fingerprint."""
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    term = (F.col("i") + 1) * (F.ascii(F.substring("w", 1, 1)) * 31 + F.length("w"))
+    return d.groupBy("doc_id").agg(F.sum(term).cast("long").alias("fingerprint"))
+
+
+SQL_FINGERPRINT = """
+WITH x AS (SELECT doc_id,
+                  UNNEST(string_split(text,' ')) AS w,
+                  UNNEST(range(1, len(string_split(text,' ')) + 1)) AS i
+           FROM documents)
+SELECT doc_id, sum(i * (ascii(w[1:1]) * 31 + length(w)))::BIGINT AS fingerprint
+FROM x GROUP BY doc_id
+"""
+
+
+def q_jaccard_neardup(spark, sf_dir):
+    """N-gram Jaccard near-duplicate pairs, blocked by word count (the
+    verify step of the minhash plan, exact on the blocked candidate set)."""
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    a = d.alias("a")
+    b = d.select(
+        F.col("doc_id").alias("b_id"), F.col("ws").alias("b_ws"), F.col("n").alias("b_n")
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n") == F.col("b_n"))
+        & (F.col("a.doc_id") < F.col("b_id"))
+        & (F.col("b_id") - F.col("a.doc_id") <= 25),
+    )
+    jac = F.size(F.array_intersect("a.ws", "b_ws")) / F.size(F.array_union("a.ws", "b_ws"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b_id").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.5)
+
+
+SQL_JACCARD = """
+WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ws,
+                  len(string_split(text,' ')) AS n
+           FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.ws, b.ws)) /
+             len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+FROM d a JOIN d b
+  ON a.n = b.n AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25
+WHERE len(list_intersect(a.ws, b.ws)) /
+      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search over the embedding column
+    (baseline ANN; the LSH-bucketed variant is `minhash_neardup`)."""
+    e = _doc(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nq = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nv = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    sims = (
+        q.crossJoin(e)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", (dot / (nq * nv)).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("q_id", "vec_id", F.round("sim", 6).alias("sim"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SQL_ANN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT q_id, vec_id,
+             list_dot_product(qv, v) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+      FROM q, e WHERE q_id != vec_id),
+r AS (SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+      FROM s)
+SELECT q_id, vec_id, round(sim, 6) AS sim, rk::BIGINT AS rk
+FROM r WHERE rk <= 10
+"""
+
+
+# ---------- rows-only entries (model-dependent / hash-function-specific) ----
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def q_kg_triples(spark, sf_dir):
+    from . import synth
+    from .config import DEFAULT_CONFIG
+    from .pipeline.runner import run_extraction
+
+    n = max(20, int(3000 * _sf_of(sf_dir)))
+    t = synth.transcripts_df(spark, n)
+    return run_extraction(spark, t, DEFAULT_CONFIG)["triples"]
+
+
+def q_kg_mentions(spark, sf_dir):
+    from . import synth
+    from .config import DEFAULT_CONFIG
+    from .pipeline.assemble import assemble
+    from .pipeline.ner import infer_ner, suppress_mentions
+    from .pipeline.spanpack import spanpack_ner
+
+    n = max(20, int(3000 * _sf_of(sf_dir)))
+    t = synth.transcripts_df(spark, n)
+    cfg = DEFAULT_CONFIG
+    return suppress_mentions(infer_ner(spanpack_ner(assemble(t), cfg), cfg), cfg)
+
+
+def q_kg_graph_nodes(spark, sf_dir):
+    from . import synth
+    from .config import DEFAULT_CONFIG
+    from .pipeline.runner import run_full_pipeline
+
+    n = max(20, int(3000 * _sf_of(sf_dir)))
+    t = synth.transcripts_df(spark, n)
+    return run_full_pipeline(spark, t, DEFAULT_CONFIG)["nodes"]
+
+
+def q_kg_graph_edges(spark, sf_dir):
+    from . import synth
+    from .config import DEFAULT_CONFIG
+    from .pipeline.runner import run_full_pipeline
+
+    n = max(20, int(3000 * _sf_of(sf_dir)))
+    t = synth.transcripts_df(spark, n)
+    return run_full_pipeline(spark, t, DEFAULT_CONFIG)["edges"]
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup candidates over documents (shingle → minhash →
+    band → bucket join). xxhash64 has no DuckDB twin → rows-only check;
+    exactness is covered by tests/test_textops.py."""
+    from .textops import minhash_candidates
+
+    return minhash_candidates(_doc(spark, sf_dir, "documents"))
+
+
+def q_simhash_buckets(spark, sf_dir):
+    from .textops import simhash_docs
+
+    return simhash_docs(_doc(spark, sf_dir, "documents"))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "c1_span_enum": q_c1_span_enum,
+        "k1_pack_groups": q_k1_pack_groups,
+        "p4_prefix_sum": q_p4_prefix_sum,
+        "o13_topk": q_o13_topk,
+        "sessionize": q_sessionize,
+        "o11_micro_prf": q_o11_micro_prf,
+        "o15_seed_stats": q_o15_seed_stats,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "jaccard_neardup": q_jaccard_neardup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "kg_triples": q_kg_triples,
+        "kg_mentions": q_kg_mentions,
+        "kg_graph_nodes": q_kg_graph_nodes,
+        "kg_graph_edges": q_kg_graph_edges,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_buckets": q_simhash_buckets,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "c1_span_enum": SQL_C1,
+        "k1_pack_groups": SQL_K1,
+        "p4_prefix_sum": SQL_P4,
+        "o13_topk": SQL_O13,
+        "sessionize": SQL_SESSIONIZE,
+        "o11_micro_prf": SQL_O11,
+        "o15_seed_stats": SQL_O15,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "token_count": SQL_TOKEN_COUNT,
+        "quality_score": SQL_QUALITY,
+        "lang_id": SQL_LANG_ID,
+        "fingerprint": SQL_FINGERPRINT,
+        "jaccard_neardup": SQL_JACCARD,
+        "ann_cosine_topk": SQL_ANN,
+    }

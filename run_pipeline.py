@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG-construction pipeline.
+
+Usage (cluster):
+    spark-submit --py-files pl_marker_spark.zip run_pipeline.py \
+        --input iceberg_catalog.db.transcripts --output /warehouse/kg \
+        --checkpoint-dir /warehouse/kg/_ck
+
+Usage (sandbox / synthetic):
+    python run_pipeline.py --synthetic-convs 500 --output /tmp/kg_out
+
+The input must have the transcript shape
+(conv_id string, turn_idx int, role string, text string, tool string,
+ ts timestamp). Every stage checkpoints to --checkpoint-dir and resumes
+idempotently; final graph tables land under --output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet path or table of transcripts")
+    src.add_argument("--synthetic-convs", type=int,
+                     help="generate N synthetic conversations instead")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--max-seq-length", type=int, default=256)
+    ap.add_argument("--max-pair-length-ner", type=int, default=256)
+    ap.add_argument("--max-pair-length-re", type=int, default=32)
+    ap.add_argument("--use-aux-ner", action="store_true",
+                    help="use the aux object-NER head instead of carried labels")
+    args = ap.parse_args(argv)
+
+    from pl_marker_spark import synth
+    from pl_marker_spark.checkpoint import CheckpointStore
+    from pl_marker_spark.config import PipelineConfig
+    from pl_marker_spark.pipeline.runner import run_full_pipeline
+    from pl_marker_spark.session import get_spark
+
+    spark = get_spark(app="pl-marker-kg")
+    cfg = PipelineConfig(
+        max_seq_length_ner=args.max_seq_length,
+        max_seq_length_re=args.max_seq_length,
+        max_pair_length_ner=args.max_pair_length_ner,
+        max_pair_length_re=args.max_pair_length_re,
+        use_ner_results=not args.use_aux_ner,
+    )
+    if args.input:
+        transcripts = (
+            spark.read.table(args.input)
+            if "." in args.input and "/" not in args.input
+            else spark.read.parquet(args.input)
+        )
+    else:
+        transcripts = synth.transcripts_df(spark, args.synthetic_convs)
+
+    ckdir = args.checkpoint_dir or f"{args.output}/_ck"
+    store = CheckpointStore(spark, ckdir, run_id=f"run{int(time.time())}")
+    t0 = time.time()
+    out = run_full_pipeline(spark, transcripts, cfg, store)
+    for table in ("mentions", "triples", "nodes", "edges"):
+        out[table].write.mode("overwrite").parquet(f"{args.output}/{table}")
+    summary = {
+        "seconds": round(time.time() - t0, 2),
+        "stages": store.events,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness (north rule: throughput scaling efficiency
+≥0.8 between N and 4N executors; sandbox proxy = the same job at local[8]
+vs local[32] on identical input).
+
+Runs bench.py as a subprocess at both parallelism levels, computes
+efficiency = (throughput_32 / throughput_8) / 4 on the end-to-end
+triples/sec, and appends the result to BENCH.md.
+
+Usage: python scaling.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+
+def run_at(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)), check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    lo, hi = 8, 32
+    r_lo = run_at(lo, sf_dir)
+    r_hi = run_at(hi, sf_dir)
+    thr_lo = r_lo["triples_per_sec"]
+    thr_hi = r_hi["triples_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    wall_eff = (r_lo["queries"]["kg_pipeline_e2e"] / r_hi["queries"]["kg_pipeline_e2e"]) / (hi / lo)
+    result = {
+        "sf_dir": sf_dir,
+        "cores_lo": lo,
+        "cores_hi": hi,
+        "triples": r_hi["triples"],
+        "triples_per_sec_lo": thr_lo,
+        "triples_per_sec_hi": thr_hi,
+        "e2e_sec_lo": r_lo["queries"]["kg_pipeline_e2e"],
+        "e2e_sec_hi": r_hi["queries"]["kg_pipeline_e2e"],
+        "scaling_efficiency": round(eff, 3),
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+    }
+    print(json.dumps(result))
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
+        f.write(
+            f"\n## Scaling run {stamp} ({sf_dir})\n\n"
+            f"| cores | e2e sec | triples/sec | total sec (all queries) |\n"
+            f"|---|---|---|---|\n"
+            f"| {lo} | {result['e2e_sec_lo']} | {thr_lo} | {result['total_sec_lo']} |\n"
+            f"| {hi} | {result['e2e_sec_hi']} | {thr_hi} | {result['total_sec_hi']} |\n\n"
+            f"Triples/sec scaling efficiency {lo}→{hi} cores "
+            f"(per north rule, ≥0.8 target): **{result['scaling_efficiency']}**"
+            f" (wall-clock efficiency {round(wall_eff,3)}; {result['triples']} triples).\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
