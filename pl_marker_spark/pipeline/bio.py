@@ -1,0 +1,222 @@
+"""Two-stage NER path: cheap BIO tagger → candidates table → packed-marker
+scoring restricted to candidates.
+
+Reference semantics:
+- I4 BIO token classifier as the candidate generator
+  (run_ner_BIO.py:199-222, 933)
+- P8 BIO→span conversion, stateful scan (run_ner.py:193-219)
+- P9 span→BIO reconstruction, highest score first (run_ner.py:1042-1054)
+- P10 IOB2→IOB1 (run_ner.py:1066-1071)
+- O13 top-k candidates per sentence by 1-P(NIL) (run_ner.py:1014,1057-1062)
+- C2 candidate-restricted enumeration (run_ner.py:244-260)
+- S6 candidates sink/source (run_ner.py:1088-1090, 244-260)
+
+This is the scale plan for 10^12-turn inputs (SURVEY.md §3.3): a cheap
+linear tagger prunes the O(L·8) span space before the expensive packed
+encoder runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..kernels import ConvIndex, context_window, pack_groups
+from ..world import GAZETTEER, jitter
+
+BIO_SCHEMA = (
+    "conv_id string, turn_idx int, tags array<string>, word_off int"
+)
+CANDIDATES_SCHEMA = (
+    "conv_id string, turn_idx int, start int, end int, notnil_prob double"
+)
+
+# cheap-tagger gazetteer index: first word -> [(word tuple, label)]
+_PHRASE_INDEX: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+for _surf, _label in GAZETTEER.items():
+    _ws = tuple(_surf.split())
+    _PHRASE_INDEX.setdefault(_ws[0], []).append((_ws, _label))
+for _v in _PHRASE_INDEX.values():
+    _v.sort(key=lambda x: -len(x[0]))  # longest match first
+
+
+def tag_words_bio(words: list[str]) -> list[str]:
+    """I4 surrogate: greedy longest-match gazetteer tagging → BIO tags."""
+    n = len(words)
+    tags = ["O"] * n
+    i = 0
+    while i < n:
+        hit = None
+        for ws, label in _PHRASE_INDEX.get(words[i], ()):
+            if tuple(words[i : i + len(ws)]) == ws:
+                hit = (len(ws), label)
+                break
+        if hit:
+            k, label = hit
+            tags[i] = "B-" + label
+            for j in range(i + 1, i + k):
+                tags[j] = "I-" + label
+            i += k
+        else:
+            i += 1
+    return tags
+
+
+def bio_to_spans(tags: list[str]) -> list[tuple[int, int, str]]:
+    """P8: stateful scan — B starts, I continues (or starts after O/boundary),
+    O closes (run_ner.py:193-219 semantics)."""
+    spans = []
+    start, cur = -1, None
+    for i, t in enumerate(tags):
+        if t == "O":
+            if cur is not None:
+                spans.append((start, i - 1, cur))
+                cur = None
+        else:
+            prefix, label = t[0], t[2:]
+            if prefix == "B" or cur is None or label != cur:
+                if cur is not None:
+                    spans.append((start, i - 1, cur))
+                start, cur = i, label
+    if cur is not None:
+        spans.append((start, len(tags) - 1, cur))
+    return spans
+
+
+def spans_to_bio(n: int, spans: list[tuple[int, int, str, float]]) -> list[str]:
+    """P9: paint B-/I- over an O sequence, highest score first, skipping
+    spans that collide with already-painted tokens (run_ner.py:1042-1054)."""
+    tags = ["O"] * n
+    for s, e, label, _score in sorted(spans, key=lambda x: -x[3]):
+        if any(tags[i] != "O" for i in range(s, e + 1)):
+            continue
+        tags[s] = "B-" + label
+        for i in range(s + 1, e + 1):
+            tags[i] = "I-" + label
+    return tags
+
+
+def iob2_to_iob1(tags: list[str]) -> list[str]:
+    """P10: B-X → I-X unless preceded by a same-type chunk
+    (run_ner.py:1066-1071)."""
+    out = list(tags)
+    for i, t in enumerate(out):
+        if t.startswith("B-"):
+            if i == 0 or out[i - 1][2:] != t[2:] or out[i - 1] == "O":
+                out[i] = "I-" + t[2:]
+    return out
+
+
+def bio_tag_stage(turns_tok: DataFrame) -> DataFrame:
+    """I4 as a shuffle-free mapInPandas over turns; emits per-turn BIO tags
+    plus the turn's conversation-level word offset (computed downstream)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["conv_id", "turn_idx"]].copy()
+            out["tags"] = [tag_words_bio(list(ws)) for ws in pdf["words"]]
+            out["word_off"] = 0
+            yield out
+
+    return turns_tok.mapInPandas(run, schema=BIO_SCHEMA)
+
+
+def candidates_from_bio(turns_tok: DataFrame, top_k: int = 256) -> DataFrame:
+    """BIO tags → conversation-level candidate spans with a deterministic
+    not-NIL confidence; O13 rank-based top-k per turn (run_ner.py:1057-1062).
+
+    Word offsets come from the P4 prefix-sum window over turn word counts."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    offs = turns_tok.select(
+        "conv_id", "turn_idx", "words",
+        (F.sum(F.size("words")).over(w) - F.size("words")).alias("word_off"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            conv, turn, ss, ee, pp = [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                words = list(r.words)
+                for s, e, label in bio_to_spans(tag_words_bio(words)):
+                    conv.append(r.conv_id)
+                    turn.append(r.turn_idx)
+                    ss.append(int(r.word_off) + s)
+                    ee.append(int(r.word_off) + e)
+                    pp.append(0.9 + jitter("cand|" + " ".join(words[s : e + 1])))
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": pd.Series(turn, dtype="int32"),
+                    "start": pd.Series(ss, dtype="int32"),
+                    "end": pd.Series(ee, dtype="int32"),
+                    "notnil_prob": pd.Series(pp, dtype="float64"),
+                }
+            )
+
+    cands = offs.mapInPandas(run, schema=CANDIDATES_SCHEMA)
+    wk = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.desc("notnil_prob"), "start", "end"
+    )
+    return (
+        cands.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= top_k)
+        .drop("rk")
+    )
+
+
+def spanpack_from_candidates(turns_tok: DataFrame, candidates: DataFrame,
+                             cfg: PipelineConfig) -> DataFrame:
+    """C2: packed NER groups restricted to the candidates table — a cogroup
+    join instead of exhaustive enumeration (run_ner.py:244-260)."""
+    from .spanpack import PACKED_NER_SCHEMA, _conv_index_from_rows
+
+    budget = cfg.budget_ner()
+
+    def repack(key, turns_pdf: pd.DataFrame, cands_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "turn_idx", "group_id", "window",
+                "win_s", "win_e", "word_s", "word_e", "example_l"]
+        if turns_pdf.empty or cands_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        turns_pdf, idx = _conv_index_from_rows(turns_pdf)
+        tid_to_ord = {int(t): n for n, t in enumerate(turns_pdf["turn_idx"])}
+        by_turn: dict[int, list[tuple[int, int]]] = {}
+        for r in cands_pdf.itertuples(index=False):
+            by_turn.setdefault(int(r.turn_idx), []).append((int(r.start), int(r.end)))
+        rows = []
+        for tid, spans_w in sorted(by_turn.items()):
+            spans_w.sort()
+            n = tid_to_ord[tid]
+            win = context_window(idx, n, budget, truncate=False)
+            spans = []
+            for ws, we in spans_w:
+                lo = idx.token2subword[ws] - win.doc_offset + 1
+                hi = idx.token2subword[we + 1] - win.doc_offset
+                spans.append((lo, hi, ws, we))
+            for gid, group in enumerate(pack_groups(spans, cfg)):
+                rows.append(
+                    (key[0], tid, gid, win.tokens,
+                     [s[0] for s in group], [s[1] for s in group],
+                     [s[2] for s in group], [s[3] for s in group], len(spans))
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        turns_tok.groupBy("conv_id")
+        .cogroup(candidates.groupBy("conv_id"))
+        .applyInPandas(repack, schema=PACKED_NER_SCHEMA)
+    )
+
+
+def two_stage_mentions(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Full two-stage NER: BIO candidates → C2 packing → packed-head scoring
+    → suppression. The scalable default for huge corpora."""
+    from .ner import infer_ner, suppress_mentions
+
+    cands = candidates_from_bio(turns_tok)
+    packed = spanpack_from_candidates(turns_tok, cands, cfg)
+    return suppress_mentions(infer_ner(packed, cfg), cfg)

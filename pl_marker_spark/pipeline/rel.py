@@ -169,9 +169,12 @@ def _suppress_re(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def suppress_triples(decoded: DataFrame) -> DataFrame:
-    """O6 greedy relation suppression per turn."""
-    return decoded.groupBy("conv_id", "turn_idx").applyInPandas(
-        _suppress_re, schema=TRIPLES_RAW_SCHEMA
+    """O6 greedy relation suppression per turn (sorted-partition grouped
+    map — see ner.suppress_mentions for the many-small-groups rationale)."""
+    from ..grouped import sorted_grouped_map
+
+    return sorted_grouped_map(
+        decoded, ["conv_id", "turn_idx"], _suppress_re, TRIPLES_RAW_SCHEMA
     )
 
 

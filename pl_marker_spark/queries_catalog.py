@@ -156,6 +156,79 @@ FROM s GROUP BY user_id
 """
 
 
+def q_p8_bio_spans(spark, sf_dir):
+    """P8: BIO→span conversion expressed relationally (run_ner.py:193-219)
+    — lag window marks run starts, running sum assigns run ids, groupBy
+    collapses runs to spans. Tags derive deterministically from word length
+    (B≥8, I≥5, else O) so both engines tag identically."""
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    tag = (
+        F.when(F.length("w") >= 8, F.lit("B"))
+        .when(F.length("w") >= 5, F.lit("I"))
+        .otherwise(F.lit("O"))
+    )
+    t = d.withColumn("tag", tag)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev = F.lag("tag", 1).over(w)
+    is_start = (F.col("tag") != "O") & (
+        (F.col("tag") == "B") | prev.isNull() | (prev == "O")
+    )
+    runs = t.withColumn(
+        "run_id", F.sum(is_start.cast("int")).over(w)
+    ).filter(F.col("tag") != "O")
+    return runs.groupBy("doc_id", "run_id").agg(
+        F.min("i").cast("long").alias("start"),
+        F.max("i").cast("long").alias("end"),
+        F.count("*").cast("long").alias("span_len"),
+    ).select("doc_id", F.col("run_id").cast("long").alias("run_id"),
+             "start", "end", "span_len")
+
+
+SQL_P8 = """
+WITH x AS (SELECT doc_id,
+                  UNNEST(string_split(text,' ')) AS w,
+                  UNNEST(range(len(string_split(text,' ')))) AS i
+           FROM documents),
+t AS (SELECT doc_id, i,
+             CASE WHEN length(w) >= 8 THEN 'B'
+                  WHEN length(w) >= 5 THEN 'I' ELSE 'O' END AS tag
+      FROM x),
+m AS (SELECT doc_id, i, tag,
+             CASE WHEN tag != 'O' AND (tag = 'B'
+                  OR lag(tag) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                  OR lag(tag) OVER (PARTITION BY doc_id ORDER BY i) = 'O')
+             THEN 1 ELSE 0 END AS is_start
+      FROM t),
+r AS (SELECT doc_id, i, tag,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM m)
+SELECT doc_id, run_id::BIGINT AS run_id, min(i)::BIGINT AS start,
+       max(i)::BIGINT AS "end", count(*)::BIGINT AS span_len
+FROM r WHERE tag != 'O' GROUP BY doc_id, run_id
+"""
+
+
+def q_o14_sorted_words(spark, sf_dir):
+    """O14: per-row array_sort of output items (run_acener.py:776-778)."""
+    d = _doc(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(
+            F.split("text", " "))), 1, 5)).alias("first5_sorted"),
+    )
+
+
+SQL_O14 = """
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(string_split(text,' ')))[1:5], '|')
+       AS first5_sorted
+FROM documents
+"""
+
+
 # ---------- aggregates (O11 micro-PRF, O15 seed stats) ----------------------
 
 def q_o11_micro_prf(spark, sf_dir):
@@ -469,12 +542,35 @@ def q_simhash_buckets(spark, sf_dir):
     return simhash_docs(_doc(spark, sf_dir, "documents"))
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup via hyperplane-LSH buckets (Spark-side
+    hash; verified by tests/test_textops.py)."""
+    from .textops import embedding_neardup
+
+    return embedding_neardup(_doc(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+def q_kg_two_stage_mentions(spark, sf_dir):
+    """Two-stage NER (BIO candidates → packed scoring); rows-only, exactness
+    vs the exhaustive path covered in tests/test_bio_two_stage.py."""
+    from . import synth
+    from .config import DEFAULT_CONFIG
+    from .pipeline.assemble import assemble
+    from .pipeline.bio import two_stage_mentions
+
+    n = max(20, int(3000 * _sf_of(sf_dir)))
+    return two_stage_mentions(assemble(synth.transcripts_df(spark, n)),
+                              DEFAULT_CONFIG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "c1_span_enum": q_c1_span_enum,
         "k1_pack_groups": q_k1_pack_groups,
         "p4_prefix_sum": q_p4_prefix_sum,
         "o13_topk": q_o13_topk,
+        "p8_bio_spans": q_p8_bio_spans,
+        "o14_sorted_words": q_o14_sorted_words,
         "sessionize": q_sessionize,
         "o11_micro_prf": q_o11_micro_prf,
         "o15_seed_stats": q_o15_seed_stats,
@@ -491,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_edges": q_kg_graph_edges,
         "minhash_neardup": q_minhash_neardup,
         "simhash_buckets": q_simhash_buckets,
+        "embedding_neardup": q_embedding_neardup,
+        "kg_two_stage_mentions": q_kg_two_stage_mentions,
     }
 
 
@@ -500,6 +598,8 @@ def oracle_sql() -> dict[str, str]:
         "k1_pack_groups": SQL_K1,
         "p4_prefix_sum": SQL_P4,
         "o13_topk": SQL_O13,
+        "p8_bio_spans": SQL_P8,
+        "o14_sorted_words": SQL_O14,
         "sessionize": SQL_SESSIONIZE,
         "o11_micro_prf": SQL_O11,
         "o15_seed_stats": SQL_O15,

@@ -1,0 +1,161 @@
+"""Structured Streaming ingestion for transcript streams.
+
+The reference is a pure batch pipeline (SURVEY.md §2.6 end note) — these are
+engine extensions for continuous transcript feeds:
+
+1. ``stream_extract_foreach_batch`` — file-source stream → ``foreachBatch``
+   running the full batch extraction per micro-batch and appending to the
+   output tables. Requires conversation-complete micro-batches (context
+   windows read neighboring turns), which file-per-conversation feeds give
+   naturally.
+
+2. ``stream_extract_stateful`` — ``applyInPandasWithState`` keyed by
+   ``conv_id``: turns accumulate in state until the conversation's
+   end-marker row (``role = '__end__'``) arrives, then the whole
+   conversation runs through the same extraction kernels and emits its
+   mentions + triples. This handles conversations *split across
+   micro-batches* — the case foreachBatch cannot.
+
+Both paths produce results identical to the batch pipeline on the same
+conversations (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .config import PipelineConfig
+from .oracle_ref import oracle_ner, oracle_re
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+END_ROLE = "__end__"
+
+TRIPLE_STREAM_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("s1", IntegerType()),
+        StructField("e1", IntegerType()),
+        StructField("s2", IntegerType()),
+        StructField("e2", IntegerType()),
+        StructField("pred", StringType()),
+        StructField("subj_type", StringType()),
+        StructField("obj_type", StringType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("turn_idx", ArrayType(IntegerType())),
+        StructField("texts", ArrayType(StringType())),
+    ]
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, input_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def stream_extract_foreach_batch(
+    spark: SparkSession, input_dir: str, output_dir: str, cfg: PipelineConfig
+):
+    """Micro-batch extraction: each trigger runs the batch pipeline on the
+    arriving (conversation-complete) rows and appends the results."""
+    from .pipeline.runner import run_extraction
+
+    stream = read_transcript_stream(spark, input_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        out = run_extraction(spark, batch_df, cfg)
+        out["mentions"].write.mode("append").parquet(f"{output_dir}/mentions")
+        out["triples"].write.mode("append").parquet(f"{output_dir}/triples")
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{output_dir}/_stream_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _make_state_handler(cfg: PipelineConfig):
+    def handler(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        turn_ids: list[int] = []
+        texts: list[str] = []
+        if state.exists:
+            (prev_ids, prev_texts) = state.get
+            turn_ids = list(prev_ids)
+            texts = list(prev_texts)
+        done = False
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                if r.role == END_ROLE:
+                    done = True
+                else:
+                    turn_ids.append(int(r.turn_idx))
+                    texts.append(r.text)
+        if not done:
+            state.update((turn_ids, texts))
+            return iter(())
+        state.remove()
+        order = sorted(range(len(turn_ids)), key=lambda i: turn_ids[i])
+        ordered_texts = [texts[i] for i in order]
+        ordered_ids = [turn_ids[i] for i in order]
+        conv = {conv_id: ordered_texts}
+        mentions, _raw = oracle_ner(conv, cfg)
+        triples, _ref = oracle_re(conv, mentions, cfg)
+        rows = [
+            (conv_id, ordered_ids[t], s1, e1, s2, e2, pred, n1, n2)
+            for _c, t, s1, e1, s2, e2, pred, _score, n1, n2 in triples
+        ]
+        return iter([pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
+                     "subj_type", "obj_type"],
+        )])
+
+    return handler
+
+
+def stream_extract_stateful(
+    spark: SparkSession, input_dir: str, output_dir: str, cfg: PipelineConfig
+):
+    """Stateful conversation assembly: turns buffer per conv_id until the
+    end-marker arrives; the completed conversation then runs through the
+    extraction kernels in one shot. Conversations may span micro-batches."""
+    stream = read_transcript_stream(spark, input_dir)
+    extracted = stream.groupBy("conv_id").applyInPandasWithState(
+        _make_state_handler(cfg),
+        outputStructType=TRIPLE_STREAM_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", f"{output_dir}/triples")
+        .option("checkpointLocation", f"{output_dir}/_stream_ck")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,89 @@
+"""Streaming extraction must equal the batch pipeline on the same
+conversations — both the foreachBatch and the stateful
+(conversation-split-across-batches) paths."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from pl_marker_spark import synth
+from pl_marker_spark.config import DEFAULT_CONFIG
+from pl_marker_spark.oracle_ref import run_oracle
+from pl_marker_spark.streaming import (
+    END_ROLE,
+    stream_extract_foreach_batch,
+    stream_extract_stateful,
+)
+
+N_CONVS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth.local_corpus(N_CONVS)
+
+
+def _expected_triples(corpus):
+    oracle = run_oracle(corpus[0], DEFAULT_CONFIG)
+    return {
+        (c, t, s1, e1, s2, e2, p, n1, n2)
+        for c, t, s1, e1, s2, e2, p, _sc, n1, n2 in oracle["triples"]
+    }
+
+
+def _write_chunks(corpus, path, with_end_markers, split_convs):
+    turns, _, _ = corpus
+    rows = [
+        (c, t, role, text, tool, pd.Timestamp(ts, unit="s"))
+        for c, t, role, text, tool, ts in turns
+    ]
+    if with_end_markers:
+        convs = sorted({r[0] for r in rows})
+        rows += [(c, 10 ** 6, END_ROLE, "", None, pd.Timestamp(0, unit="s"))
+                 for c in convs]
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    if split_convs:
+        # interleave: chunk 0 = even turns, chunk 1 = odd turns + markers —
+        # every conversation spans both files
+        a = [r for r in rows if r[1] % 2 == 0 and r[2] != END_ROLE]
+        b = [r for r in rows if r[1] % 2 == 1 or r[2] == END_ROLE]
+    else:
+        convs = sorted({r[0] for r in rows})
+        half = set(convs[: len(convs) // 2])
+        a = [r for r in rows if r[0] in half]
+        b = [r for r in rows if r[0] not in half]
+    os.makedirs(path, exist_ok=True)
+    for name, chunk in (("chunk_a", a), ("chunk_b", b)):
+        pdf = pd.DataFrame(chunk, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf.to_parquet(f"{path}/{name}.parquet", coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+
+
+def test_foreach_batch_stream(spark, corpus, tmp_path_factory):
+    indir = str(tmp_path_factory.mktemp("stream_in"))
+    outdir = str(tmp_path_factory.mktemp("stream_out"))
+    _write_chunks(corpus, indir, with_end_markers=False, split_convs=False)
+    q = stream_extract_foreach_batch(spark, indir, outdir, DEFAULT_CONFIG)
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.turn_idx, r.s1, r.e1, r.s2, r.e2, r.pred,
+         r.subj_type, r.obj_type)
+        for r in spark.read.parquet(f"{outdir}/triples").collect()
+    }
+    assert got == _expected_triples(corpus)
+
+
+def test_stateful_stream_conversations_span_batches(spark, corpus, tmp_path_factory):
+    indir = str(tmp_path_factory.mktemp("sstream_in"))
+    outdir = str(tmp_path_factory.mktemp("sstream_out"))
+    _write_chunks(corpus, indir, with_end_markers=True, split_convs=True)
+    q = stream_extract_stateful(spark, indir, outdir, DEFAULT_CONFIG)
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.turn_idx, r.s1, r.e1, r.s2, r.e2, r.pred,
+         r.subj_type, r.obj_type)
+        for r in spark.read.parquet(f"{outdir}/triples").collect()
+    }
+    assert got == _expected_triples(corpus)
