@@ -46,7 +46,7 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # --- flagship: end-to-end KG pipeline on synthetic transcripts ---------
-    n_convs = max(50, int(20000 * sf))
+    n_convs = int(os.environ.get("SPARK_GRAFT_CONVS", "0")) or max(50, int(20000 * sf))
     ckdir = tempfile.mkdtemp(prefix="plm_bench_")
     try:
         t0 = time.time()

@@ -26,6 +26,9 @@ class PipelineConfig:
                                          # aux object-NER head (run_re.py:756-759)
     eval_logsoftmax: bool = False        # run_re.py:750-754
     eval_softmax: bool = False
+    eval_unidirect: bool = False         # ablation: skip bidirectional fusion
+                                         # (run_re.py:899-988)
+    use_typemarker: bool = False         # typed solid markers (run_re.py:294-296)
     # --- packing variants (run_acener.py:266-315) ---
     group_edge: bool = False
     group_axis: int = 0                  # 0=start, 1=end (random axis not supported:

@@ -165,14 +165,23 @@ def subject_instances(
     (sub_e += 2), object window coords get +1/+2 shifts past the inserted
     markers, and objects whose right edge falls outside the sequence budget
     are dropped (as are subjects whose own markers do)."""
+    from .world import NER_INDEX, NUM_NER
+
     max_seq = cfg.max_seq_length_re
     out: list[SubjectInstance] = []
     for sub in mentions:
         sub_s = idx.token2subword[sub[0]] - win.doc_offset + 1
         sub_e = idx.token2subword[sub[1] + 1] - win.doc_offset
+        if cfg.use_typemarker:
+            # typed solid markers [unused(2+type)] / [unused(2+type+|L|)]
+            # (run_re.py:294-296)
+            ti = NER_INDEX[sub[2]]
+            l_m, r_m = f"[unused{2 + ti}]", f"[unused{2 + ti + NUM_NER}]"
+        else:
+            l_m, r_m = SUB_L, SUB_R
         tokens = (
-            win.tokens[:sub_s] + [SUB_L] + win.tokens[sub_s : sub_e + 1]
-            + [SUB_R] + win.tokens[sub_e + 1 :]
+            win.tokens[:sub_s] + [l_m] + win.tokens[sub_s : sub_e + 1]
+            + [r_m] + win.tokens[sub_e + 1 :]
         )
         sub_e += 2
         if sub_e >= max_seq - 1:

@@ -162,6 +162,41 @@ def oracle_re(conv_turns: dict[str, list[str]], mentions, cfg: PipelineConfig):
                         ner_lab = aux_obj_ner(obj_surface)
                     pair_scores[((sub[0], sub[1]), (obj[0], obj[1]))] = (logits, ner_lab)
 
+            if cfg.eval_unidirect:
+                # ablation decode (run_re.py:899-918): raw forward logits,
+                # forward labels only; m1's type from the NER-stage mentions
+                predpos2ner = {(m[0], m[1]): m[2] for m in ments}
+                sent_results = []
+                for (m1, m2), (v1, m2_ner) in pair_scores.items():
+                    if m2_ner == "NIL" or m1 == m2:
+                        continue
+                    pred = int(np.argmax(v1))
+                    if 0 < pred < NUM_REL:
+                        sent_results.append(
+                            (v1[pred], m1, m2, pred, predpos2ner[m1], m2_ner)
+                        )
+                sent_results.sort(key=lambda x: -x[0])
+                kept = []
+                for item in sent_results:
+                    clash = any(
+                        item[3] == o[3] and _overlap(item[1], o[1])
+                        and _overlap(item[2], o[2])
+                        for o in kept
+                    )
+                    if not clash:
+                        kept.append(item)
+                pos2ner = {}
+                for score, m1, m2, pred, n1, n2 in kept:
+                    pos2ner.setdefault(m1, n1)
+                    pos2ner.setdefault(m2, n2)
+                    triples.append(
+                        (cid, n, m1[0], m1[1], m2[0], m2[1], REL_LABELS[pred],
+                         float(score), pos2ner[m1], pos2ner[m2])
+                    )
+                for ws, we, lab in ments:
+                    refined.append((cid, n, ws, we, pos2ner.get((ws, we), lab)))
+                continue
+
             # bidirectional fusion + decode (run_re.py:783-823)
             visited = set()
             sent_results = []

@@ -145,6 +145,40 @@ def fuse_and_decode(pair_scores: DataFrame) -> DataFrame:
     )
 
 
+def decode_unidirect(pair_scores: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Ablation decode without bidirectional fusion (run_re.py:899-918):
+    per ordered pair, argmax of the raw forward logits; keep only forward
+    labels (0 < pred < NUM_REL). m1's NER label comes from the NER-stage
+    mentions (run_re.py:949-965 predpos2ner), m2's from the recorded
+    object label."""
+    ps = (
+        pair_scores.filter(F.col("obj_ner") != "NIL")
+        .filter((F.col("s1") != F.col("s2")) | (F.col("e1") != F.col("e2")))
+        .withColumn(
+            "argmax",
+            (F.array_position(F.col("logits"), F.array_max(F.col("logits"))) - 1)
+            .cast("int"),
+        )
+        .filter((F.col("argmax") > 0) & (F.col("argmax") < NUM_REL))
+    )
+    label_arr = F.array(*[F.lit(l) for l in REL_LABELS])
+    m1lab = mentions.select(
+        "conv_id", "turn_idx",
+        F.col("start").alias("s1"), F.col("end").alias("e1"),
+        F.col("label").alias("m1_ner"),
+    )
+    return (
+        ps.join(m1lab, ["conv_id", "turn_idx", "s1", "e1"], "left")
+        .select(
+            "conv_id", "turn_idx", "s1", "e1", "s2", "e2",
+            F.element_at(label_arr, F.col("argmax") + 1).alias("pred"),
+            F.element_at(F.col("logits"), F.col("argmax") + 1).alias("score"),
+            "m1_ner",
+            F.col("obj_ner").alias("m2_ner"),
+        )
+    )
+
+
 def _suppress_re(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(
         ["score", "s1", "e1", "s2", "e2"], ascending=[False, True, True, True, True]

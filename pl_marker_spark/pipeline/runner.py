@@ -17,7 +17,13 @@ from ..config import PipelineConfig
 from ..checkpoint import CheckpointStore
 from .assemble import assemble
 from .ner import infer_ner, suppress_mentions
-from .rel import fuse_and_decode, infer_pairs, refine_types, suppress_triples
+from .rel import (
+    decode_unidirect,
+    fuse_and_decode,
+    infer_pairs,
+    refine_types,
+    suppress_triples,
+)
 from .repack import repack_re
 from .spanpack import spanpack_ner
 
@@ -42,7 +48,12 @@ def run_extraction(
     mentions = ck("mentions", lambda: suppress_mentions(span_scores, cfg))
     packed_re = ck("packed_re", lambda: repack_re(turns_tok, mentions, cfg))
     pair_scores = ck("pair_scores", lambda: infer_pairs(packed_re, cfg))
-    triples_raw = ck("triples_raw", lambda: suppress_triples(fuse_and_decode(pair_scores)))
+    decoded = (
+        decode_unidirect(pair_scores, mentions)
+        if cfg.eval_unidirect
+        else fuse_and_decode(pair_scores)
+    )
+    triples_raw = ck("triples_raw", lambda: suppress_triples(decoded))
 
     def build_final():
         t, _ = refine_types(triples_raw, mentions)

@@ -36,6 +36,10 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--max-pair-length-re", type=int, default=32)
     ap.add_argument("--use-aux-ner", action="store_true",
                     help="use the aux object-NER head instead of carried labels")
+    ap.add_argument("--eval-unidirect", action="store_true",
+                    help="ablation: decode raw forward logits, no fusion")
+    ap.add_argument("--use-typemarker", action="store_true",
+                    help="typed solid subject markers")
     args = ap.parse_args(argv)
 
     from pl_marker_spark import synth
@@ -51,6 +55,8 @@ def main(argv: list[str]) -> int:
         max_pair_length_ner=args.max_pair_length_ner,
         max_pair_length_re=args.max_pair_length_re,
         use_ner_results=not args.use_aux_ner,
+        eval_unidirect=args.eval_unidirect,
+        use_typemarker=args.use_typemarker,
     )
     if args.input:
         transcripts = (

@@ -21,6 +21,8 @@ from datetime import datetime, timezone
 
 def run_at(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    # scaling runs use a corpus big enough to be compute-bound at 32 cores
+    env.setdefault("SPARK_GRAFT_CONVS", "8000")
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)), check=True,

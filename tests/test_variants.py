@@ -1,0 +1,76 @@
+"""Config-variant parity: group_edge packing invariance, typed markers,
+unidirectional-eval ablation vs the oracle, and plan-quality checks."""
+
+from dataclasses import replace
+
+import pytest
+
+from pl_marker_spark import synth
+from pl_marker_spark.config import DEFAULT_CONFIG
+from pl_marker_spark.kernels import build_conv_index, context_window, subject_instances
+from pl_marker_spark.oracle_ref import run_oracle
+from pl_marker_spark.pipeline.runner import run_extraction
+
+N = 12
+
+
+def _triple_set(df):
+    return {
+        (r.conv_id, r.turn_idx, r.s1, r.e1, r.s2, r.e2, r.pred,
+         round(r.score, 9), r.subj_type, r.obj_type)
+        for r in df.collect()
+    }
+
+
+def test_group_edge_packing_is_result_invariant(spark):
+    """K2 edge-aware grouping changes batching, never results
+    (packing only amortizes encoder calls — SURVEY.md §2.4)."""
+    t = synth.transcripts_df(spark, N)
+    base = run_extraction(spark, t, DEFAULT_CONFIG)
+    edge_cfg = replace(DEFAULT_CONFIG, group_edge=True, group_axis=0)
+    edged = run_extraction(spark, t, edge_cfg)
+    assert _triple_set(base["triples"]) == _triple_set(edged["triples"])
+
+
+def test_unidirect_matches_oracle(spark):
+    cfg = replace(DEFAULT_CONFIG, eval_unidirect=True)
+    corpus = synth.local_corpus(N)
+    want = {
+        (c, t, s1, e1, s2, e2, p, round(sc, 9), n1, n2)
+        for c, t, s1, e1, s2, e2, p, sc, n1, n2
+        in run_oracle(corpus[0], cfg)["triples"]
+    }
+    got = _triple_set(
+        run_extraction(spark, synth.transcripts_df(spark, N), cfg)["triples"]
+    )
+    assert got == want
+    assert len(got) > 10
+
+
+def test_typed_markers():
+    cfg = replace(DEFAULT_CONFIG, use_typemarker=True, max_pair_length_re=4)
+    idx = build_conv_index([["Alice", "met", "Bob"]])
+    win = context_window(idx, 0, cfg.budget_re(), truncate=True)
+    insts = subject_instances(idx, 0, win, [(0, 0, "PER"), (2, 2, "ORG")], cfg)
+    # PER index 7 -> [unused9]/[unused17]; ORG index 6 -> [unused8]/[unused16]
+    assert "[unused9]" in insts[0].tokens and "[unused17]" in insts[0].tokens
+    assert "[unused8]" in insts[1].tokens and "[unused16]" in insts[1].tokens
+
+
+def test_scan_pruning_reaches_parquet(spark):
+    """Column pruning must reach the file scan: a 2-column projection over
+    documents reads only those columns (ReadSchema), and a doc_id filter is
+    pushed (PushedFilters) — the §4 'what Catalyst gives us' contract."""
+    from pl_marker_spark import queries_catalog
+
+    df = queries_catalog.q_c1_span_enum(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 10").select("doc_id", "n_chars")
+    )
+    plan2 = d._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan2
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan2
