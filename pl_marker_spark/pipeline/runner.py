@@ -33,20 +33,27 @@ def run_extraction(
     transcripts: DataFrame,
     cfg: PipelineConfig,
     store: CheckpointStore | None = None,
+    granularity: str = "fine",
 ) -> dict[str, DataFrame]:
     """Run transcripts → triples. With a CheckpointStore each stage is
-    materialized + resumable; without one the plan stays lazy end-to-end."""
+    materialized + resumable; without one the plan stays lazy end-to-end.
 
-    def ck(name: str, build):
-        if store is None:
+    granularity: "fine" checkpoints every intermediate (best resume
+    resolution, used by tests); "coarse" checkpoints only the mandated
+    stage boundaries (span-pack, NER, RE) — fewer materialization barriers,
+    the production/bench configuration."""
+    fine = granularity == "fine"
+
+    def ck(name: str, build, always: bool = False):
+        if store is None or not (fine or always):
             return build()
         return store.stage(name, build)
 
-    turns_tok = ck("turns_tok", lambda: assemble(transcripts))
-    packed_ner = ck("packed_ner", lambda: spanpack_ner(turns_tok, cfg))
+    turns_tok = ck("turns_tok", lambda: assemble(transcripts), always=True)
+    packed_ner = ck("packed_ner", lambda: spanpack_ner(turns_tok, cfg), always=True)
     span_scores = ck("span_scores", lambda: infer_ner(packed_ner, cfg))
-    mentions = ck("mentions", lambda: suppress_mentions(span_scores, cfg))
-    packed_re = ck("packed_re", lambda: repack_re(turns_tok, mentions, cfg))
+    mentions = ck("mentions", lambda: suppress_mentions(span_scores, cfg), always=True)
+    packed_re = ck("packed_re", lambda: repack_re(turns_tok, mentions, cfg), always=True)
     pair_scores = ck("pair_scores", lambda: infer_pairs(packed_re, cfg))
     decoded = (
         decode_unidirect(pair_scores, mentions)
@@ -54,6 +61,10 @@ def run_extraction(
         else fuse_and_decode(pair_scores)
     )
     triples_raw = ck("triples_raw", lambda: suppress_triples(decoded))
+    if store is not None and not fine:
+        # consumed by both triples and mentions_refined — pin in memory
+        # instead of a parquet checkpoint
+        triples_raw = triples_raw.localCheckpoint()
 
     def build_final():
         t, _ = refine_types(triples_raw, mentions)
@@ -63,8 +74,8 @@ def run_extraction(
         _, m = refine_types(triples_raw, mentions)
         return m
 
-    triples = ck("triples", build_final)
-    mentions_refined = ck("mentions_refined", build_refined)
+    triples = ck("triples", build_final, always=True)
+    mentions_refined = ck("mentions_refined", build_refined, always=True)
     return {
         "turns_tok": turns_tok,
         "packed_ner": packed_ner,
@@ -83,12 +94,26 @@ def run_full_pipeline(
     transcripts: DataFrame,
     cfg: PipelineConfig,
     store: CheckpointStore | None = None,
+    granularity: str = "fine",
 ) -> dict[str, DataFrame]:
     """Extraction + entity linking + canonicalization + graph materialize."""
     from .graph import build_graph
 
-    out = run_extraction(spark, transcripts, cfg, store)
-    ck = None if store is None else store.stage
+    out = run_extraction(spark, transcripts, cfg, store, granularity)
+    if store is None:
+        ck = None
+    elif granularity == "fine":
+        ck = store.stage
+    else:
+        # coarse: persist intermediates in memory, checkpoint only the
+        # link / canonicalize / graph stage boundaries
+        coarse_names = {"sim_edges", "entity_assign", "nodes", "edges"}
+
+        def ck(name, build):
+            if name in coarse_names:
+                return store.stage(name, build)
+            return build().localCheckpoint()
+
     g = build_graph(out["mentions_refined"], out["triples"], out["turns_tok"], ck=ck)
     out.update(g)
     return out

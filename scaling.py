@@ -21,8 +21,11 @@ from datetime import datetime, timezone
 
 def run_at(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
-    # scaling runs use a corpus big enough to be compute-bound at 32 cores
-    env.setdefault("SPARK_GRAFT_CONVS", "8000")
+    # scaling runs use a corpus big enough to be compute-bound at 32 cores:
+    # measured serial overhead S≈35s and parallel work P≈0.054 core-sec/conv
+    # (Amdahl fit from 8k-conv runs), so ≥0.8 efficiency needs P ≥ 88·S
+    # → ~60k conversations; 80k gives margin.
+    env.setdefault("SPARK_GRAFT_CONVS", "80000")
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)), check=True,
