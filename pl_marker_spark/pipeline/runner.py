@@ -117,3 +117,34 @@ def run_full_pipeline(
     g = build_graph(out["mentions_refined"], out["triples"], out["turns_tok"], ck=ck)
     out.update(g)
     return out
+
+
+def run_with_eval(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    gold_mentions: DataFrame,
+    gold_relations: DataFrame,
+    cfg: PipelineConfig,
+    store: CheckpointStore | None = None,
+    granularity: str = "fine",
+) -> dict[str, DataFrame]:
+    """Full pipeline + the reference's eval (O8-O11) into a ``metrics``
+    checkpoint table — the engine equivalent of results.json (S7)."""
+    from .scoring import metrics_table, ner_metrics, re_metrics
+
+    out = run_full_pipeline(spark, transcripts, cfg, store, granularity)
+
+    def build_metrics():
+        rows = ner_metrics(out["mentions"], out["span_scores"], gold_mentions)
+        rows.update(re_metrics(out["triples"], gold_relations, gold_mentions))
+        rows["n_triples"] = float(out["triples"].count())
+        rows["n_mentions"] = float(out["mentions"].count())
+        rows["n_nodes"] = float(out["nodes"].count())
+        rows["n_edges"] = float(out["edges"].count())
+        return metrics_table(spark, rows, stage="eval")
+
+    if store is not None:
+        out["metrics"] = store.stage("metrics", build_metrics)
+    else:
+        out["metrics"] = build_metrics()
+    return out

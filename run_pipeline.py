@@ -40,6 +40,10 @@ def main(argv: list[str]) -> int:
                     help="ablation: decode raw forward logits, no fusion")
     ap.add_argument("--use-typemarker", action="store_true",
                     help="typed solid subject markers")
+    ap.add_argument("--with-eval", action="store_true",
+                    help="score vs synthetic gold and write a metrics table "
+                         "(synthetic input only)")
+    ap.add_argument("--granularity", choices=("fine", "coarse"), default="fine")
     args = ap.parse_args(argv)
 
     from pl_marker_spark import synth
@@ -70,13 +74,28 @@ def main(argv: list[str]) -> int:
     ckdir = args.checkpoint_dir or f"{args.output}/_ck"
     store = CheckpointStore(spark, ckdir, run_id=f"run{int(time.time())}")
     t0 = time.time()
-    out = run_full_pipeline(spark, transcripts, cfg, store)
+    if args.with_eval and args.synthetic_convs:
+        from pl_marker_spark.pipeline.runner import run_with_eval
+
+        out = run_with_eval(
+            spark, transcripts,
+            synth.gold_mentions_df(spark, args.synthetic_convs),
+            synth.gold_relations_df(spark, args.synthetic_convs),
+            cfg, store, args.granularity,
+        )
+    else:
+        out = run_full_pipeline(spark, transcripts, cfg, store, args.granularity)
     for table in ("mentions", "triples", "nodes", "edges"):
         out[table].write.mode("overwrite").parquet(f"{args.output}/{table}")
     summary = {
         "seconds": round(time.time() - t0, 2),
         "stages": store.events,
     }
+    if "metrics" in out:
+        out["metrics"].write.mode("overwrite").parquet(f"{args.output}/metrics")
+        summary["metrics"] = {
+            r["key"]: r["value"] for r in out["metrics"].collect()
+        }
     print(json.dumps(summary))
     spark.stop()
     return 0
