@@ -28,23 +28,44 @@ from pyspark.sql import functions as F
 
 
 class CheckpointStore:
-    def __init__(self, spark: SparkSession, base_dir: str, run_id: str = "r0"):
+    """table_format:
+    - "parquet" (default): path-based tables under ``base_dir`` —
+      the sandbox configuration (no Iceberg runtime shipped here).
+    - "iceberg": catalog tables ``<catalog_ns>.<stage>`` via
+      ``writeTo(...).createOrReplace()``; resume checks table existence and
+      snapshot expiry replaces checkpoint rotation (SURVEY.md §2.1 S8).
+      Requires an Iceberg catalog on the session (spark.sql.catalog.*).
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str, run_id: str = "r0",
+                 table_format: str = "parquet", catalog_ns: str | None = None):
         self.spark = spark
         self.base = base_dir
         self.run_id = run_id
+        self.table_format = table_format
+        self.catalog_ns = catalog_ns
+        if table_format == "iceberg" and not catalog_ns:
+            raise ValueError("iceberg format needs catalog_ns, e.g. 'ice.kg'")
         os.makedirs(base_dir, exist_ok=True)
         self.events: list[dict] = []
 
     def _path(self, name: str) -> str:
         return os.path.join(self.base, name)
 
+    def _table(self, name: str) -> str:
+        return f"{self.catalog_ns}.{name}"
+
     def is_complete(self, name: str) -> bool:
+        if self.table_format == "iceberg":
+            return self.spark.catalog.tableExists(self._table(name))
         return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
 
     def stage(self, name: str, build, sort_within: list[str] | None = None) -> DataFrame:
         """Run ``build()`` unless the checkpoint already exists; either way
         return the checkpointed DataFrame (so downstream stages always read
         a materialized, resumable table)."""
+        if self.table_format == "iceberg":
+            return self._stage_iceberg(name, build, sort_within)
         path = self._path(name)
         if self.is_complete(name):
             self.spark.catalog.refreshByPath(path)
@@ -80,6 +101,30 @@ class CheckpointStore:
             )
         self._log(name, resumed=False, rows=rows, secs=time.time() - t0)
         return out
+
+    def _stage_iceberg(self, name: str, build, sort_within):
+        table = self._table(name)
+        if self.is_complete(name):
+            self._log(name, resumed=True, rows=None, secs=0.0)
+            return self.spark.read.table(table)
+        t0 = time.time()
+        df = build()
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        df.writeTo(table).createOrReplace()
+        out = self.spark.read.table(table)
+        rows = out.count()
+        self._log(name, resumed=False, rows=rows, secs=time.time() - t0)
+        return out
+
+    def expire_snapshots(self, name: str, older_than_ts: str):
+        """Iceberg snapshot expiry — the checkpoint-rotation analog (S8)."""
+        if self.table_format != "iceberg":
+            return
+        self.spark.sql(
+            f"CALL {self.catalog_ns.split('.')[0]}.system.expire_snapshots"
+            f"(table => '{self._table(name)}', older_than => TIMESTAMP '{older_than_ts}')"
+        )
 
     def _log(self, name: str, resumed: bool, rows, secs: float):
         rec = {

@@ -114,6 +114,22 @@ def enumerate_spans(
     return out
 
 
+def enumerate_spans_np(
+    t2s: np.ndarray, ws0: int, ws1: int, doc_offset: int, max_mention_len: int
+):
+    """Vectorized C1 enumeration: same spans and the same (start asc, end
+    asc) order as enumerate_spans, as four int arrays (win_s, win_e,
+    word_s, word_e). ``t2s`` = token2subword prefix array."""
+    starts = np.arange(ws0, ws1)
+    grid_e = starts[:, None] + np.arange(max_mention_len)[None, :]
+    mask = grid_e < ws1
+    word_s = np.repeat(starts, mask.sum(axis=1))
+    word_e = grid_e[mask]
+    win_s = t2s[word_s] - doc_offset + 1
+    win_e = t2s[word_e + 1] - doc_offset
+    return win_s, win_e, word_s, word_e
+
+
 def pack_groups(spans: list, cfg: PipelineConfig) -> list[list]:
     """K1 fixed-size chunking, or K2 edge-aware packing that never splits a
     run of equal group-axis values (run_acener.py:287-315; deterministic

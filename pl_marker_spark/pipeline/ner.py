@@ -22,8 +22,7 @@ from pyspark.sql import DataFrame
 
 from ..config import PipelineConfig
 from ..kernels import assemble_ner_tensors
-from ..surrogate import ner_decode, ner_logits_for_surfaces
-from ..tokenizer import surface_of_span
+from ..surrogate import ner_fast_scores
 from ..world import NER_LABELS
 
 SPAN_SCORES_SCHEMA = (
@@ -46,21 +45,21 @@ def make_infer_fn(cfg: PipelineConfig):
                     assemble_ner_tensors(window, list(zip(los, his)),
                                          cfg.max_seq_length_ner,
                                          cfg.max_pair_length_ner)
-                surfaces = [surface_of_span(window, int(lo), int(hi))
-                            for lo, hi in zip(los, his)]
-                probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
-                keep = preds != 0
-                k = int(keep.sum())
+                # fast exact scorer: one gazetteer scan per window instead of
+                # O(spans) surface joins (see surrogate.ner_fast_scores for
+                # the bit-identity argument)
+                kept, probs, preds = ner_fast_scores(window, los, his)
+                k = len(kept)
                 if k == 0:
                     continue
                 out_conv.extend([row.conv_id] * k)
                 out_turn.extend([row.turn_idx] * k)
-                ws = np.asarray(row.word_s)[keep]
-                we = np.asarray(row.word_e)[keep]
+                ws = np.asarray(row.word_s)[kept]
+                we = np.asarray(row.word_e)[kept]
                 out_s.extend(ws.tolist())
                 out_e.extend(we.tolist())
-                out_lab.extend(NER_LABELS[p] for p in preds[keep])
-                out_score.extend(probs[keep].tolist())
+                out_lab.extend(NER_LABELS[p] for p in preds)
+                out_score.extend(probs.tolist())
             yield pd.DataFrame(
                 {
                     "conv_id": pd.Series(out_conv, dtype="object"),

@@ -13,11 +13,17 @@ struct boxing).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..config import PipelineConfig
-from ..kernels import ConvIndex, context_window, enumerate_spans, pack_groups
+from ..kernels import (
+    ConvIndex,
+    context_window,
+    enumerate_spans_np,
+    pack_groups,
+)
 
 PACKED_NER_SCHEMA = (
     "conv_id string, turn_idx int, group_id int, window array<string>, "
@@ -29,20 +35,21 @@ PACKED_NER_SCHEMA = (
 def _conv_index_from_rows(pdf: pd.DataFrame) -> tuple[pd.DataFrame, ConvIndex]:
     """Rebuild the conversation-level alignment from per-turn rows."""
     pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
-    words, subwords, s2t = [], [], []
-    t2s = [0]
-    wb, sb = [0], [0]
-    wi = 0
-    for ws_list, sw_list, cnts in zip(pdf["words"], pdf["subwords"], pdf["sw_counts"]):
-        for c in cnts:
-            t2s.append(t2s[-1] + int(c))
-            s2t.extend([wi] * int(c))
-            wi += 1
-        words.extend(ws_list)
-        subwords.extend(sw_list)
-        wb.append(wb[-1] + len(ws_list))
-        sb.append(sb[-1] + len(sw_list))
-    idx = ConvIndex(list(words), list(subwords), t2s, s2t, wb, sb)
+    words = [w for ws in pdf["words"] for w in ws]
+    subwords = [s for sw in pdf["subwords"] for s in sw]
+    if len(pdf):
+        counts = np.concatenate(
+            [np.asarray(c, dtype=np.int64) for c in pdf["sw_counts"]]
+        )
+    else:
+        counts = np.zeros(0, dtype=np.int64)
+    t2s = np.concatenate(([0], np.cumsum(counts)))
+    s2t = np.repeat(np.arange(len(counts)), counts)
+    wb = np.concatenate(
+        ([0], np.cumsum([len(ws) for ws in pdf["words"]]))
+    ).astype(np.int64)
+    sb = t2s[wb]
+    idx = ConvIndex(words, subwords, t2s, s2t, wb.tolist(), sb.tolist())
     return pdf, idx
 
 
@@ -52,21 +59,40 @@ def make_spanpack_fn(cfg: PipelineConfig):
     def spanpack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf, idx = _conv_index_from_rows(pdf)
         cid = pdf["conv_id"].iloc[0]
+        t2s = np.asarray(idx.token2subword)
+        dL = cfg.max_pair_length_ner
         rows = []
         for n in range(len(pdf)):
             tid = int(pdf["turn_idx"].iloc[n])
             win = context_window(idx, n, budget, truncate=False)
-            spans = enumerate_spans(idx, n, win, cfg.max_mention_ori_length)
-            if not spans:
-                continue
-            for gid, group in enumerate(pack_groups(spans, cfg)):
-                rows.append(
-                    (
-                        cid, tid, gid, win.tokens,
-                        [s[0] for s in group], [s[1] for s in group],
-                        [s[2] for s in group], [s[3] for s in group],
-                        len(spans),
+            if cfg.group_edge:
+                # K2 needs the greedy run-aware chunker; keep tuple form
+                from ..kernels import enumerate_spans
+
+                spans = enumerate_spans(idx, n, win, cfg.max_mention_ori_length)
+                if not spans:
+                    continue
+                for gid, group in enumerate(pack_groups(spans, cfg)):
+                    rows.append(
+                        (cid, tid, gid, win.tokens,
+                         [s[0] for s in group], [s[1] for s in group],
+                         [s[2] for s in group], [s[3] for s in group],
+                         len(spans))
                     )
+                continue
+            win_s, win_e, word_s, word_e = enumerate_spans_np(
+                t2s, idx.sent_word_bounds[n], idx.sent_word_bounds[n + 1],
+                win.doc_offset, cfg.max_mention_ori_length,
+            )
+            total = len(win_s)
+            if total == 0:
+                continue
+            for gid, i in enumerate(range(0, total, dL)):
+                rows.append(
+                    (cid, tid, gid, win.tokens,
+                     win_s[i : i + dL].tolist(), win_e[i : i + dL].tolist(),
+                     word_s[i : i + dL].tolist(), word_e[i : i + dL].tolist(),
+                     total)
                 )
         return pd.DataFrame(
             rows,

@@ -65,6 +65,56 @@ def ner_label_name(idx: int) -> str:
     return NER_LABELS[idx]
 
 
+_PHRASE_BY_FIRST: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+for _surf, _label in GAZETTEER.items():
+    _ws = tuple(_surf.split())
+    _PHRASE_BY_FIRST.setdefault(_ws[0], []).append((_ws, _label))
+
+
+def ner_fast_scores(window: list[str], win_s, win_e):
+    """Exact fast path for the surrogate NER head over one packed group.
+
+    Instead of materializing every candidate span's surface (O(spans) string
+    joins), scan the window once for ALL gazetteer phrase occurrences
+    (including nested/overlapping ones) and look enumerated spans up by
+    their subword coordinates. Bit-identical to scoring every span with
+    ner_logits_for_surfaces + ner_decode and dropping NIL rows, because
+    non-matching spans decode to NIL and are filtered (O1) anyway.
+
+    Returns (kept_positions, probs, label_indices) as numpy arrays."""
+    words: list[str] = []
+    first_sub: list[int] = []
+    last_sub: list[int] = []
+    for i, p in enumerate(window):
+        if p.startswith("##") and words:
+            words[-1] += p[2:]
+            last_sub[-1] = i
+        else:
+            words.append(p)
+            first_sub.append(i)
+            last_sub.append(i)
+    matches: dict[tuple[int, int], str] = {}
+    for i, w in enumerate(words):
+        for ws_tuple, _label in _PHRASE_BY_FIRST.get(w, ()):
+            k = len(ws_tuple)
+            if i + k <= len(words) and tuple(words[i : i + k]) == ws_tuple:
+                matches[(first_sub[i], last_sub[i + k - 1])] = " ".join(ws_tuple)
+    if not matches:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, np.empty(0, dtype=np.float64), empty
+    kept, surfaces = [], []
+    for j, (lo, hi) in enumerate(zip(win_s, win_e)):
+        s = matches.get((int(lo), int(hi)))
+        if s is not None:
+            kept.append(j)
+            surfaces.append(s)
+    if not kept:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, np.empty(0, dtype=np.float64), empty
+    probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
+    return np.asarray(kept, dtype=np.int64), probs, preds
+
+
 def re_logits_for_pair(sub_surface: str, obj_surface: str) -> list[float]:
     """One (subject, object) pair -> REL_LOGIT_DIM logits.
 

@@ -130,3 +130,48 @@ def test_assemble_ner_tensors_shapes():
     assert att[16, 18] == 1 and att[16, 17] == 0
     assert int(att[16, :5].sum()) == 5
     assert not att[5:16].any()
+
+
+def test_enumerate_spans_np_equivalence():
+    import numpy as np
+    from pl_marker_spark.kernels import enumerate_spans_np
+
+    idx = build_conv_index(TURNS)
+    for n in (0, 1):
+        win = context_window(idx, n, budget=30, truncate=False)
+        ref = enumerate_spans(idx, n, win, max_mention_len=3)
+        ws, we, s, e = enumerate_spans_np(
+            np.asarray(idx.token2subword), idx.sent_word_bounds[n],
+            idx.sent_word_bounds[n + 1], win.doc_offset, 3,
+        )
+        assert list(zip(ws.tolist(), we.tolist(), s.tolist(), e.tolist())) == ref
+
+
+def test_ner_fast_scores_equivalence():
+    """The fast gazetteer-scan scorer must be bit-identical to scoring every
+    span surface (NIL rows excluded)."""
+    import numpy as np
+    from pl_marker_spark.surrogate import (
+        ner_decode, ner_fast_scores, ner_logits_for_surfaces,
+    )
+    from pl_marker_spark.tokenizer import surface_of_span, tokenize_words
+    from pl_marker_spark.world import GAZ_BY_LABEL
+
+    words = (["start"] + GAZ_BY_LABEL["PER"][0].split() + ["of"]
+             + GAZ_BY_LABEL["ORG"][-1].split() + ["met", "."]
+             + GAZ_BY_LABEL["GPE"][2].split())
+    sub, _ = tokenize_words(words)
+    window = ["[CLS]"] + sub + ["[SEP]"]
+    idx = build_conv_index([words])
+    win = context_window(idx, 0, budget=200, truncate=False)
+    spans = enumerate_spans(idx, 0, win, max_mention_len=8)
+    los = [s[0] for s in spans]; his = [s[1] for s in spans]
+
+    slow_surfaces = [surface_of_span(win.tokens, lo, hi) for lo, hi in zip(los, his)]
+    probs, preds = ner_decode(ner_logits_for_surfaces(slow_surfaces))
+    slow = {(i, int(p)): float(pr) for i, (p, pr) in enumerate(zip(preds, probs))
+            if p != 0}
+    kept, fprobs, fpreds = ner_fast_scores(win.tokens, los, his)
+    fast = {(int(i), int(p)): float(pr)
+            for i, p, pr in zip(kept, fpreds, fprobs)}
+    assert fast == slow and len(fast) >= 3
