@@ -269,3 +269,38 @@ def assemble_ner_tensors(
         attention[m1, m1] = attention[m1, m2] = 1
         attention[m2, m1] = attention[m2, m2] = 1
     return input_ids, position_ids, attention
+
+
+def assemble_re_tensors(
+    tokens_with_markers: list[str],
+    sub_win: tuple[int, int],
+    objects: list[tuple[int, int]],
+    max_seq: int,
+    max_pairs: int,
+):
+    """K5, RE variant (reference run_re.py:362-438): the subject's solid
+    markers are already spliced into the token stream; each object gets a
+    levitated marker pair whose position ids copy the object's (CLS-shifted,
+    marker-adjusted) span, attending to the text block and its partner.
+    Returns (input_ids, position_ids, attention, sub_positions)."""
+    L = len(tokens_with_markers)
+    P = min(len(objects), max_pairs)
+    width = max_seq + 2 * P
+    input_ids = np.zeros(width, dtype=np.int64)
+    input_ids[:L] = [_token_id(t) for t in tokens_with_markers]
+    position_ids = np.zeros(width, dtype=np.int64)
+    position_ids[:L] = np.arange(L)
+    attention = np.zeros((width, width), dtype=np.int8)
+    attention[:L, :L] = 1
+    for k, (left, right) in enumerate(objects[:P]):
+        m1 = max_seq + k
+        m2 = max_seq + P + k
+        input_ids[m1] = 3  # object start marker slot ([unused2]-style)
+        input_ids[m2] = 4
+        position_ids[m1] = left
+        position_ids[m2] = right
+        attention[m1, :L] = attention[m2, :L] = 1
+        attention[m1, m1] = attention[m1, m2] = 1
+        attention[m2, m1] = attention[m2, m2] = 1
+    sub_positions = np.array(sub_win, dtype=np.int64)
+    return input_ids, position_ids, attention, sub_positions

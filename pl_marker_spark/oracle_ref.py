@@ -156,6 +156,12 @@ def oracle_re(conv_turns: dict[str, list[str]], mentions, cfg: PipelineConfig):
                         continue
                     obj_surface = " ".join(words[obj[0] : obj[1] + 1])
                     logits = re_logits_for_pair(sub_surface, obj_surface)
+                    if cfg.eval_logsoftmax:
+                        a = np.asarray(logits) - max(logits)
+                        logits = (a - np.log(np.exp(a).sum())).tolist()
+                    elif cfg.eval_softmax:
+                        a = np.exp(np.asarray(logits) - max(logits))
+                        logits = (a / a.sum()).tolist()
                     if cfg.use_ner_results:
                         ner_lab = obj[2]
                     else:

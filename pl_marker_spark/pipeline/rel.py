@@ -34,14 +34,44 @@ TRIPLES_RAW_SCHEMA = (
 )
 
 
+def _score_transform(cfg: PipelineConfig):
+    """Optional log-softmax / softmax over pair logits before storage
+    (run_re.py:750-754; '--eval_logsoftmax performs a bit better')."""
+    import numpy as np
+
+    if cfg.eval_logsoftmax:
+        def f(v):
+            a = np.asarray(v, dtype=np.float64)
+            a = a - a.max()
+            return (a - np.log(np.exp(a).sum())).tolist()
+        return f
+    if cfg.eval_softmax:
+        def f(v):
+            a = np.asarray(v, dtype=np.float64)
+            a = np.exp(a - a.max())
+            return (a / a.sum()).tolist()
+        return f
+    return None
+
+
 def make_pair_infer_fn(cfg: PipelineConfig):
     use_ner = cfg.use_ner_results
+    transform = _score_transform(cfg)
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             conv, turn = [], []
             s1, e1, s2, e2, logits, obj_ner = [], [], [], [], [], []
             for row in pdf.itertuples(index=False):
+                if cfg.assemble_tensors:
+                    # K5 RE parity path (run_re.py:362-438)
+                    from ..kernels import assemble_re_tensors
+
+                    assemble_re_tensors(
+                        list(row.window), (row.sub_win_s, row.sub_win_e),
+                        list(zip(row.o_left, row.o_right)),
+                        cfg.max_seq_length_re, cfg.max_pair_length_re,
+                    )
                 for ol, osurf, ows, owe in zip(
                     row.o_label, row.o_surface, row.o_ws, row.o_we
                 ):
@@ -51,7 +81,8 @@ def make_pair_infer_fn(cfg: PipelineConfig):
                     e1.append(row.sub_e)
                     s2.append(int(ows))
                     e2.append(int(owe))
-                    logits.append(re_logits_for_pair(row.sub_surface, osurf))
+                    v = re_logits_for_pair(row.sub_surface, osurf)
+                    logits.append(transform(v) if transform else v)
                     obj_ner.append(ol if use_ner else aux_obj_ner(osurf))
             yield pd.DataFrame(
                 {

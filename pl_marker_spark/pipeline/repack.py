@@ -21,8 +21,10 @@ from ..pipeline.spanpack import _conv_index_from_rows
 PACKED_RE_SCHEMA = (
     "conv_id string, turn_idx int, group_id int, "
     "sub_s int, sub_e int, sub_label string, sub_surface string, "
+    "sub_win_s int, sub_win_e int, "
     "o_left array<int>, o_right array<int>, o_label array<string>, "
-    "o_ws array<int>, o_we array<int>, o_surface array<string>"
+    "o_ws array<int>, o_we array<int>, o_surface array<string>, "
+    "window array<string>"
 )
 
 
@@ -31,8 +33,8 @@ def make_repack_fn(cfg: PipelineConfig):
 
     def repack(key, turns_pdf: pd.DataFrame, mentions_pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["conv_id", "turn_idx", "group_id", "sub_s", "sub_e", "sub_label",
-                "sub_surface", "o_left", "o_right", "o_label", "o_ws", "o_we",
-                "o_surface"]
+                "sub_surface", "sub_win_s", "sub_win_e", "o_left", "o_right",
+                "o_label", "o_ws", "o_we", "o_surface", "window"]
         if mentions_pdf.empty or turns_pdf.empty:
             return pd.DataFrame(columns=cols)
         turns_pdf, idx = _conv_index_from_rows(turns_pdf)
@@ -56,10 +58,12 @@ def make_repack_fn(cfg: PipelineConfig):
                     (
                         cid, tid, gid, inst.sub_word[0], inst.sub_word[1],
                         inst.sub_label, sub_surface,
+                        inst.sub_win[0], inst.sub_win[1],
                         [o[0] for o in inst.objects], [o[1] for o in inst.objects],
                         [o[2] for o in inst.objects], [o[3] for o in inst.objects],
                         [o[4] for o in inst.objects],
                         [" ".join(idx.words[o[3]: o[4] + 1]) for o in inst.objects],
+                        inst.tokens if cfg.assemble_tensors else [],
                     )
                 )
         return pd.DataFrame(rows, columns=cols)

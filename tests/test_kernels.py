@@ -175,3 +175,16 @@ def test_ner_fast_scores_equivalence():
     fast = {(int(i), int(p)): float(pr)
             for i, p, pr in zip(kept, fpreds, fprobs)}
     assert fast == slow and len(fast) >= 3
+
+
+def test_assemble_re_tensors_shapes():
+    from pl_marker_spark.kernels import assemble_re_tensors
+
+    tokens = [CLS, SUB_L, "Alic", "##e", SUB_R, "of", "Acme", SEP]
+    ids, pos, att, subp = assemble_re_tensors(
+        tokens, sub_win=(1, 4), objects=[(7 + 2, 7 + 2)], max_seq=16, max_pairs=4
+    )
+    assert ids.shape == (18,) and att.shape == (18, 18)
+    assert (subp == [1, 4]).all()
+    assert pos[16] == 9 and pos[17] == 9  # object marker pair copies its span
+    assert att[16, :8].all() and att[16, 17] == 1 and not att[8:16].any()

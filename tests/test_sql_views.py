@@ -1,0 +1,46 @@
+"""The SQL-facing surface: pipeline outputs queryable via spark.sql, plus
+eval_logsoftmax score-path parity with the oracle."""
+
+from dataclasses import replace
+
+from pl_marker_spark import synth
+from pl_marker_spark.config import DEFAULT_CONFIG
+from pl_marker_spark.oracle_ref import run_oracle
+from pl_marker_spark.pipeline.runner import run_extraction, run_full_pipeline
+from pl_marker_spark.sql_views import register_views
+
+
+def test_sql_views_and_analyses(spark):
+    out = run_full_pipeline(spark, synth.transcripts_df(spark, 8), DEFAULT_CONFIG)
+    views = register_views(spark, out)
+    assert "kg_nodes" in views and "kg_rel_labels" in views
+    by_type = spark.sql(
+        "SELECT type, count(*) AS n FROM kg_nodes GROUP BY type"
+    ).collect()
+    assert sum(r.n for r in by_type) == out["nodes"].count()
+    top = spark.sql("""
+        SELECT n.canonical_name, d.degree FROM kg_nodes n JOIN (
+            SELECT src_id AS id, sum(weight) AS degree FROM kg_edges GROUP BY src_id
+        ) d ON n.entity_id = d.id ORDER BY d.degree DESC, n.canonical_name LIMIT 5
+    """).collect()
+    assert len(top) == 5 and top[0].degree >= top[-1].degree
+    sym = spark.sql(
+        "SELECT t.pred FROM kg_triples t JOIN kg_rel_labels l ON t.pred = l.label "
+        "WHERE l.symmetric"
+    )
+    assert sym.count() > 0
+
+
+def test_eval_logsoftmax_matches_oracle(spark):
+    cfg = replace(DEFAULT_CONFIG, eval_logsoftmax=True)
+    corpus = synth.local_corpus(8)
+    want = {
+        (c, t, s1, e1, s2, e2, p, round(sc, 9))
+        for c, t, s1, e1, s2, e2, p, sc, _n1, _n2
+        in run_oracle(corpus[0], cfg)["triples"]
+    }
+    got = {
+        (r.conv_id, r.turn_idx, r.s1, r.e1, r.s2, r.e2, r.pred, round(r.score, 9))
+        for r in run_extraction(spark, synth.transcripts_df(spark, 8), cfg)["triples"].collect()
+    }
+    assert got == want and len(got) > 5

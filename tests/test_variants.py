@@ -74,3 +74,15 @@ def test_scan_pruning_reaches_parquet(spark):
     plan2 = d._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan2
     assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan2
+
+
+def test_assemble_tensors_path_runs(spark):
+    """The K5 tensor-assembly parity path must flow end-to-end (both NER
+    and RE variants) without changing results."""
+    from dataclasses import replace as _replace
+
+    t = synth.transcripts_df(spark, 4)
+    cfg = _replace(DEFAULT_CONFIG, assemble_tensors=True)
+    out = run_extraction(spark, t, cfg)
+    base = run_extraction(spark, t, DEFAULT_CONFIG)
+    assert _triple_set(out["triples"]) == _triple_set(base["triples"])
