@@ -7,7 +7,7 @@ Mirrors the reference's argparse knobs that affect *semantics*
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

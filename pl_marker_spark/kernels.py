@@ -65,14 +65,22 @@ class Window:
     sent_sub_end: int
 
 
-def context_window(idx: ConvIndex, n: int, budget: int, truncate: bool) -> Window:
+def context_window(
+    idx: ConvIndex, n: int, budget: int, truncate: bool,
+    left_total: int | None = None, right_total: int | None = None,
+) -> Window:
     """Balanced greedy context fill around sentence ``n``; smaller side is
     capped at half first (run_acener.py:212-231). ``truncate`` selects the
     RE behavior (hard slice to budget, run_re.py:261) instead of the NER
-    assertion."""
+    assertion.
+
+    ``left_total``/``right_total`` override the available-context lengths
+    with the *full-conversation* values when ``idx`` covers only a segment
+    (spanpack_ner_segmented): the fill decisions depend on them, and a
+    segment margin ≥ budget guarantees any resulting slice fits locally."""
     s0, s1 = idx.sent_subword_bounds[n], idx.sent_subword_bounds[n + 1]
-    left_len = s0
-    right_len = len(idx.subwords) - s1
+    left_len = s0 if left_total is None else left_total
+    right_len = (len(idx.subwords) - s1) if right_total is None else right_total
     sent_len = s1 - s0
     half = (budget - sent_len) // 2
     left_ctx = right_ctx = 0

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..kernels import ConvIndex, context_window, pack_groups
+from ..kernels import context_window, pack_groups
 from ..world import GAZETTEER, jitter
 
 BIO_SCHEMA = (

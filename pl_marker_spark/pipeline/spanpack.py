@@ -107,3 +107,104 @@ def spanpack_ner(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return turns_tok.groupBy("conv_id").applyInPandas(
         make_spanpack_fn(cfg), schema=PACKED_NER_SCHEMA
     )
+
+
+def spanpack_ner_segmented(
+    turns_tok: DataFrame, cfg: PipelineConfig, seg_turns: int = 64
+) -> DataFrame:
+    """Segmented span-pack: the unbounded-conversation scale path.
+
+    A conversation is the natural grouping unit (context windows read
+    neighboring turns), but a 10^6-turn conversation must not land in one
+    task. Each conversation is split into segments of ``seg_turns`` center
+    turns; every turn is *replicated* into any neighboring segment whose
+    window budget can reach it (its subword range intersects the segment's
+    range padded by ``budget`` subwords). The grouped map then packs only
+    the segment's center turns against the segment-local index.
+
+    Exactness: the reference's balanced context fill (run_acener.py:212-231)
+    only reads ``min(available, …)`` of each side; with a margin ≥ budget
+    subwords the min() outcome — hence the window content, the CLS-shifted
+    span coords, and the conversation-level word indices — is identical to
+    the unsegmented computation (tests/test_segmented.py asserts equality
+    on a 400-turn conversation)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    budget = cfg.budget_ner()
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        turns_tok.withColumn("n_sub", F.size("subwords"))
+        .withColumn("n_word", F.size("words"))
+        .withColumn("cum_end", F.sum("n_sub").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_sub"))
+        .withColumn("word_off", F.sum("n_word").over(w) - F.col("n_word"))
+        .withColumn("ord", F.row_number().over(w) - 1)
+        .withColumn("seg", (F.col("ord") / F.lit(seg_turns)).cast("int"))
+        .withColumn(
+            "conv_total",
+            F.sum("n_sub").over(W.partitionBy("conv_id")),
+        )
+    )
+    bounds = t.groupBy("conv_id", "seg").agg(
+        F.min("cum_start").alias("lo"), F.max("cum_end").alias("hi")
+    )
+    # range join: turn ⋈ segments its subwords can influence (bounded fan-out:
+    # each turn replicates into O(1 + budget/segment_subwords) segments)
+    assigned = t.alias("t").join(
+        bounds.alias("b"),
+        (F.col("t.conv_id") == F.col("b.conv_id"))
+        & (F.col("t.cum_end") > F.col("b.lo") - budget)
+        & (F.col("t.cum_start") < F.col("b.hi") + budget),
+    ).select(
+        "t.conv_id", F.col("b.seg").alias("seg_id"), "t.turn_idx",
+        "t.words", "t.subwords", "t.sw_counts", "t.word_off",
+        "t.cum_start", "t.cum_end", "t.conv_total",
+        (F.col("t.seg") == F.col("b.seg")).alias("is_center"),
+    )
+
+    def pack_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+        cid = pdf["conv_id"].iloc[0]
+        global_word_off = int(pdf["word_off"].iloc[0])
+        local = pdf.rename(columns={})
+        local_idx_input = local[["conv_id", "turn_idx", "words", "subwords",
+                                 "sw_counts"]]
+        _, idx = _conv_index_from_rows(local_idx_input)
+        t2s = np.asarray(idx.token2subword)
+        dL = cfg.max_pair_length_ner
+        rows = []
+        for n in range(len(pdf)):
+            if not bool(pdf["is_center"].iloc[n]):
+                continue
+            tid = int(pdf["turn_idx"].iloc[n])
+            win = context_window(
+                idx, n, budget, truncate=False,
+                left_total=int(pdf["cum_start"].iloc[n]),
+                right_total=int(pdf["conv_total"].iloc[n] - pdf["cum_end"].iloc[n]),
+            )
+            win_s, win_e, word_s, word_e = enumerate_spans_np(
+                t2s, idx.sent_word_bounds[n], idx.sent_word_bounds[n + 1],
+                win.doc_offset, cfg.max_mention_ori_length,
+            )
+            total = len(win_s)
+            if total == 0:
+                continue
+            word_s = word_s + global_word_off
+            word_e = word_e + global_word_off
+            for gid, i in enumerate(range(0, total, dL)):
+                rows.append(
+                    (cid, tid, gid, win.tokens,
+                     win_s[i : i + dL].tolist(), win_e[i : i + dL].tolist(),
+                     word_s[i : i + dL].tolist(), word_e[i : i + dL].tolist(),
+                     total)
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "group_id", "window",
+                     "win_s", "win_e", "word_s", "word_e", "example_l"],
+        )
+
+    return assigned.groupBy("conv_id", "seg_id").applyInPandas(
+        pack_segment, schema=PACKED_NER_SCHEMA
+    )

@@ -1,0 +1,35 @@
+"""Segmented window assembly (unbounded-conversation scale path) must equal
+the per-conversation computation exactly — including on the planted
+400-turn heavy-tail conversation."""
+
+from pl_marker_spark import synth
+from pl_marker_spark.config import DEFAULT_CONFIG
+from pl_marker_spark.pipeline.assemble import assemble
+from pl_marker_spark.pipeline.ner import infer_ner, suppress_mentions
+from pl_marker_spark.pipeline.spanpack import spanpack_ner, spanpack_ner_segmented
+
+
+def _packed_set(df):
+    return {
+        (r.conv_id, r.turn_idx, r.group_id, tuple(r.window), tuple(r.win_s),
+         tuple(r.win_e), tuple(r.word_s), tuple(r.word_e), r.example_l)
+        for r in df.collect()
+    }
+
+
+def test_segmented_equals_unsegmented(spark):
+    # conv 0 has 400 turns -> many segments; small seg_turns stresses margins
+    turns_tok = assemble(synth.transcripts_df(spark, 6)).localCheckpoint()
+    base = spanpack_ner(turns_tok, DEFAULT_CONFIG)
+    seg = spanpack_ner_segmented(turns_tok, DEFAULT_CONFIG, seg_turns=16)
+    assert _packed_set(seg) == _packed_set(base)
+
+    m_base = {
+        (r.conv_id, r.turn_idx, r.start, r.end, r.label, round(r.score, 9))
+        for r in suppress_mentions(infer_ner(base, DEFAULT_CONFIG), DEFAULT_CONFIG).collect()
+    }
+    m_seg = {
+        (r.conv_id, r.turn_idx, r.start, r.end, r.label, round(r.score, 9))
+        for r in suppress_mentions(infer_ner(seg, DEFAULT_CONFIG), DEFAULT_CONFIG).collect()
+    }
+    assert m_seg == m_base and len(m_base) > 100
