@@ -35,6 +35,9 @@ class PipelineConfig:
                                          # determinism is a pipeline invariant)
     group_sort: bool = False
     # --- engine knobs (no reference equivalent) ---
+    segment_turns: int = 0               # >0: segmented window assembly for
+                                         # unbounded conversations (exact; see
+                                         # spanpack.spanpack_ner_segmented)
     shuffle_partitions: int = 32
     salt_buckets: int = 8                # skew salting for turn-level grouped maps
     assemble_tensors: bool = False       # build K5 marker tensors inside the inference

@@ -77,3 +77,83 @@ def repack_re(turns_tok: DataFrame, mentions: DataFrame, cfg: PipelineConfig) ->
         .cogroup(mentions.groupBy("conv_id"))
         .applyInPandas(make_repack_fn(cfg), schema=PACKED_RE_SCHEMA)
     )
+
+
+def repack_re_segmented(
+    turns_tok: DataFrame, mentions: DataFrame, cfg: PipelineConfig,
+    seg_turns: int = 64,
+) -> DataFrame:
+    """Segmented subject packing (unbounded-conversation path, see
+    spanpack.spanpack_ner_segmented). Turns replicate into reachable
+    segments; mentions cogroup by their turn's center segment; windows use
+    full-conversation context totals so packing is bit-identical to the
+    per-conversation cogroup."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from .spanpack import segment_assign
+
+    budget = cfg.budget_re()
+    assigned = segment_assign(turns_tok, budget, seg_turns)
+    # independent derivation of each turn's center segment (reusing the
+    # `assigned` plan here would be an ambiguous self-join in the cogroup)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    seg_of_turn = turns_tok.select(
+        "conv_id", "turn_idx",
+        ((F.row_number().over(w) - 1) / F.lit(seg_turns)).cast("int").alias("seg_id"),
+    )
+    m_seg = mentions.join(seg_of_turn, ["conv_id", "turn_idx"])
+
+    def repack(key, turns_pdf: pd.DataFrame, mentions_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "turn_idx", "group_id", "sub_s", "sub_e", "sub_label",
+                "sub_surface", "sub_win_s", "sub_win_e", "o_left", "o_right",
+                "o_label", "o_ws", "o_we", "o_surface", "window"]
+        if mentions_pdf.empty or turns_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        turns_pdf = turns_pdf.sort_values("turn_idx").reset_index(drop=True)
+        _, idx = _conv_index_from_rows(
+            turns_pdf[["conv_id", "turn_idx", "words", "subwords", "sw_counts"]]
+        )
+        cid = key[0]
+        word_off = int(turns_pdf["word_off"].iloc[0])
+        tid_to_ord = {int(t): n for n, t in enumerate(turns_pdf["turn_idx"])}
+        by_turn: dict[int, list[tuple[int, int, str]]] = {}
+        for r in mentions_pdf.itertuples(index=False):
+            by_turn.setdefault(int(r.turn_idx), []).append(
+                (int(r.start) - word_off, int(r.end) - word_off, r.label)
+            )
+        rows = []
+        for tid, ments in sorted(by_turn.items()):
+            ments.sort()
+            n = tid_to_ord[tid]
+            win = context_window(
+                idx, n, budget, truncate=True,
+                left_total=int(turns_pdf["cum_start"].iloc[n]),
+                right_total=int(turns_pdf["conv_total"].iloc[n]
+                                - turns_pdf["cum_end"].iloc[n]),
+            )
+            for gid, inst in enumerate(subject_instances(idx, n, win, ments, cfg)):
+                sub_surface = " ".join(
+                    idx.words[inst.sub_word[0]: inst.sub_word[1] + 1]
+                )
+                rows.append(
+                    (
+                        cid, tid, gid,
+                        inst.sub_word[0] + word_off, inst.sub_word[1] + word_off,
+                        inst.sub_label, sub_surface,
+                        inst.sub_win[0], inst.sub_win[1],
+                        [o[0] for o in inst.objects], [o[1] for o in inst.objects],
+                        [o[2] for o in inst.objects],
+                        [o[3] + word_off for o in inst.objects],
+                        [o[4] + word_off for o in inst.objects],
+                        [" ".join(idx.words[o[3]: o[4] + 1]) for o in inst.objects],
+                        inst.tokens if cfg.assemble_tensors else [],
+                    )
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        assigned.groupBy("conv_id", "seg_id")
+        .cogroup(m_seg.groupBy("conv_id", "seg_id"))
+        .applyInPandas(repack, schema=PACKED_RE_SCHEMA)
+    )

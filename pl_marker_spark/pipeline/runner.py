@@ -50,10 +50,29 @@ def run_extraction(
         return store.stage(name, build)
 
     turns_tok = ck("turns_tok", lambda: assemble(transcripts), always=True)
-    packed_ner = ck("packed_ner", lambda: spanpack_ner(turns_tok, cfg), always=True)
+    if cfg.segment_turns > 0:
+        from .repack import repack_re_segmented
+        from .spanpack import spanpack_ner_segmented
+
+        packed_ner = ck(
+            "packed_ner",
+            lambda: spanpack_ner_segmented(turns_tok, cfg, cfg.segment_turns),
+            always=True,
+        )
+    else:
+        packed_ner = ck("packed_ner", lambda: spanpack_ner(turns_tok, cfg),
+                        always=True)
     span_scores = ck("span_scores", lambda: infer_ner(packed_ner, cfg))
     mentions = ck("mentions", lambda: suppress_mentions(span_scores, cfg), always=True)
-    packed_re = ck("packed_re", lambda: repack_re(turns_tok, mentions, cfg), always=True)
+    if cfg.segment_turns > 0:
+        packed_re = ck(
+            "packed_re",
+            lambda: repack_re_segmented(turns_tok, mentions, cfg, cfg.segment_turns),
+            always=True,
+        )
+    else:
+        packed_re = ck("packed_re", lambda: repack_re(turns_tok, mentions, cfg),
+                       always=True)
     pair_scores = ck("pair_scores", lambda: infer_pairs(packed_re, cfg))
     decoded = (
         decode_unidirect(pair_scores, mentions)

@@ -109,6 +109,41 @@ def spanpack_ner(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def segment_assign(turns_tok: DataFrame, budget: int, seg_turns: int) -> DataFrame:
+    """Assign every turn to its center segment and replicate it into any
+    neighboring segment whose context budget can reach it (bounded range
+    join: O(1 + budget/segment_subwords) copies per turn). Shared by the
+    segmented NER and RE packers."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        turns_tok.withColumn("n_sub", F.size("subwords"))
+        .withColumn("n_word", F.size("words"))
+        .withColumn("cum_end", F.sum("n_sub").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_sub"))
+        .withColumn("word_off", F.sum("n_word").over(w) - F.col("n_word"))
+        .withColumn("ord", F.row_number().over(w) - 1)
+        .withColumn("seg", (F.col("ord") / F.lit(seg_turns)).cast("int"))
+        .withColumn("conv_total", F.sum("n_sub").over(W.partitionBy("conv_id")))
+    )
+    bounds = t.groupBy("conv_id", "seg").agg(
+        F.min("cum_start").alias("lo"), F.max("cum_end").alias("hi")
+    )
+    return t.alias("t").join(
+        bounds.alias("b"),
+        (F.col("t.conv_id") == F.col("b.conv_id"))
+        & (F.col("t.cum_end") > F.col("b.lo") - budget)
+        & (F.col("t.cum_start") < F.col("b.hi") + budget),
+    ).select(
+        "t.conv_id", F.col("b.seg").alias("seg_id"), "t.turn_idx",
+        "t.words", "t.subwords", "t.sw_counts", "t.word_off",
+        "t.cum_start", "t.cum_end", "t.conv_total",
+        (F.col("t.seg") == F.col("b.seg")).alias("is_center"),
+    )
+
+
 def spanpack_ner_segmented(
     turns_tok: DataFrame, cfg: PipelineConfig, seg_turns: int = 64
 ) -> DataFrame:
@@ -128,40 +163,8 @@ def spanpack_ner_segmented(
     span coords, and the conversation-level word indices — is identical to
     the unsegmented computation (tests/test_segmented.py asserts equality
     on a 400-turn conversation)."""
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
     budget = cfg.budget_ner()
-    w = W.partitionBy("conv_id").orderBy("turn_idx")
-    t = (
-        turns_tok.withColumn("n_sub", F.size("subwords"))
-        .withColumn("n_word", F.size("words"))
-        .withColumn("cum_end", F.sum("n_sub").over(w))
-        .withColumn("cum_start", F.col("cum_end") - F.col("n_sub"))
-        .withColumn("word_off", F.sum("n_word").over(w) - F.col("n_word"))
-        .withColumn("ord", F.row_number().over(w) - 1)
-        .withColumn("seg", (F.col("ord") / F.lit(seg_turns)).cast("int"))
-        .withColumn(
-            "conv_total",
-            F.sum("n_sub").over(W.partitionBy("conv_id")),
-        )
-    )
-    bounds = t.groupBy("conv_id", "seg").agg(
-        F.min("cum_start").alias("lo"), F.max("cum_end").alias("hi")
-    )
-    # range join: turn ⋈ segments its subwords can influence (bounded fan-out:
-    # each turn replicates into O(1 + budget/segment_subwords) segments)
-    assigned = t.alias("t").join(
-        bounds.alias("b"),
-        (F.col("t.conv_id") == F.col("b.conv_id"))
-        & (F.col("t.cum_end") > F.col("b.lo") - budget)
-        & (F.col("t.cum_start") < F.col("b.hi") + budget),
-    ).select(
-        "t.conv_id", F.col("b.seg").alias("seg_id"), "t.turn_idx",
-        "t.words", "t.subwords", "t.sw_counts", "t.word_off",
-        "t.cum_start", "t.cum_end", "t.conv_total",
-        (F.col("t.seg") == F.col("b.seg")).alias("is_center"),
-    )
+    assigned = segment_assign(turns_tok, budget, seg_turns)
 
     def pack_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx").reset_index(drop=True)

@@ -44,6 +44,9 @@ def main(argv: list[str]) -> int:
                     help="score vs synthetic gold and write a metrics table "
                          "(synthetic input only)")
     ap.add_argument("--granularity", choices=("fine", "coarse"), default="fine")
+    ap.add_argument("--segment-turns", type=int, default=0,
+                    help=">0: segmented window assembly for unbounded "
+                         "conversations (exact)")
     args = ap.parse_args(argv)
 
     from pl_marker_spark import synth
@@ -61,6 +64,7 @@ def main(argv: list[str]) -> int:
         use_ner_results=not args.use_aux_ner,
         eval_unidirect=args.eval_unidirect,
         use_typemarker=args.use_typemarker,
+        segment_turns=args.segment_turns,
     )
     if args.input:
         transcripts = (

@@ -33,3 +33,25 @@ def test_segmented_equals_unsegmented(spark):
         for r in suppress_mentions(infer_ner(seg, DEFAULT_CONFIG), DEFAULT_CONFIG).collect()
     }
     assert m_seg == m_base and len(m_base) > 100
+
+
+def test_full_pipeline_segmented_equals_default(spark):
+    from dataclasses import replace
+    from pl_marker_spark.pipeline.runner import run_extraction
+
+    t = synth.transcripts_df(spark, 6)
+    base = run_extraction(spark, t, DEFAULT_CONFIG)
+    seg = run_extraction(spark, t, replace(DEFAULT_CONFIG, segment_turns=16))
+
+    def triples(df):
+        return {
+            (r.conv_id, r.turn_idx, r.s1, r.e1, r.s2, r.e2, r.pred,
+             round(r.score, 9), r.subj_type, r.obj_type)
+            for r in df.collect()
+        }
+
+    assert triples(seg["triples"]) == triples(base["triples"])
+    # the heavy-tail conversation actually split into many segments
+    segs = seg["packed_ner"].filter("conv_id = 'c00000000'").select(
+        "turn_idx").distinct().count()
+    assert segs == 400
