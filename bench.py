@@ -50,7 +50,9 @@ def main() -> None:
     # existing table, like the reference's eval over a fixed file); the
     # timed section is read → extract → link → canonicalize → graph with
     # the production (coarse) checkpoint granularity.
-    n_convs = int(os.environ.get("SPARK_GRAFT_CONVS", "0")) or max(50, int(20000 * sf))
+    # big enough that compute, not stage orchestration, dominates at 32 cores
+    # (sf0.1 -> 20k convs ≈ 180k turns; scaling.py overrides higher)
+    n_convs = int(os.environ.get("SPARK_GRAFT_CONVS", "0")) or max(50, int(200000 * sf))
     workdir = tempfile.mkdtemp(prefix="plm_bench_")
     try:
         tdir = f"{workdir}/transcripts"
@@ -68,6 +70,7 @@ def main() -> None:
         extras["triples"] = n_triples
         extras["graph_edges"] = n_edges
         extras["turns"] = n_turns
+        extras["n_convs"] = n_convs
         extras["triples_per_sec"] = round(n_triples / dt, 2)
         extras["turns_per_sec"] = round(n_turns / dt, 2)
     finally:
