@@ -196,17 +196,23 @@ def subject_instances(
     for sub in mentions:
         sub_s = idx.token2subword[sub[0]] - win.doc_offset + 1
         sub_e = idx.token2subword[sub[1] + 1] - win.doc_offset
-        if cfg.use_typemarker:
-            # typed solid markers [unused(2+type)] / [unused(2+type+|L|)]
-            # (run_re.py:294-296)
-            ti = NER_INDEX[sub[2]]
-            l_m, r_m = f"[unused{2 + ti}]", f"[unused{2 + ti + NUM_NER}]"
+        if cfg.assemble_tensors or cfg.use_typemarker:
+            # the spliced token stream is consumed only by the K5 tensor
+            # parity path; skip the splice otherwise (the coordinate
+            # arithmetic below carries all result semantics)
+            if cfg.use_typemarker:
+                # typed solid markers [unused(2+type)] / [unused(2+type+|L|)]
+                # (run_re.py:294-296)
+                ti = NER_INDEX[sub[2]]
+                l_m, r_m = f"[unused{2 + ti}]", f"[unused{2 + ti + NUM_NER}]"
+            else:
+                l_m, r_m = SUB_L, SUB_R
+            tokens = (
+                win.tokens[:sub_s] + [l_m] + win.tokens[sub_s : sub_e + 1]
+                + [r_m] + win.tokens[sub_e + 1 :]
+            )
         else:
-            l_m, r_m = SUB_L, SUB_R
-        tokens = (
-            win.tokens[:sub_s] + [l_m] + win.tokens[sub_s : sub_e + 1]
-            + [r_m] + win.tokens[sub_e + 1 :]
-        )
+            tokens = []
         sub_e += 2
         if sub_e >= max_seq - 1:
             continue

@@ -199,7 +199,7 @@ def spanpack_from_candidates(turns_tok: DataFrame, candidates: DataFrame,
                 spans.append((lo, hi, ws, we))
             for gid, group in enumerate(pack_groups(spans, cfg)):
                 rows.append(
-                    (key[0], tid, gid, win.tokens,
+                    (key[0], tid, gid, " ".join(win.tokens),
                      [s[0] for s in group], [s[1] for s in group],
                      [s[2] for s in group], [s[3] for s in group], len(spans))
                 )

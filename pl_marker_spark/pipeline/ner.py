@@ -37,7 +37,7 @@ def make_infer_fn(cfg: PipelineConfig):
             out_conv, out_turn = [], []
             out_s, out_e, out_lab, out_score = [], [], [], []
             for row in pdf.itertuples(index=False):
-                window = list(row.window)
+                window = row.window.split(" ")
                 los, his = row.win_s, row.win_e
                 if cfg.assemble_tensors:
                     # K5 parity path: build the packed marker tensors the real

@@ -26,7 +26,7 @@ from ..kernels import (
 )
 
 PACKED_NER_SCHEMA = (
-    "conv_id string, turn_idx int, group_id int, window array<string>, "
+    "conv_id string, turn_idx int, group_id int, window string, "
     "win_s array<int>, win_e array<int>, word_s array<int>, word_e array<int>, "
     "example_l int"
 )
@@ -74,7 +74,7 @@ def make_spanpack_fn(cfg: PipelineConfig):
                     continue
                 for gid, group in enumerate(pack_groups(spans, cfg)):
                     rows.append(
-                        (cid, tid, gid, win.tokens,
+                        (cid, tid, gid, " ".join(win.tokens),
                          [s[0] for s in group], [s[1] for s in group],
                          [s[2] for s in group], [s[3] for s in group],
                          len(spans))
@@ -89,7 +89,7 @@ def make_spanpack_fn(cfg: PipelineConfig):
                 continue
             for gid, i in enumerate(range(0, total, dL)):
                 rows.append(
-                    (cid, tid, gid, win.tokens,
+                    (cid, tid, gid, " ".join(win.tokens),
                      win_s[i : i + dL].tolist(), win_e[i : i + dL].tolist(),
                      word_s[i : i + dL].tolist(), word_e[i : i + dL].tolist(),
                      total)
@@ -197,7 +197,7 @@ def spanpack_ner_segmented(
             word_e = word_e + global_word_off
             for gid, i in enumerate(range(0, total, dL)):
                 rows.append(
-                    (cid, tid, gid, win.tokens,
+                    (cid, tid, gid, " ".join(win.tokens),
                      win_s[i : i + dL].tolist(), win_e[i : i + dL].tolist(),
                      word_s[i : i + dL].tolist(), word_e[i : i + dL].tolist(),
                      total)

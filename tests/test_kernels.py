@@ -19,7 +19,7 @@ from pl_marker_spark.tokenizer import CLS, SEP, SUB_L, SUB_R
 
 CFG = PipelineConfig(
     max_seq_length_ner=32, max_pair_length_ner=4, max_mention_ori_length=3,
-    max_seq_length_re=32, max_pair_length_re=2,
+    max_seq_length_re=32, max_pair_length_re=2, assemble_tensors=True,
 )
 
 # 2 turns: words of lengths <=4 stay single-piece, longer split every 4 chars

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the pure kernels, plus the O12
+seqeval-equivalence property (SURVEY.md §2.6: BIO-roundtrip chunk scoring
+equals span-set scoring)."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pl_marker_spark.config import PipelineConfig
+from pl_marker_spark.kernels import build_conv_index, context_window, pack_groups
+from pl_marker_spark.pipeline.bio import bio_to_spans, iob2_to_iob1, spans_to_bio
+from pl_marker_spark.tokenizer import detokenize, tokenize_words
+from pl_marker_spark.world import NER_LABELS
+
+words_st = st.lists(
+    st.text(alphabet=string.ascii_letters, min_size=1, max_size=12),
+    min_size=1, max_size=30,
+)
+turns_st = st.lists(words_st, min_size=1, max_size=6)
+
+
+@given(words_st)
+def test_tokenize_roundtrip_property(words):
+    sub, counts = tokenize_words(words)
+    assert detokenize(sub) == words
+    assert sum(counts) == len(sub) and len(counts) == len(words)
+
+
+@given(turns_st, st.integers(min_value=8, max_value=64))
+@settings(max_examples=60)
+def test_window_budget_and_containment(turns, budget):
+    idx = build_conv_index(turns)
+    for n in range(len(turns)):
+        s0, s1 = idx.sent_subword_bounds[n], idx.sent_subword_bounds[n + 1]
+        if s1 - s0 > budget:
+            continue  # NER path asserts; RE path truncates
+        win = context_window(idx, n, budget, truncate=False)
+        body = win.tokens[1:-1]
+        # budget respected, window is a contiguous conversation slice,
+        # and the center sentence is fully inside it
+        assert len(body) <= budget
+        assert body == idx.subwords[win.doc_offset : win.doc_offset + len(body)]
+        assert win.doc_offset <= s0 and s1 <= win.doc_offset + len(body)
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)), max_size=40),
+       st.integers(min_value=1, max_value=7), st.booleans())
+@settings(max_examples=60)
+def test_pack_groups_partition_property(spans, dl, edge):
+    cfg = PipelineConfig(max_pair_length_ner=dl, group_edge=edge, group_axis=0)
+    groups = pack_groups(spans, cfg)
+    flat = [s for g in groups for s in g]
+    if edge:
+        assert sorted(flat) == sorted(spans)  # K2 sorts; multiset preserved
+    else:
+        assert flat == spans                  # K1 preserves order
+    assert all(groups) or not spans
+    if not edge:
+        assert all(len(g) <= dl for g in groups)
+    else:
+        # K2 may exceed dl only for a single run of equal group-axis values
+        for g in groups:
+            if len(g) > dl:
+                assert len({x[0] for x in g}) == 1
+
+
+@given(st.lists(st.sampled_from(
+    ["O"] + [p + l for p in ("B-", "I-") for l in NER_LABELS[1:4]]),
+    max_size=25))
+@settings(max_examples=80)
+def test_bio_span_roundtrip_property(tags):
+    """O12 equivalence: spans from a BIO sequence, repainted as BIO and
+    re-extracted, yield the same span set — so chunk-level (seqeval) scoring
+    over reconstructed BIO equals span-set scoring (scores distinct)."""
+    spans = bio_to_spans(tags)
+    # spans are valid, non-overlapping, ordered
+    for i, (s, e, lab) in enumerate(spans):
+        assert 0 <= s <= e < len(tags)
+        if i:
+            assert spans[i - 1][1] < s
+    painted = spans_to_bio(len(tags), [(s, e, l, 1.0 - 0.001 * i)
+                                       for i, (s, e, l) in enumerate(spans)])
+    assert bio_to_spans(painted) == spans
+    # IOB1 conversion never changes chunk extents
+    assert bio_to_spans(iob2_to_iob1(painted)) == spans
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 5),
+                          st.sampled_from(NER_LABELS[1:]),
+                          st.floats(0.1, 1.0, allow_nan=False)), max_size=20))
+@settings(max_examples=60)
+def test_suppression_invariants(raw):
+    """O3 invariants: kept spans never same-label-overlap; every dropped
+    span overlaps a kept same-label span with ≥ score."""
+    import pandas as pd
+
+    from pl_marker_spark.config import DEFAULT_CONFIG
+    from pl_marker_spark.pipeline.ner import make_suppress_fn
+
+    rows = [
+        {"conv_id": "c", "turn_idx": 0, "start": s, "end": s + ln,
+         "label": lab, "score": round(sc, 6)}
+        for s, ln, lab, sc in raw
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "start", "end",
+                                      "label", "score"])
+    kept = make_suppress_fn(DEFAULT_CONFIG)(pdf)
+    k = [(r.start, r.end, r.label, r.score) for r in kept.itertuples()]
+
+    def ov(a, b):
+        return a[0] <= b[1] and b[0] <= a[1]
+
+    for i, a in enumerate(k):
+        for b in k[i + 1:]:
+            assert not (ov(a, b) and a[2] == b[2])
+    dropped = [t for t in ((r["start"], r["end"], r["label"], r["score"])
+               for r in rows) if t not in k]
+    for d in dropped:
+        assert any(ov(d, a) and a[2] == d[2] and a[3] >= d[3] for a in k)
