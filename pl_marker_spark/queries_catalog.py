@@ -540,10 +540,13 @@ def q_simhash_buckets(spark, sf_dir):
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup via hyperplane-LSH buckets (Spark-side
-    hash; verified by tests/test_textops.py)."""
+    hash; exactness verified with planted duplicates in
+    tests/test_textops.py). The synthetic embeddings are random (max pair
+    cosine ≈0.51), so the catalog entry runs at τ=0.35 to surface the top
+    bucketed similar pairs; production dedup uses τ≈0.95."""
     from .textops import embedding_neardup
 
-    return embedding_neardup(_doc(spark, sf_dir, "embeddings"), threshold=0.9)
+    return embedding_neardup(_doc(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 def q_kg_two_stage_mentions(spark, sf_dir):
