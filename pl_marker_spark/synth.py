@@ -97,7 +97,9 @@ def gen_conv(conv_idx: int, max_words: int = 40):
 
         role = rng.choices(("user", "assistant", "tool"), weights=(4, 4, 2))[0]
         tool = rng.choice(_TOOLS) if role == "tool" else None
-        ts = _EPOCH + conv_idx * 86400 + t * 60
+        # monotone within a conversation (the only ordering contract);
+        # modulo keeps ts inside pandas' ns-timestamp range at any corpus size
+        ts = _EPOCH + (conv_idx % 1_000_000) * 3600 + t * 60
         turns.append((cid, t, role, " ".join(words), tool, ts))
 
         for s, e, label, _surf in mentions:

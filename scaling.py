@@ -22,14 +22,19 @@ from datetime import datetime, timezone
 def run_at(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
     # scaling runs use a corpus big enough to be compute-bound at 32 cores:
-    # measured serial overhead S≈35s and parallel work P≈0.054 core-sec/conv
-    # (Amdahl fit from 8k-conv runs), so ≥0.8 efficiency needs P ≥ 88·S
-    # → ~60k conversations; 80k gives margin.
-    env.setdefault("SPARK_GRAFT_CONVS", "80000")
+    # measured serial overhead S≈35s and (post-optimization) parallel work
+    # P≈0.044 core-sec/conv, so ≥0.8 efficiency needs P ≥ 88·S → ~70k
+    # conversations; 120k gives margin against run-to-run variance.
+    env.setdefault("SPARK_GRAFT_CONVS", "120000")
+    env.setdefault("SPARK_DRIVER_MEM", "48g")
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)), check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"bench.py failed at {cpus} cores "
+                         f"(exit {out.returncode}); stderr tail above")
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
