@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 from datetime import datetime, timezone
@@ -26,9 +27,18 @@ def run_at(cpus: int, sf_dir: str) -> dict:
     # P≈0.044 core-sec/conv, so ≥0.8 efficiency needs P ≥ 88·S → ~70k
     # conversations; 120k gives margin against run-to-run variance.
     env.setdefault("SPARK_GRAFT_CONVS", "120000")
-    env.setdefault("SPARK_DRIVER_MEM", "48g")
+    env.setdefault("SPARK_DRIVER_MEM", "8g")
+    env.setdefault("SPARK_SHUFFLE_PARTITIONS", "128")
+    # Pin the process tree to exactly `cpus` cores: local[N] alone is NOT an
+    # N-core machine — its N task threads plus N Arrow/pandas python workers
+    # (plus JVM GC/shuffle threads) would spread over every core of the host,
+    # inflating the small-N baseline and understating true scaling. Affinity
+    # makes each leg an honest N-core-executor proxy.
+    cmd = [sys.executable, "bench.py"]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
+        cmd, env=env, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     if out.returncode != 0:
