@@ -6,15 +6,20 @@ mandated by the north rule. Design (SURVEY.md §2.6 "extensions"):
 
 1. distinct (surface, type) strings from refined mentions
 2. exact block: normalized surface equality (free edges)
-3. minhash-LSH block: character 3-gram shingles → per-permutation min of
-   ``xxhash64(shingle, seed)`` → band keys → self-join within bands —
-   all built-in JVM expressions (no Python in the hot path)
+3. minhash-LSH block: character 3-gram shingles → one portable hash per
+   shingle + affine permutation minima → band keys → skew-salted self-join
+   within (label, band, bucket) — all built-in JVM expressions (no Python
+   in the hot path)
 4. verify candidates with exact shingle-set Jaccard (array_intersect /
    array_union) and keep pairs ≥ threshold
 
 Scales: the band self-join is the only quadratic risk and it is bounded per
-band bucket; same-type blocking keeps buckets small; AQE skew-join handles
-hot buckets.
+(label, band, bucket) — explicitly salted above ``skew.salted_pair_join``'s
+task bound (round-1 VERDICT item #7: AQE alone can miss extreme buckets).
+
+Hashing is the portable md5 family (phash.py) so the single-process graph
+oracle (oracle_graph.py) reproduces vocab ids, buckets and edges bit-for-bit
+— this is what lets kg_graph_nodes/edges pass the driver's DuckDB gate.
 """
 
 from __future__ import annotations
@@ -22,9 +27,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..phash import phash64, phash64_py
+from ..skew import salted_pair_join
+
 N_HASHES = 12
 N_BANDS = 4  # 3 rows per band
 JACCARD_THRESHOLD = 0.6
+LINK_P = 2_147_483_647
+LINK_A = [phash64_py(f"a{i}", "lk") % (LINK_P - 1) + 1 for i in range(N_HASHES)]
+LINK_B = [phash64_py(f"b{i}", "lk") % LINK_P for i in range(N_HASHES)]
 
 
 def normalize_surface(col):
@@ -74,7 +85,10 @@ def build_vocab(surfaces: DataFrame) -> DataFrame:
         surfaces.groupBy("label", "surface")
         .agg(F.count("*").alias("n_mentions"))
         .withColumn("norm", normalize_surface("surface"))
-        .withColumn("sid", F.xxhash64("label", "surface"))
+        .withColumn(
+            "sid",
+            phash64(F.concat_ws("\x1f", F.col("label"), F.col("surface")), "sid"),
+        )
         .withColumn("shingles", _shingles(F.col("norm")))
     )
 
@@ -83,47 +97,56 @@ def link_entities(vocab: DataFrame) -> DataFrame:
     """entity vocab -> similarity edges (src, dst, sim).
 
     MinHash signature and band keys are built as one nested array expression
-    (sequence → transform → array_min) instead of N unrolled columns — same
-    algebra, a fraction of the codegen, and the per-band fan-out is a single
-    explode rather than an N_BANDS-way union."""
+    (one portable hash per shingle + affine permutation minima) instead of
+    N unrolled hash calls — same algebra, one md5 per shingle.
+
+    Same-type blocking is part of the join key (label ∈ key), and the
+    within-bucket self-join is explicitly salted (task output bounded even
+    for a mega-surface bucket)."""
     rows_per_band = N_HASHES // N_BANDS
+    hs = F.transform("shingles", lambda s: phash64(s, "sh", chars=8))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda i: F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, i))),
-    )
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ":",
-                    F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda h: h.cast("string"),
-                    ),
-                )
-            ).alias("bkey"),
+        lambda i: F.array_min(
+            F.transform(
+                "hs",
+                lambda h: (F.element_at(F.lit(LINK_A), i + 1) * h
+                           + F.element_at(F.lit(LINK_B), i + 1)) % F.lit(LINK_P),
+            )
         ),
     )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                phash64(
+                    F.concat_ws(
+                        ":",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda h: h.cast("string"),
+                        ),
+                    ),
+                    f"band{b}",
+                ).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
     banded = (
-        vocab.withColumn("sig", sig)
+        vocab.withColumn("hs", hs)
+        .withColumn("sig", sig)
         .select("sid", "label", "norm", "shingles",
                 F.explode(band_structs).alias("bb"))
         .select("sid", "label", "norm", "shingles", "bb.band", "bb.bkey")
     )
 
-    a = banded.alias("a")
-    b = banded.select(
-        F.col("sid").alias("b_sid"), F.col("label").alias("b_label"),
-        F.col("norm").alias("b_norm"), F.col("shingles").alias("b_shingles"),
-        "band", "bkey",
-    ).alias("b")
     cand = (
-        a.join(b, ["band", "bkey"], "inner")
-        .filter(F.col("a.sid") < F.col("b_sid"))
-        .filter(F.col("a.label") == F.col("b_label"))  # same-type blocking
-        .select("a.sid", "b_sid", "a.shingles", "b_shingles", "a.norm", "b_norm")
+        salted_pair_join(
+            banded, ["label", "band", "bkey"], "sid",
+            carry=["norm", "shingles"],
+        )
+        .select("sid", "b_sid", "shingles", "b_shingles", "norm", "b_norm")
         .distinct()
     )
     jac = (

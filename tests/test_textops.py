@@ -41,9 +41,73 @@ def test_embedding_neardup(spark):
         (3, [0.0, 1.0, 0.0, 0.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = {(r.vec_a, r.vec_b): r.cosine for r in textops.embedding_neardup(emb).collect()}
+    pairs = {(r.vec_a, r.vec_b): r.cosine
+             for r in textops.embedding_neardup(emb, dim=4).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs
+
+
+def test_simhash_hamming_pairs(spark):
+    fp = 0b10110011101011001111000010101100
+    rows = [
+        (1, fp),
+        (2, fp ^ 0b1),                      # 1 bit flipped
+        (3, fp ^ 0b111),                    # 3 bits flipped (same byte)
+        (4, fp ^ (1 << 5) ^ (1 << 13) ^ (1 << 29)),  # 3 flips in 3 bytes
+        (5, fp ^ 0b11111),                  # 5 bits -> beyond k
+        (6, 0),                             # far away
+    ]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in textops.simhash_hamming_pairs(fps, k=3).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 3 and got[(1, 4)] == 3
+    assert (1, 5) not in got and (1, 6) not in got
+
+
+def test_simhash_neardup_hamming_docs(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in
+             textops.simhash_neardup_hamming(docs, k=3).collect()}
+    assert (1, 2) in pairs  # exact dups -> hamming 0
+
+
+def test_salted_pair_join_mega_bucket(spark):
+    from pl_marker_spark.skew import salted_pair_join
+
+    rows = [(i, "hot" if i < 40 else f"cold{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, bkey string")
+    df = df.withColumn("band", F.lit(0))
+    salted = salted_pair_join(df, ["band", "bkey"], "id", max_bucket=10)
+    plain = (
+        df.alias("a")
+        .join(df.selectExpr("id as b_id", "bkey", "band"), ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b_id"))
+        .select("id", "b_id")
+    )
+    assert sorted(map(tuple, salted.select("id", "b_id").collect())) == \
+        sorted(map(tuple, plain.collect()))
+    # task-size bound: each (bucket, chunk) keeps <= ceil(40/10)-way split
+    per_chunk = (
+        df.filter(F.col("bkey") == "hot")
+        .groupBy(F.pmod(F.col("id"), F.lit(4)))
+        .count().collect()
+    )
+    assert max(r["count"] for r in per_chunk) <= 10 + 4  # pmod imbalance slack
+
+
+def test_phash_parity(spark):
+    import duckdb
+
+    from pl_marker_spark.phash import phash64, phash64_py, phash64_sql
+
+    vals = ["hello", "a b c", "", "ünïcode ✓"]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got_spark = [r.h for r in sdf.select(phash64(F.col("s"), 7).alias("h")).collect()]
+    got_py = [phash64_py(v, 7) for v in vals]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {phash64_sql('?', 7)}", [v]).fetchone()[0] for v in vals
+    ]
+    assert got_spark == got_py == got_duck
 
 
 def test_multimodal_feature_plumbing(spark):
