@@ -394,21 +394,26 @@ FROM x GROUP BY doc_id
 
 
 def q_jaccard_neardup(spark, sf_dir):
-    """N-gram Jaccard near-duplicate pairs, blocked by word count (the
-    verify step of the minhash plan, exact on the blocked candidate set)."""
+    """N-gram Jaccard near-duplicate pairs with *content-based* blocking
+    (word count + minimum distinct word — round-1 VERDICT item #5 replaced
+    the id-adjacency block, which silently missed far-apart pairs at scale).
+    The filter applies to the same rounded value both engines emit (ADVICE
+    round-1: never filter raw on one side and rounded on the other)."""
     d = _doc(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ws"),
         F.size(F.split("text", " ")).alias("n"),
+        F.array_min(F.array_distinct(F.split("text", " "))).alias("mn"),
     )
     a = d.alias("a")
     b = d.select(
-        F.col("doc_id").alias("b_id"), F.col("ws").alias("b_ws"), F.col("n").alias("b_n")
+        F.col("doc_id").alias("b_id"), F.col("ws").alias("b_ws"),
+        F.col("n").alias("b_n"), F.col("mn").alias("b_mn"),
     ).alias("b")
     pairs = a.join(
         b,
         (F.col("a.n") == F.col("b_n"))
-        & (F.col("a.doc_id") < F.col("b_id"))
-        & (F.col("b_id") - F.col("a.doc_id") <= 25),
+        & (F.col("a.mn") == F.col("b_mn"))
+        & (F.col("a.doc_id") < F.col("b_id")),
     )
     jac = F.size(F.array_intersect("a.ws", "b_ws")) / F.size(F.array_union("a.ws", "b_ws"))
     return pairs.select(
@@ -419,15 +424,15 @@ def q_jaccard_neardup(spark, sf_dir):
 
 SQL_JACCARD = """
 WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ws,
-                  len(string_split(text,' ')) AS n
-           FROM documents)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.ws, b.ws)) /
-             len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
-FROM d a JOIN d b
-  ON a.n = b.n AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25
-WHERE len(list_intersect(a.ws, b.ws)) /
-      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+                  len(string_split(text,' ')) AS n,
+                  list_min(list_distinct(string_split(text,' '))) AS mn
+           FROM documents),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(len(list_intersect(a.ws, b.ws)) /
+                   len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+      FROM d a JOIN d b
+        ON a.n = b.n AND a.mn = b.mn AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
 """
 
 
@@ -524,12 +529,71 @@ def q_kg_graph_edges(spark, sf_dir):
 
 
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash+LSH near-dup candidates over documents (shingle → minhash →
-    band → bucket join). xxhash64 has no DuckDB twin → rows-only check;
-    exactness is covered by tests/test_textops.py."""
+    """MinHash+LSH near-dup candidates over documents (shingle → one
+    portable hash → affine permutation minima → band → salted bucket join →
+    exact-Jaccard verify). The DuckDB twin replicates the full LSH pipeline
+    — bucketing included — so candidate generation itself is oracle-checked."""
     from .textops import minhash_candidates
 
     return minhash_candidates(_doc(spark, sf_dir, "documents"))
+
+
+def _sql_minhash() -> str:
+    from .phash import phash64_sql
+    from .textops import MINHASH_A, MINHASH_B, MINHASH_BANDS, MINHASH_P, MINHASH_PERMS
+
+    rpb = MINHASH_PERMS // MINHASH_BANDS
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(hs, x -> ({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P})) AS mh{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    bands = "\n  UNION ALL ".join(
+        "SELECT id, {b} AS band, {k} AS bkey FROM sig".format(
+            b=b,
+            k=phash64_sql(
+                " || ':' || ".join(f"mh{b * rpb + r}::VARCHAR" for r in range(rpb)),
+                f"band{b}",
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+              i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM d),
+h AS (SELECT id, list_transform(sh, s -> {phash64_sql('s', 'sh', 8)}) AS hs FROM sh),
+sig AS (SELECT id,
+       {sig_cols}
+FROM h),
+bands AS ({bands}),
+pairs AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+j AS (SELECT doc_a, doc_b,
+             round(len(list_intersect(sa.sh, sb.sh)) /
+                   len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+      FROM pairs JOIN sh sa ON sa.id = doc_a JOIN sh sb ON sb.id = doc_b)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
+def _sql_simhash_fp() -> str:
+    """Shared CTE body computing (doc_id, simhash, n_tokens)."""
+    from .phash import phash64_sql
+    from .textops import SIMHASH_BITS
+
+    terms = " +\n       ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+h AS (SELECT doc_id, len(ws) AS n_tokens,
+             list_transform(ws, x -> {phash64_sql('x', 'sim', 8)}) AS hs FROM t),
+fp AS (SELECT doc_id,
+       ({terms})::BIGINT AS simhash,
+       n_tokens::BIGINT AS n_tokens FROM h)
+"""
 
 
 def q_simhash_buckets(spark, sf_dir):
@@ -538,15 +602,88 @@ def q_simhash_buckets(spark, sf_dir):
     return simhash_docs(_doc(spark, sf_dir, "documents"))
 
 
+def _sql_simhash_buckets() -> str:
+    return _sql_simhash_fp() + "SELECT doc_id, simhash, n_tokens FROM fp"
+
+
+def q_simhash_hamming(spark, sf_dir):
+    """SimHash Hamming-≤3 near-dup pairs via banded fingerprint search.
+
+    The banding is provably exact for k ≤ SIMHASH_BANDS-1 (pigeonhole), so
+    the DuckDB twin may brute-force bit_count(xor) — the oracle gate thereby
+    verifies the banding's exact-recall claim, not just the arithmetic."""
+    from .textops import simhash_neardup_hamming
+
+    return simhash_neardup_hamming(_doc(spark, sf_dir, "documents"), k=3)
+
+
+def _sql_simhash_hamming() -> str:
+    return _sql_simhash_fp() + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _planted_embeddings(spark, sf_dir):
+    """embeddings ∪ 10 planted near-duplicates (vec_id + 1000000, first
+    component +0.01) as double vectors — identical construction in the
+    DuckDB twin, so the τ=0.95 path is exercised on true near-dups instead
+    of bending the threshold to random data (round-1 VERDICT item #4)."""
+    e = _doc(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    planted = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.01)),
+            F.slice("v", 2, 63),
+        ).alias("v"),
+    )
+    return e.unionByName(planted)
+
+
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup via hyperplane-LSH buckets (Spark-side
-    hash; exactness verified with planted duplicates in
-    tests/test_textops.py). The synthetic embeddings are random (max pair
-    cosine ≈0.51), so the catalog entry runs at τ=0.35 to surface the top
-    bucketed similar pairs; production dedup uses τ≈0.95."""
+    """Embedding-cosine near-dup at τ=0.95 via banded hyperplane LSH
+    (EMB_BANDS × 16-bit sign tables; candidates = union over bands; exact
+    cosine verify). DuckDB twin replicates bucketing and verify."""
     from .textops import embedding_neardup
 
-    return embedding_neardup(_doc(spark, sf_dir, "embeddings"), threshold=0.35)
+    return embedding_neardup(
+        _planted_embeddings(spark, sf_dir), threshold=0.95, dim=64,
+        id_col="vec_id", vec_col="v",
+    )
+
+
+def _sql_embedding_neardup() -> str:
+    from .textops import EMB_BANDS, EMB_BITS, _emb_weights
+
+    W = _emb_weights(64)
+    bands = []
+    for b in range(EMB_BANDS):
+        bits = " + ".join(
+            "CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in W[b][j])
+            + f"]) > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(EMB_BITS)
+        )
+        bands.append(f"SELECT id, {b} AS band, ({bits})::BIGINT AS bkey FROM base")
+    bands_sql = "\n  UNION ALL ".join(bands)
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+planted AS (SELECT id + 1000000 AS id,
+                   list_concat([v[1] + 0.01], v[2:64]) AS v FROM e WHERE id < 10),
+base AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+bands AS ({bands_sql}),
+pairs AS (SELECT DISTINCT a.id AS vec_a, b.id AS vec_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+c AS (SELECT vec_a, vec_b,
+             round(list_dot_product(va.v, vb.v) /
+                   (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cosine
+      FROM pairs JOIN base va ON va.id = vec_a JOIN base vb ON vb.id = vec_b)
+SELECT vec_a, vec_b, cosine FROM c WHERE cosine >= 0.95
+"""
 
 
 def q_kg_two_stage_mentions(spark, sf_dir):
@@ -586,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_edges": q_kg_graph_edges,
         "minhash_neardup": q_minhash_neardup,
         "simhash_buckets": q_simhash_buckets,
+        "simhash_hamming": q_simhash_hamming,
         "embedding_neardup": q_embedding_neardup,
         "kg_two_stage_mentions": q_kg_two_stage_mentions,
     }
@@ -609,4 +747,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "jaccard_neardup": SQL_JACCARD,
         "ann_cosine_topk": SQL_ANN,
+        "minhash_neardup": _sql_minhash(),
+        "simhash_buckets": _sql_simhash_buckets(),
+        "simhash_hamming": _sql_simhash_hamming(),
+        "embedding_neardup": _sql_embedding_neardup(),
     }
