@@ -116,6 +116,59 @@ def oracle_ner(conv_turns: dict[str, list[str]], cfg: PipelineConfig):
     return mentions, raw
 
 
+def oracle_two_stage(conv_turns: dict[str, list[str]], cfg: PipelineConfig,
+                     top_k: int = 256):
+    """Two-stage NER oracle (pipeline/bio.two_stage_mentions): BIO tagging →
+    candidate spans (conversation-level offsets, top-k by 1-P(NIL)) → packed
+    scoring restricted to candidates → greedy suppression.
+
+    Shares the pure tagger functions (tag_words_bio / bio_to_spans — they
+    define the surrogate BIO model, like surrogate.py defines the heads) and
+    re-derives windowing, candidate ranking and suppression independently."""
+    from .pipeline.bio import bio_to_spans, tag_words_bio
+    from .world import jitter
+
+    budget = cfg.budget_ner()
+    mentions = []
+    for cid, texts in conv_turns.items():
+        words, subwords, t2s, wb, sb = _conv_structures(texts)
+        for n in range(len(texts)):
+            local = words[wb[n] : wb[n + 1]]
+            cands = [
+                (wb[n] + s, wb[n] + e,
+                 0.9 + jitter("cand|" + " ".join(local[s : e + 1])))
+                for s, e, _label in bio_to_spans(tag_words_bio(local))
+            ]
+            cands.sort(key=lambda x: (-x[2], x[0], x[1]))
+            cands = sorted((ws, we) for ws, we, _p in cands[:top_k])
+            if not cands:
+                continue
+            win, off = _window(subwords, sb, n, budget, truncate=False)
+            spans = [
+                (t2s[ws] - off + 1, t2s[we + 1] - off, ws, we)
+                for ws, we in cands
+            ]
+            surfaces = [surface_of_span(win, lo, hi) for lo, hi, _, _ in spans]
+            probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
+            sent_results = []
+            for (lo, hi, ws, we), p, k in zip(spans, probs, preds):
+                if NER_LABELS[k] != "NIL":
+                    sent_results.append((float(p), (ws, we), NER_LABELS[k]))
+            sent_results.sort(key=lambda x: -x[0])
+            kept = []
+            for item in sent_results:
+                clash = any(
+                    _overlap(item[1], o[1]) and (cfg.overlap_any or item[2] == o[2])
+                    for o in kept
+                )
+                if not clash:
+                    kept.append(item)
+            for p, (ws, we), lab in kept:
+                mentions.append((cid, n, ws, we, lab, p))
+    mentions.sort(key=lambda m: (m[0], m[1], m[2], m[3], m[4]))
+    return mentions
+
+
 def oracle_re(conv_turns: dict[str, list[str]], mentions, cfg: PipelineConfig):
     """Full RE flow on predicted mentions. Returns (triples, refined_mentions)
     with triples rows (conv, turn, s1, e1, s2, e2, pred, score, subj_type,

@@ -1,0 +1,116 @@
+"""Driver-side oracles for the model-dependent kg_* queries.
+
+The packed-marker pipeline is not expressible in ANSI SQL (it *is* the
+engine under test), so its DuckDB twin is the single-process oracle
+(oracle_ref.py + oracle_graph.py) **materialized as a VALUES literal**: the
+oracle runs over the same deterministic synthetic corpus the Spark query
+uses (synth.local_corpus == synth.transcripts_df row-for-row), and DuckDB
+evaluates a plain SELECT over its rows. This converts the round-1
+`no_oracle` rows into full rows+schema+hash checks (VERDICT item #1) —
+the independent computation is the Python oracle; DuckDB is the transport.
+
+Floats are rounded to 6 decimals on BOTH sides with the same HALF_UP
+shortest-repr semantics (oracle_graph.round_half_up twins Spark's F.round).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from .config import DEFAULT_CONFIG
+from .oracle_graph import graph_oracle, round_half_up
+from .oracle_ref import oracle_two_stage, run_oracle
+from .tokenizer import split_words
+
+# Fixed corpus size for the kg_* driver queries: the catalog synthesizes its
+# own transcripts (the driver's parquet tables have no transcript shape), so
+# the size is pinned — one static oracle SQL is then valid at every sf.
+N_KG_CONVS = 30
+
+_CACHE: dict[str, object] = {}
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def _values_sql(rows, cols: list[str], types: list[str]) -> str:
+    names = [f"c{i}" for i in range(len(cols))]
+    sel = ", ".join(
+        f'{n}::{t} AS "{c}"' for n, c, t in zip(names, cols, types)
+    )
+    body = ",\n".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT {sel} FROM (VALUES\n{body}\n) t({', '.join(names)})"
+
+
+def _oracle_outputs() -> dict:
+    if "out" in _CACHE:
+        return _CACHE["out"]
+    from . import synth
+
+    turns, _gm, _gr = synth.local_corpus(N_KG_CONVS)
+    o = run_oracle(turns, DEFAULT_CONFIG)
+    turn_words = {(r[0], r[1]): split_words(r[3]) for r in turns}
+    g = graph_oracle(o["refined"], o["triples"], turn_words)
+
+    # two-stage mentions (ordinal -> original turn id mapping as run_oracle)
+    conv_turns: dict[str, list[tuple[int, str]]] = defaultdict(list)
+    for row in turns:
+        conv_turns[row[0]].append((row[1], row[3]))
+    ordered = {c: [t for _, t in sorted(p)] for c, p in sorted(conv_turns.items())}
+    tids = {c: [i for i, _ in sorted(p)] for c, p in conv_turns.items()}
+    ts = sorted(
+        (r[0], tids[r[0]][r[1]], *r[2:])
+        for r in oracle_two_stage(ordered, DEFAULT_CONFIG)
+    )
+    _CACHE["out"] = {"oracle": o, "graph": g, "two_stage": ts}
+    return _CACHE["out"]
+
+
+def kg_oracle_sqls() -> dict[str, str]:
+    out = _oracle_outputs()
+    o, g, ts = out["oracle"], out["graph"], out["two_stage"]
+    mention_rows = [
+        (c, t, s, e, l, round_half_up(p, 6)) for c, t, s, e, l, p in o["mentions"]
+    ]
+    two_stage_rows = [
+        (c, t, s, e, l, round_half_up(p, 6)) for c, t, s, e, l, p in ts
+    ]
+    triple_rows = [
+        (c, t, s1, e1, s2, e2, pred, round_half_up(sc, 6), n1, n2)
+        for c, t, s1, e1, s2, e2, pred, sc, n1, n2 in o["triples"]
+    ]
+    node_rows = g["nodes"]
+    edge_rows = [
+        (src, dst, pred, w, round_half_up(ss, 6))
+        for src, dst, pred, w, ss in g["edges"]
+    ]
+    m_cols = ["conv_id", "turn_idx", "start", "end", "label", "score"]
+    m_types = ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "VARCHAR", "DOUBLE"]
+    return {
+        "kg_mentions": _values_sql(mention_rows, m_cols, m_types),
+        "kg_two_stage_mentions": _values_sql(two_stage_rows, m_cols, m_types),
+        "kg_triples": _values_sql(
+            triple_rows,
+            ["conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score",
+             "subj_type", "obj_type"],
+            ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER", "INTEGER",
+             "VARCHAR", "DOUBLE", "VARCHAR", "VARCHAR"],
+        ),
+        "kg_graph_nodes": _values_sql(
+            node_rows,
+            ["entity_id", "canonical_name", "type", "n_mentions", "n_surfaces"],
+            ["BIGINT", "VARCHAR", "VARCHAR", "BIGINT", "BIGINT"],
+        ),
+        "kg_graph_edges": _values_sql(
+            edge_rows,
+            ["src_id", "dst_id", "pred", "weight", "score_sum"],
+            ["BIGINT", "BIGINT", "VARCHAR", "BIGINT", "DOUBLE"],
+        ),
+    }

@@ -480,30 +480,27 @@ FROM r WHERE rk <= 10
 """
 
 
-# ---------- rows-only entries (model-dependent / hash-function-specific) ----
-
-def _sf_of(sf_dir: str) -> float:
-    import re
-
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    return float(m.group(1)) if m else 0.01
-
+# ---------- model-dependent entries (oracle = materialized python oracle) --
+# The packed-marker pipeline is the engine under test — its DuckDB twin is
+# the single-process oracle (oracle_ref + oracle_graph) rendered as a VALUES
+# literal (oracle_values.py). The corpus size is pinned (N_KG_CONVS) so one
+# static SQL is valid at every sf; floats round to 6 on both sides.
 
 _PIPE_CACHE: dict[tuple, dict] = {}
 
 
 def _pipeline_outputs(spark, sf_dir: str) -> dict:
     """One full-pipeline run shared by every kg_* query entry (the driver
-    invokes each callable separately; results are memoized per sf via
+    invokes each callable separately; results are memoized via
     localCheckpoint so the pipeline runs once per process)."""
     from . import synth
     from .config import DEFAULT_CONFIG
+    from .oracle_values import N_KG_CONVS
     from .pipeline.runner import run_full_pipeline
 
-    n = max(20, int(3000 * _sf_of(sf_dir)))
-    key = (id(spark), n)
+    key = (id(spark), N_KG_CONVS)
     if key not in _PIPE_CACHE:
-        t = synth.transcripts_df(spark, n)
+        t = synth.transcripts_df(spark, N_KG_CONVS)
         out = run_full_pipeline(spark, t, DEFAULT_CONFIG)
         _PIPE_CACHE[key] = {
             name: out[name].localCheckpoint()
@@ -513,19 +510,37 @@ def _pipeline_outputs(spark, sf_dir: str) -> dict:
 
 
 def q_kg_triples(spark, sf_dir):
-    return _pipeline_outputs(spark, sf_dir)["triples"]
+    t = _pipeline_outputs(spark, sf_dir)["triples"]
+    return t.select(
+        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
+        F.round("score", 6).alias("score"), "subj_type", "obj_type",
+    )
 
 
 def q_kg_mentions(spark, sf_dir):
-    return _pipeline_outputs(spark, sf_dir)["mentions"]
+    m = _pipeline_outputs(spark, sf_dir)["mentions"]
+    return m.select(
+        "conv_id", "turn_idx", "start", "end", "label",
+        F.round("score", 6).alias("score"),
+    )
 
 
 def q_kg_graph_nodes(spark, sf_dir):
-    return _pipeline_outputs(spark, sf_dir)["nodes"]
+    n = _pipeline_outputs(spark, sf_dir)["nodes"]
+    return n.select(
+        "entity_id", "canonical_name", "type",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("n_surfaces").cast("long").alias("n_surfaces"),
+    )
 
 
 def q_kg_graph_edges(spark, sf_dir):
-    return _pipeline_outputs(spark, sf_dir)["edges"]
+    e = _pipeline_outputs(spark, sf_dir)["edges"]
+    return e.select(
+        "src_id", "dst_id", "pred",
+        F.col("weight").cast("long").alias("weight"),
+        F.round("score_sum", 6).alias("score_sum"),
+    )
 
 
 def q_minhash_neardup(spark, sf_dir):
@@ -687,16 +702,21 @@ SELECT vec_a, vec_b, cosine FROM c WHERE cosine >= 0.95
 
 
 def q_kg_two_stage_mentions(spark, sf_dir):
-    """Two-stage NER (BIO candidates → packed scoring); rows-only, exactness
-    vs the exhaustive path covered in tests/test_bio_two_stage.py."""
+    """Two-stage NER (BIO candidates → packed scoring); oracle =
+    oracle_ref.oracle_two_stage materialized (plus exactness tests in
+    tests/test_bio_two_stage.py)."""
     from . import synth
     from .config import DEFAULT_CONFIG
+    from .oracle_values import N_KG_CONVS
     from .pipeline.assemble import assemble
     from .pipeline.bio import two_stage_mentions
 
-    n = max(20, int(3000 * _sf_of(sf_dir)))
-    return two_stage_mentions(assemble(synth.transcripts_df(spark, n)),
-                              DEFAULT_CONFIG)
+    m = two_stage_mentions(assemble(synth.transcripts_df(spark, N_KG_CONVS)),
+                           DEFAULT_CONFIG)
+    return m.select(
+        "conv_id", "turn_idx", "start", "end", "label",
+        F.round("score", 6).alias("score"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -751,4 +771,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash_buckets": _sql_simhash_buckets(),
         "simhash_hamming": _sql_simhash_hamming(),
         "embedding_neardup": _sql_embedding_neardup(),
+        **_kg_sqls(),
     }
+
+
+def _kg_sqls() -> dict[str, str]:
+    from .oracle_values import kg_oracle_sqls
+
+    return kg_oracle_sqls()
