@@ -27,6 +27,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def run_fingerprint(cfg, input_identity: str) -> str:
+    """Stable fingerprint of (pipeline config, input identity) used to gate
+    checkpoint resume. ``input_identity`` is a caller-chosen string naming
+    the input (table name / path / "synthetic:N")."""
+    import hashlib
+
+    payload = f"{input_identity}\x1f{cfg!r}"
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
+
+
 class CheckpointStore:
     """table_format:
     - "parquet" (default): path-based tables under ``base_dir`` —
@@ -38,12 +48,20 @@ class CheckpointStore:
     """
 
     def __init__(self, spark: SparkSession, base_dir: str, run_id: str = "r0",
-                 table_format: str = "parquet", catalog_ns: str | None = None):
+                 table_format: str = "parquet", catalog_ns: str | None = None,
+                 fingerprint: str | None = None):
+        """``fingerprint`` identifies (config, input) — see
+        :func:`run_fingerprint`. When set, a stage checkpoint written under a
+        *different* fingerprint is treated as incomplete and recomputed, so
+        re-running against the same --checkpoint-dir with a changed config or
+        input can never silently reuse stale outputs (round-1 ADVICE,
+        medium). ``None`` disables the gate (ephemeral stores in tests)."""
         self.spark = spark
         self.base = base_dir
         self.run_id = run_id
         self.table_format = table_format
         self.catalog_ns = catalog_ns
+        self.fingerprint = fingerprint
         if table_format == "iceberg" and not catalog_ns:
             raise ValueError("iceberg format needs catalog_ns, e.g. 'ice.kg'")
         os.makedirs(base_dir, exist_ok=True)
@@ -55,10 +73,21 @@ class CheckpointStore:
     def _table(self, name: str) -> str:
         return f"{self.catalog_ns}.{name}"
 
+    def _fp_path(self, name: str) -> str:
+        return os.path.join(self._path(name), "_FINGERPRINT")
+
     def is_complete(self, name: str) -> bool:
         if self.table_format == "iceberg":
             return self.spark.catalog.tableExists(self._table(name))
-        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+        if not os.path.exists(os.path.join(self._path(name), "_SUCCESS")):
+            return False
+        if self.fingerprint is None:
+            return True
+        try:
+            with open(self._fp_path(name)) as f:
+                return f.read().strip() == self.fingerprint
+        except FileNotFoundError:
+            return False  # pre-fingerprint checkpoint: do not trust it
 
     def stage(self, name: str, build, sort_within: list[str] | None = None) -> DataFrame:
         """Run ``build()`` unless the checkpoint already exists; either way
@@ -76,6 +105,9 @@ class CheckpointStore:
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
         df.write.mode("overwrite").parquet(path)
+        if self.fingerprint is not None:
+            with open(self._fp_path(name), "w") as f:
+                f.write(self.fingerprint)
         self.spark.catalog.refreshByPath(path)
         out = self.spark.read.parquet(path)
         # one action: per-partition lineage; total rows derived from it
@@ -133,6 +165,7 @@ class CheckpointStore:
             "resumed": resumed,
             "rows": rows,
             "seconds": round(secs, 3),
+            "fingerprint": self.fingerprint,
         }
         self.events.append(rec)
         with open(os.path.join(self.base, "_manifest.jsonl"), "a") as f:

@@ -34,6 +34,11 @@ class PipelineConfig:
     group_axis: int = 0                  # 0=start, 1=end (random axis not supported:
                                          # determinism is a pipeline invariant)
     group_sort: bool = False
+    # --- model selection (reference MODEL_CLASSES, run_acener.py:75-87) ---
+    model: str = "surrogate"             # "surrogate" (gazetteer heads) |
+                                         # "packed_linear" (seeded linear heads
+                                         # consuming the K5 assembled tensors,
+                                         # models.py)
     # --- engine knobs (no reference equivalent) ---
     segment_turns: int = 0               # >0: segmented window assembly for
                                          # unbounded conversations (exact; see
@@ -42,6 +47,12 @@ class PipelineConfig:
     salt_buckets: int = 8                # skew salting for turn-level grouped maps
     assemble_tensors: bool = False       # build K5 marker tensors inside the inference
                                          # UDF (parity demo; surrogate does not need them)
+
+    def needs_spliced_tokens(self) -> bool:
+        """Whether RE packing must carry the marker-spliced token stream
+        (tensor-consuming heads and the K5 parity path need it; the
+        surrogate reads surfaces only)."""
+        return self.assemble_tensors or self.use_typemarker or self.model != "surrogate"
 
     def budget_ner(self) -> int:
         """Subword budget for NER context windows (run_acener.py:151)."""

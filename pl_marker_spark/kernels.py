@@ -196,7 +196,7 @@ def subject_instances(
     for sub in mentions:
         sub_s = idx.token2subword[sub[0]] - win.doc_offset + 1
         sub_e = idx.token2subword[sub[1] + 1] - win.doc_offset
-        if cfg.assemble_tensors or cfg.use_typemarker:
+        if cfg.needs_spliced_tokens():
             # the spliced token stream is consumed only by the K5 tensor
             # parity path; skip the splice otherwise (the coordinate
             # arithmetic below carries all result semantics)

@@ -63,7 +63,7 @@ def make_repack_fn(cfg: PipelineConfig):
                         [o[2] for o in inst.objects], [o[3] for o in inst.objects],
                         [o[4] for o in inst.objects],
                         [" ".join(idx.words[o[3]: o[4] + 1]) for o in inst.objects],
-                        inst.tokens if cfg.assemble_tensors else [],
+                        inst.tokens if cfg.needs_spliced_tokens() else [],
                     )
                 )
         return pd.DataFrame(rows, columns=cols)
@@ -147,7 +147,7 @@ def repack_re_segmented(
                         [o[3] + word_off for o in inst.objects],
                         [o[4] + word_off for o in inst.objects],
                         [" ".join(idx.words[o[3]: o[4] + 1]) for o in inst.objects],
-                        inst.tokens if cfg.assemble_tensors else [],
+                        inst.tokens if cfg.needs_spliced_tokens() else [],
                     )
                 )
         return pd.DataFrame(rows, columns=cols)

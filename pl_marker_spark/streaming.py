@@ -98,9 +98,17 @@ def stream_extract_foreach_batch(
     )
 
 
-def _make_state_handler(cfg: PipelineConfig):
+def _make_state_handler(cfg: PipelineConfig, orphan_timeout_ms: int):
     def handler(key, pdfs, state: GroupState):
         conv_id = key[0]
+        if state.hasTimedOut:
+            # Orphaned partial conversation: turns that arrived after their
+            # end marker (contract violation) or a feed that never sent one.
+            # Dropping bounds the state store; without the timeout the entry
+            # leaked forever and its turns were silently never emitted
+            # (round-1 ADVICE).
+            state.remove()
+            return iter(())
         turn_ids: list[int] = []
         texts: list[str] = []
         if state.exists:
@@ -117,6 +125,7 @@ def _make_state_handler(cfg: PipelineConfig):
                     texts.append(r.text)
         if not done:
             state.update((turn_ids, texts))
+            state.setTimeoutDuration(orphan_timeout_ms)
             return iter(())
         state.remove()
         order = sorted(range(len(turn_ids)), key=lambda i: turn_ids[i])
@@ -139,18 +148,26 @@ def _make_state_handler(cfg: PipelineConfig):
 
 
 def stream_extract_stateful(
-    spark: SparkSession, input_dir: str, output_dir: str, cfg: PipelineConfig
+    spark: SparkSession, input_dir: str, output_dir: str, cfg: PipelineConfig,
+    orphan_timeout_ms: int = 600_000,
 ):
     """Stateful conversation assembly: turns buffer per conv_id until the
     end-marker arrives; the completed conversation then runs through the
-    extraction kernels in one shot. Conversations may span micro-batches."""
+    extraction kernels in one shot. Conversations may span micro-batches.
+
+    Ordering contract: all of a conversation's turns must arrive in
+    micro-batches at or before the one carrying its ``__end__`` marker
+    (turn order *within* batches is free — state sorts by turn_idx).
+    Turns arriving after the end marker re-create state that will never see
+    another marker; such orphans are dropped after ``orphan_timeout_ms`` of
+    processing-time inactivity so the state store stays bounded."""
     stream = read_transcript_stream(spark, input_dir)
     extracted = stream.groupBy("conv_id").applyInPandasWithState(
-        _make_state_handler(cfg),
+        _make_state_handler(cfg, orphan_timeout_ms),
         outputStructType=TRIPLE_STREAM_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
     return (
         extracted.writeStream.format("parquet")

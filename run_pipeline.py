@@ -75,8 +75,14 @@ def main(argv: list[str]) -> int:
     else:
         transcripts = synth.transcripts_df(spark, args.synthetic_convs)
 
+    from pl_marker_spark.checkpoint import run_fingerprint
+
     ckdir = args.checkpoint_dir or f"{args.output}/_ck"
-    store = CheckpointStore(spark, ckdir, run_id=f"run{int(time.time())}")
+    identity = args.input or f"synthetic:{args.synthetic_convs}"
+    store = CheckpointStore(
+        spark, ckdir, run_id=f"run{int(time.time())}",
+        fingerprint=run_fingerprint(cfg, identity),
+    )
     t0 = time.time()
     if args.with_eval and args.synthetic_convs:
         from pl_marker_spark.pipeline.runner import run_with_eval

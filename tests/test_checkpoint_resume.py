@@ -49,3 +49,32 @@ def test_resume_idempotent(spark, tmp_path_factory):
         lineage = json.load(f)
     assert len(lineage["partitions"]) >= 1
     assert lineage["rows"] == len(t1)
+
+
+def test_fingerprint_gates_resume(spark, tmp_path):
+    """A checkpoint written under one (config, input) fingerprint must NOT be
+    resumed under another — changed config recomputes instead of silently
+    reusing stale outputs (round-1 ADVICE, medium)."""
+    from dataclasses import replace as _replace
+
+    from pl_marker_spark.checkpoint import run_fingerprint
+
+    base = str(tmp_path / "ck_fp")
+    transcripts = synth.transcripts_df(spark, 4)
+
+    fp1 = run_fingerprint(DEFAULT_CONFIG, "synthetic:4")
+    store1 = CheckpointStore(spark, base, run_id="a", fingerprint=fp1)
+    run_extraction(spark, transcripts, DEFAULT_CONFIG, store1)
+
+    # same config + input -> full resume
+    store2 = CheckpointStore(spark, base, run_id="b", fingerprint=fp1)
+    run_extraction(spark, transcripts, DEFAULT_CONFIG, store2)
+    assert all(e["resumed"] for e in store2.events)
+
+    # changed config -> different fingerprint -> nothing resumed
+    cfg3 = _replace(DEFAULT_CONFIG, max_seq_length_re=128)
+    fp3 = run_fingerprint(cfg3, "synthetic:4")
+    assert fp3 != fp1
+    store3 = CheckpointStore(spark, base, run_id="c", fingerprint=fp3)
+    run_extraction(spark, transcripts, cfg3, store3)
+    assert not any(e["resumed"] for e in store3.events)

@@ -86,3 +86,55 @@ def test_assemble_tensors_path_runs(spark):
     out = run_extraction(spark, t, cfg)
     base = run_extraction(spark, t, DEFAULT_CONFIG)
     assert _triple_set(out["triples"]) == _triple_set(base["triples"])
+
+
+def test_orientation_co_survival():
+    """The RE orientation-pairing invariant (run_re.py:809): for every packed
+    (subject, object) pair the reverse pair is packed too — searched over
+    mention layouts pressed against the sequence budget (the geometry where
+    a one-direction drop could occur if the +1/+2 marker arithmetic and the
+    sub_e/right cut disagreed). fuse_and_decode asserts this at runtime;
+    here we verify the kernel actually guarantees it."""
+    import itertools
+    import random
+
+    from pl_marker_spark.kernels import build_conv_index, context_window, subject_instances
+    from pl_marker_spark.config import PipelineConfig
+
+    rng = random.Random(7)
+    for trial in range(200):
+        n_words = rng.randint(6, 20)
+        words = [rng.choice(["alpha", "bo", "cedar", "dim"]) for _ in range(n_words)]
+        idx = build_conv_index([words])
+        # max_seq chosen to land the cut inside the sentence
+        max_seq = rng.randint(8, len(idx.subwords) + 6)
+        cfg = PipelineConfig(max_seq_length_re=max_seq, max_pair_length_re=4)
+        win = context_window(idx, 0, cfg.budget_re(), truncate=True)
+        mentions = []
+        for _ in range(rng.randint(2, 5)):
+            s = rng.randrange(n_words)
+            e = min(n_words - 1, s + rng.randint(0, 3))
+            mentions.append((s, e, "PER"))
+        mentions = sorted(set(mentions))
+        inst = subject_instances(idx, 0, win, mentions, cfg)
+        packed = set()
+        for si in inst:
+            for (_l, _r, _lab, ows, owe) in si.objects:
+                packed.add((si.sub_word, (ows, owe)))
+        for (a, b) in packed:
+            if a != b:
+                assert (b, a) in packed, (trial, a, b, max_seq, mentions)
+
+
+def test_cc_nonconvergence_warns(spark):
+    import warnings
+
+    from pl_marker_spark.pipeline.cc import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(edges, max_iter=0).collect()
+    assert any("under-merged" in str(x.message) for x in w)
