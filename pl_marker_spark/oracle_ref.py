@@ -91,8 +91,27 @@ def oracle_ner(conv_turns: dict[str, list[str]], cfg: PipelineConfig):
                     spans.append((lo, hi, ws, we))
             if not spans:
                 continue
-            surfaces = [surface_of_span(win, lo, hi) for lo, hi, _, _ in spans]
-            probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
+            if cfg.model == "packed_linear":
+                # tensor-consuming head: chunked like the pipeline's K1
+                # packing (group membership provably cannot change logits —
+                # the 2D mask isolates marker pairs; tests/test_models.py)
+                from .kernels import assemble_ner_tensors
+                from .models import ner_head_logits
+
+                dL = cfg.max_pair_length_ner
+                probs_l, preds_l = [], []
+                for i in range(0, len(spans), dL):
+                    grp = [(lo, hi) for lo, hi, _, _ in spans[i : i + dL]]
+                    ii, pi, att = assemble_ner_tensors(
+                        win, grp, cfg.max_seq_length_ner, dL)
+                    p_, k_ = ner_decode(
+                        ner_head_logits(ii, pi, att, grp, cfg.max_seq_length_ner))
+                    probs_l.extend(p_.tolist())
+                    preds_l.extend(k_.tolist())
+                probs, preds = probs_l, preds_l
+            else:
+                surfaces = [surface_of_span(win, lo, hi) for lo, hi, _, _ in spans]
+                probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
             sent_results = []
             for (lo, hi, ws, we), p, k in zip(spans, probs, preds):
                 if NER_LABELS[k] != "NIL":
@@ -193,33 +212,79 @@ def oracle_re(conv_turns: dict[str, list[str]], mentions, cfg: PipelineConfig):
             # pair scoring (dict semantics: last write wins, insertion order
             # = subject-major as in the reference DataLoader order)
             pair_scores: dict[tuple, tuple[list[float], str]] = {}
+
+            def _xform(logits):
+                if cfg.eval_logsoftmax:
+                    a = np.asarray(logits) - max(logits)
+                    return (a - np.log(np.exp(a).sum())).tolist()
+                if cfg.eval_softmax:
+                    a = np.exp(np.asarray(logits) - max(logits))
+                    return (a / a.sum()).tolist()
+                return list(logits)
+
             for sub in ments:
                 sub_s = t2s[sub[0]] - off + 1
-                sub_e = t2s[sub[1] + 1] - off + 2
+                sub_e0 = t2s[sub[1] + 1] - off
+                sub_e = sub_e0 + 2
                 if sub_e >= max_seq - 1:
                     continue
                 sub_surface = " ".join(words[sub[0] : sub[1] + 1])
+                objs = []
                 for obj in ments:
+                    left = t2s[obj[0]] - off + 1
                     right = t2s[obj[1] + 1] - off
+                    if obj[0] >= sub[0]:
+                        left += 1
+                        if obj[0] > sub[1]:
+                            left += 1
                     if obj[1] >= sub[0]:
                         right += 1
                         if obj[1] > sub[1]:
                             right += 1
                     if right >= max_seq - 1:
                         continue
-                    obj_surface = " ".join(words[obj[0] : obj[1] + 1])
-                    logits = re_logits_for_pair(sub_surface, obj_surface)
-                    if cfg.eval_logsoftmax:
-                        a = np.asarray(logits) - max(logits)
-                        logits = (a - np.log(np.exp(a).sum())).tolist()
-                    elif cfg.eval_softmax:
-                        a = np.exp(np.asarray(logits) - max(logits))
-                        logits = (a / a.sum()).tolist()
-                    if cfg.use_ner_results:
-                        ner_lab = obj[2]
+                    objs.append((left, right, obj))
+                if cfg.model == "packed_linear":
+                    from .kernels import assemble_re_tensors
+                    from .tokenizer import SUB_L, SUB_R
+
+                    if cfg.use_typemarker:
+                        from .world import NER_INDEX, NUM_NER
+
+                        ti = NER_INDEX[sub[2]]
+                        l_m, r_m = f"[unused{2 + ti}]", f"[unused{2 + ti + NUM_NER}]"
                     else:
-                        ner_lab = aux_obj_ner(obj_surface)
-                    pair_scores[((sub[0], sub[1]), (obj[0], obj[1]))] = (logits, ner_lab)
+                        l_m, r_m = SUB_L, SUB_R
+                    tokens = (
+                        win[:sub_s] + [l_m] + win[sub_s : sub_e0 + 1]
+                        + [r_m] + win[sub_e0 + 1 :]
+                    )
+                    from .models import re_head_logits
+
+                    dL = cfg.max_pair_length_re
+                    for i in range(0, len(objs), dL):
+                        chunk = objs[i : i + dL]
+                        ii, pi, att, subpos = assemble_re_tensors(
+                            tokens, (sub_s, sub_e), [(l, r) for l, r, _ in chunk],
+                            max_seq, dL)
+                        mat, aux = re_head_logits(ii, pi, att, subpos, len(chunk), max_seq)
+                        for k, (_l, _r, obj) in enumerate(chunk):
+                            if cfg.use_ner_results:
+                                ner_lab = obj[2]
+                            else:
+                                ner_lab = NER_LABELS[int(aux[k].argmax())]
+                            pair_scores[((sub[0], sub[1]), (obj[0], obj[1]))] = (
+                                _xform(mat[k].tolist()), ner_lab)
+                else:
+                    for _l, _r, obj in objs:
+                        obj_surface = " ".join(words[obj[0] : obj[1] + 1])
+                        logits = re_logits_for_pair(sub_surface, obj_surface)
+                        if cfg.use_ner_results:
+                            ner_lab = obj[2]
+                        else:
+                            ner_lab = aux_obj_ner(obj_surface)
+                        pair_scores[((sub[0], sub[1]), (obj[0], obj[1]))] = (
+                            _xform(logits), ner_lab)
 
             if cfg.eval_unidirect:
                 # ablation decode (run_re.py:899-918): raw forward logits,

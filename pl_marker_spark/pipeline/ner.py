@@ -32,6 +32,8 @@ MENTIONS_SCHEMA = SPAN_SCORES_SCHEMA
 
 
 def make_infer_fn(cfg: PipelineConfig):
+    tensor_head = cfg.model == "packed_linear"
+
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_conv, out_turn = [], []
@@ -39,16 +41,32 @@ def make_infer_fn(cfg: PipelineConfig):
             for row in pdf.itertuples(index=False):
                 window = row.window.split(" ")
                 los, his = row.win_s, row.win_e
-                if cfg.assemble_tensors:
-                    # K5 parity path: build the packed marker tensors the real
-                    # encoder would consume (shape/positions/2D mask).
-                    assemble_ner_tensors(window, list(zip(los, his)),
-                                         cfg.max_seq_length_ner,
-                                         cfg.max_pair_length_ner)
-                # fast exact scorer: one gazetteer scan per window instead of
-                # O(spans) surface joins (see surrogate.ner_fast_scores for
-                # the bit-identity argument)
-                kept, probs, preds = ner_fast_scores(window, los, his)
+                if tensor_head:
+                    # I1/I5/K5 end-to-end: the packed tensors (interleaved
+                    # levitated markers, copied position ids, 2D mask) feed
+                    # the registered head; one numpy batch per packed group.
+                    from ..models import ner_head_logits
+                    from ..surrogate import ner_decode
+
+                    spans = list(zip((int(x) for x in los), (int(x) for x in his)))
+                    ii, pi, att = assemble_ner_tensors(
+                        window, spans, cfg.max_seq_length_ner,
+                        cfg.max_pair_length_ner)
+                    probs, preds = ner_decode(
+                        ner_head_logits(ii, pi, att, spans, cfg.max_seq_length_ner))
+                    kept = np.flatnonzero(preds != 0)  # O1 NIL filter at emit
+                    probs, preds = probs[kept], preds[kept]
+                else:
+                    if cfg.assemble_tensors:
+                        # K5 parity path: build the packed marker tensors the
+                        # real encoder would consume (shape/positions/2D mask).
+                        assemble_ner_tensors(window, list(zip(los, his)),
+                                             cfg.max_seq_length_ner,
+                                             cfg.max_pair_length_ner)
+                    # fast exact scorer: one gazetteer scan per window instead
+                    # of O(spans) surface joins (see surrogate.ner_fast_scores
+                    # for the bit-identity argument)
+                    kept, probs, preds = ner_fast_scores(window, los, his)
                 k = len(kept)
                 if k == 0:
                     continue

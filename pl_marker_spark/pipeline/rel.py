@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..surrogate import aux_obj_ner, re_logits_for_pair
-from ..world import NUM_REL, NUM_SYM, REL_LABELS
+from ..world import NER_LABELS, NUM_REL, NUM_SYM, REL_LABELS
 
 PAIR_SCORES_SCHEMA = (
     "conv_id string, turn_idx int, s1 int, e1 int, s2 int, e2 int, "
@@ -57,13 +57,32 @@ def _score_transform(cfg: PipelineConfig):
 def make_pair_infer_fn(cfg: PipelineConfig):
     use_ner = cfg.use_ner_results
     transform = _score_transform(cfg)
+    tensor_head = cfg.model == "packed_linear"
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             conv, turn = [], []
             s1, e1, s2, e2, logits, obj_ner = [], [], [], [], [], []
             for row in pdf.itertuples(index=False):
-                if cfg.assemble_tensors:
+                pair_logits = aux_logits = None
+                if tensor_head:
+                    # I2/I5/K5 end-to-end: two-tower head over the assembled
+                    # RE tensors (solid subject markers in the stream,
+                    # levitated object markers) — one numpy batch per
+                    # packed subject instance (run_re.py:362-438 semantics).
+                    from ..kernels import assemble_re_tensors
+                    from ..models import re_head_logits
+
+                    objs = list(zip(
+                        (int(x) for x in row.o_left),
+                        (int(x) for x in row.o_right)))
+                    ii, pi, att, subpos = assemble_re_tensors(
+                        list(row.window), (row.sub_win_s, row.sub_win_e),
+                        objs, cfg.max_seq_length_re, cfg.max_pair_length_re,
+                    )
+                    pair_logits, aux_logits = re_head_logits(
+                        ii, pi, att, subpos, len(objs), cfg.max_seq_length_re)
+                elif cfg.assemble_tensors:
                     # K5 RE parity path (run_re.py:362-438)
                     from ..kernels import assemble_re_tensors
 
@@ -72,18 +91,26 @@ def make_pair_infer_fn(cfg: PipelineConfig):
                         list(zip(row.o_left, row.o_right)),
                         cfg.max_seq_length_re, cfg.max_pair_length_re,
                     )
-                for ol, osurf, ows, owe in zip(
+                for k, (ol, osurf, ows, owe) in enumerate(zip(
                     row.o_label, row.o_surface, row.o_ws, row.o_we
-                ):
+                )):
                     conv.append(row.conv_id)
                     turn.append(row.turn_idx)
                     s1.append(row.sub_s)
                     e1.append(row.sub_e)
                     s2.append(int(ows))
                     e2.append(int(owe))
-                    v = re_logits_for_pair(row.sub_surface, osurf)
+                    if tensor_head:
+                        v = pair_logits[k].tolist()
+                        aux = NER_LABELS[int(aux_logits[k].argmax())]
+                    else:
+                        v = re_logits_for_pair(row.sub_surface, osurf)
+                        aux = None
                     logits.append(transform(v) if transform else v)
-                    obj_ner.append(ol if use_ner else aux_obj_ner(osurf))
+                    if use_ner:
+                        obj_ner.append(ol)
+                    else:
+                        obj_ner.append(aux if tensor_head else aux_obj_ner(osurf))
             yield pd.DataFrame(
                 {
                     "conv_id": conv,

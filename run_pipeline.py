@@ -40,6 +40,10 @@ def main(argv: list[str]) -> int:
                     help="ablation: decode raw forward logits, no fusion")
     ap.add_argument("--use-typemarker", action="store_true",
                     help="typed solid subject markers")
+    ap.add_argument("--model", choices=("surrogate", "packed_linear"),
+                    default="surrogate",
+                    help="registered head: gazetteer surrogate or the "
+                         "tensor-consuming packed linear head (models.py)")
     ap.add_argument("--with-eval", action="store_true",
                     help="score vs synthetic gold and write a metrics table "
                          "(synthetic input only)")
@@ -65,6 +69,7 @@ def main(argv: list[str]) -> int:
         eval_unidirect=args.eval_unidirect,
         use_typemarker=args.use_typemarker,
         segment_turns=args.segment_turns,
+        model=args.model,
     )
     if args.input:
         transcripts = (

