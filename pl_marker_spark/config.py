@@ -28,6 +28,10 @@ class PipelineConfig:
     eval_softmax: bool = False
     eval_unidirect: bool = False         # ablation: skip bidirectional fusion
                                          # (run_re.py:899-988)
+    levitated_pairs: bool = False        # C4 all-pairs levitated variant
+                                         # (run_levitatedpair.py:282-322):
+                                         # both mentions levitated, forward-only
+                                         # decode over NUM_REL labels, no fusion
     use_typemarker: bool = False         # typed solid markers (run_re.py:294-296)
     # --- packing variants (run_acener.py:266-315) ---
     group_edge: bool = False
@@ -62,6 +66,11 @@ class PipelineConfig:
         """Subword budget for RE context windows; -4 reserves the two solid
         subject-marker tokens plus CLS/SEP (run_re.py:165)."""
         return self.max_seq_length_re - 4
+
+    def budget_lev(self) -> int:
+        """C4 levitated-pair window budget: no solid markers in the stream,
+        only CLS/SEP are reserved (run_levitatedpair.py:161)."""
+        return self.max_seq_length_re - 2
 
 
 DEFAULT_CONFIG = PipelineConfig()

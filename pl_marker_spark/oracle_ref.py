@@ -386,6 +386,68 @@ def oracle_re(conv_turns: dict[str, list[str]], mentions, cfg: PipelineConfig):
     return triples, refined
 
 
+def oracle_levitated(conv_turns: dict[str, list[str]], mentions,
+                     cfg: PipelineConfig):
+    """C4 all-pairs levitated-pair oracle (run_levitatedpair.py:282-322,
+    evaluate :700-790): window budget max_seq-2, all pairs incl. self-pairs,
+    forward-only argmax over NUM_REL, aux-NER endpoint types, then the same
+    suppression + refinement as the default path."""
+    budget = cfg.budget_lev()
+    max_seq = cfg.max_seq_length_re
+    by_turn = defaultdict(list)
+    for cid, n, ws, we, lab, _score in mentions:
+        by_turn[(cid, n)].append((ws, we, lab))
+    for v in by_turn.values():
+        v.sort()
+    triples, refined = [], []
+    for cid, texts in conv_turns.items():
+        words, subwords, t2s, wb, sb = _conv_structures(texts)
+        for n in range(len(texts)):
+            ments = by_turn.get((cid, n), [])
+            if not ments:
+                continue
+            _win, off = _window(subwords, sb, n, budget, truncate=True)
+            sent_results = []
+            for sub in ments:
+                if t2s[sub[1] + 1] - off >= max_seq - 1:
+                    continue
+                sub_surface = " ".join(words[sub[0] : sub[1] + 1])
+                for obj in ments:
+                    if t2s[obj[1] + 1] - off >= max_seq - 1:
+                        continue
+                    obj_surface = " ".join(words[obj[0] : obj[1] + 1])
+                    v = re_logits_for_pair(sub_surface, obj_surface)[:NUM_REL]
+                    k = int(np.argmax(v))
+                    if k > 0:
+                        sent_results.append(
+                            (float(v[k]), (sub[0], sub[1]), (obj[0], obj[1]),
+                             k, aux_obj_ner(sub_surface), aux_obj_ner(obj_surface))
+                        )
+            sent_results.sort(key=lambda x: -x[0])
+            kept = []
+            for item in sent_results:
+                clash = any(
+                    item[3] == o[3] and _overlap(item[1], o[1])
+                    and _overlap(item[2], o[2])
+                    for o in kept
+                )
+                if not clash:
+                    kept.append(item)
+            pos2ner = {}
+            for score, m1, m2, k, a1, a2 in kept:
+                pos2ner.setdefault(m1, a1)
+                pos2ner.setdefault(m2, a2)
+                triples.append(
+                    (cid, n, m1[0], m1[1], m2[0], m2[1], REL_LABELS[k],
+                     float(score), pos2ner[m1], pos2ner[m2])
+                )
+            for ws, we, lab in ments:
+                refined.append((cid, n, ws, we, pos2ner.get((ws, we), lab)))
+    triples.sort()
+    refined.sort()
+    return triples, refined
+
+
 def oracle_metrics(mentions, raw, triples, gold_mentions, gold_relations,
                    gold_types: dict[tuple, str]):
     """Micro P/R/F1 with the reference's counting rules."""
@@ -465,7 +527,10 @@ def run_oracle(turn_rows, cfg: PipelineConfig):
     }
     tids = {cid: [i for i, _ in sorted(pairs)] for cid, pairs in conv_turns.items()}
     mentions, raw = oracle_ner(ordered, cfg)
-    triples, refined = oracle_re(ordered, mentions, cfg)
+    if cfg.levitated_pairs:
+        triples, refined = oracle_levitated(ordered, mentions, cfg)
+    else:
+        triples, refined = oracle_re(ordered, mentions, cfg)
     # map sentence ordinals back to the original turn ids
     fix = lambda rows: sorted(
         (r[0], tids[r[0]][r[1]], *r[2:]) for r in rows

@@ -1,0 +1,151 @@
+"""C4 — all-pairs levitated-pair RE variant (run_levitatedpair.py:282-322).
+
+Differences from the subject-oriented default (repack.py / rel.py):
+- no solid subject markers: BOTH mentions of a pair get levitated marker
+  pairs, so window coords carry no +1/+2 splice shifts and the window
+  budget reserves only CLS/SEP (max_seq - 2, run_levitatedpair.py:161);
+- the pair list is the full subject×object product *including self-pairs*
+  (the reference's skip is commented out, :293-294), chunked subject-major
+  into groups of ``max_pair_length_re``;
+- decode is forward-only: argmax over the NUM_REL label head — no
+  bidirectional fusion, no inverse block (evaluate(), :700-720). A
+  relation the model only scores in the reverse orientation is therefore
+  not predicted — that IS the variant's semantics;
+- both endpoint types come from the aux NER heads (:712-714), which for
+  the surrogate is the gazetteer lookup.
+
+Deviation noted: pairs whose (unshifted) right coordinate falls outside
+``max_seq - 1`` are dropped — the reference builds them and would index a
+position embedding out of range; its eval data never hits this.
+
+Output rows are TRIPLES_RAW-shaped, so O6 suppression and O7 refinement
+are shared with the default path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import PipelineConfig
+from ..kernels import context_window
+from ..pipeline.spanpack import _conv_index_from_rows
+from ..surrogate import aux_obj_ner, re_logits_for_pair
+from ..world import NUM_REL, REL_LABELS
+
+PACKED_LEV_SCHEMA = (
+    "conv_id string, turn_idx int, group_id int, "
+    "s1 array<int>, e1 array<int>, s2 array<int>, e2 array<int>, "
+    "sub_surface array<string>, obj_surface array<string>"
+)
+DECODED_SCHEMA = (
+    "conv_id string, turn_idx int, s1 int, e1 int, s2 int, e2 int, "
+    "pred string, score double, m1_ner string, m2_ner string"
+)
+
+
+def levitated_pair_instances(idx, n, win, mentions, cfg: PipelineConfig):
+    """All (subject, object) pairs of sentence ``n`` with in-budget
+    levitated coords, chunked subject-major. Returns a list of chunks of
+    (sub, obj) word-span pairs."""
+    max_seq = cfg.max_seq_length_re
+    pairs = []
+    for sub in mentions:
+        sub_right = idx.token2subword[sub[1] + 1] - win.doc_offset
+        if sub_right >= max_seq - 1:
+            continue
+        for obj in mentions:
+            obj_right = idx.token2subword[obj[1] + 1] - win.doc_offset
+            if obj_right >= max_seq - 1:
+                continue
+            pairs.append((sub, obj))
+    dL = cfg.max_pair_length_re
+    return [pairs[i : i + dL] for i in range(0, len(pairs), dL)]
+
+
+def repack_levitated(turns_tok: DataFrame, mentions: DataFrame,
+                     cfg: PipelineConfig) -> DataFrame:
+    budget = cfg.budget_lev()
+
+    def repack(key, turns_pdf: pd.DataFrame, mentions_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "turn_idx", "group_id", "s1", "e1", "s2", "e2",
+                "sub_surface", "obj_surface"]
+        if mentions_pdf.empty or turns_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        turns_pdf, idx = _conv_index_from_rows(turns_pdf)
+        cid = key[0]
+        tid_to_ord = {int(t): n for n, t in enumerate(turns_pdf["turn_idx"])}
+        by_turn: dict[int, list[tuple[int, int, str]]] = {}
+        for r in mentions_pdf.itertuples(index=False):
+            by_turn.setdefault(int(r.turn_idx), []).append(
+                (int(r.start), int(r.end), r.label)
+            )
+        rows = []
+        for tid, ments in sorted(by_turn.items()):
+            ments.sort()
+            n = tid_to_ord[tid]
+            win = context_window(idx, n, budget, truncate=True)
+            for gid, chunk in enumerate(
+                levitated_pair_instances(idx, n, win, ments, cfg)
+            ):
+                rows.append(
+                    (cid, tid, gid,
+                     [p[0][0] for p in chunk], [p[0][1] for p in chunk],
+                     [p[1][0] for p in chunk], [p[1][1] for p in chunk],
+                     [" ".join(idx.words[p[0][0] : p[0][1] + 1]) for p in chunk],
+                     [" ".join(idx.words[p[1][0] : p[1][1] + 1]) for p in chunk])
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        turns_tok.groupBy("conv_id")
+        .cogroup(mentions.groupBy("conv_id"))
+        .applyInPandas(repack, schema=PACKED_LEV_SCHEMA)
+    )
+
+
+def decode_levitated(packed_lev: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Forward-only decode per pair: argmax over the NUM_REL head, keep
+    pred > 0, endpoint types from the aux NER lookup."""
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            conv, turn = [], []
+            s1, e1, s2, e2 = [], [], [], []
+            pred, score, n1, n2 = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                for a, b, c, d, ss, os_ in zip(
+                    row.s1, row.e1, row.s2, row.e2,
+                    row.sub_surface, row.obj_surface,
+                ):
+                    v = re_logits_for_pair(ss, os_)[:NUM_REL]
+                    k = int(np.argmax(v))
+                    if k <= 0:
+                        continue
+                    conv.append(row.conv_id)
+                    turn.append(row.turn_idx)
+                    s1.append(int(a)); e1.append(int(b))
+                    s2.append(int(c)); e2.append(int(d))
+                    pred.append(REL_LABELS[k])
+                    score.append(float(v[k]))
+                    n1.append(aux_obj_ner(ss))
+                    n2.append(aux_obj_ner(os_))
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": pd.Series(turn, dtype="int32"),
+                    "s1": pd.Series(s1, dtype="int32"),
+                    "e1": pd.Series(e1, dtype="int32"),
+                    "s2": pd.Series(s2, dtype="int32"),
+                    "e2": pd.Series(e2, dtype="int32"),
+                    "pred": pred,
+                    "score": pd.Series(score, dtype="float64"),
+                    "m1_ner": n1,
+                    "m2_ner": n2,
+                }
+            )
+
+    return packed_lev.mapInPandas(infer, schema=DECODED_SCHEMA)

