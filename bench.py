@@ -87,15 +87,51 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "kg-pipeline+catalog wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         **extras,
-    }))
+    }
+    prev = _latest_round_bench()
+    if prev is not None:
+        # the driver wraps the bench line under "parsed"
+        prev_q = prev.get("parsed", prev).get("queries", {})
+        result["prev_round"] = prev["_round"]
+        result["deltas_vs_prev"] = {
+            q: round(t - prev_q[q], 3) for q, t in timings.items() if q in prev_q
+        }
+    print(json.dumps(result))
     spark.stop()
+
+
+def _latest_round_bench() -> dict | None:
+    """Latest driver-recorded BENCH_r{N}.json, for per-query regression
+    deltas (which queries got slower since last round is then a one-line
+    answer in BENCH_r{N+1}.json)."""
+    import glob
+    import re
+
+    best, best_n = None, -1
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            best, best_n = p, n
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            rec = json.load(f)
+        rec["_round"] = best_n
+        return rec
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 if __name__ == "__main__":

@@ -290,12 +290,18 @@ def suppress_triples(decoded: DataFrame) -> DataFrame:
     )
 
 
-def refine_types(triples_raw: DataFrame, mentions: DataFrame):
+def refine_types(triples_raw: DataFrame, mentions: DataFrame,
+                 materialize=None):
     """O7 — first kept relation naming a span assigns its type.
 
     Returns (triples, mentions_refined). Acceptance order is score-desc with
     the span tiebreak (identical to the suppression order); within one triple
     the subject slot precedes the object slot, hence seq = 2*rank + slot.
+
+    ``materialize`` (e.g. ``lambda df: df.localCheckpoint(eager=False)``)
+    pins the shared refined-type map so the two outputs don't each recompute
+    the window+melt ranking — round-1 VERDICT item #3 counted this double
+    build in the serial stage floor.
 
     Implementation note: the triple rows are melted to one row per (triple,
     slot) so the refined-type map joins exactly once, then pivoted back with
@@ -332,6 +338,8 @@ def refine_types(triples_raw: DataFrame, mentions: DataFrame):
         .select("conv_id", "turn_idx", "start", "end",
                 F.col("ner").alias("refined"))
     )
+    if materialize is not None:
+        refined_map = materialize(refined_map)
     triples = (
         melted.drop("ner", "seq")
         .join(refined_map, ["conv_id", "turn_idx", "start", "end"], "left")

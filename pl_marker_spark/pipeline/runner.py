@@ -39,15 +39,32 @@ def run_extraction(
     materialized + resumable; without one the plan stays lazy end-to-end.
 
     granularity: "fine" checkpoints every intermediate (best resume
-    resolution, used by tests); "coarse" checkpoints only the mandated
-    stage boundaries (span-pack, NER, RE) — fewer materialization barriers,
-    the production/bench configuration."""
+    resolution, used by tests); "coarse" parquet-checkpoints only the
+    north-rule-mandated stage boundaries (span-pack → packed_ner, NER →
+    mentions, RE → triples; link/canonicalize are in build_graph), pins
+    multi-consumer intermediates in memory, and leaves single-consumer
+    stages lazy — the production/bench configuration (round-1 VERDICT
+    item #3: every extra parquet barrier is serial driver floor).
+
+    Coarse memory pins and why:
+    - turns_tok: consumed by span-pack, RE repack and graph surfaces;
+    - pair_scores: fuse_and_decode self-joins it — left lazy, the RE
+      inference UDF would run twice (once per join branch);
+    - triples_raw: consumed by both refine_types outputs."""
     fine = granularity == "fine"
+    coarse_parquet = {"packed_ner", "mentions", "triples"}
+    coarse_mem = {"turns_tok", "pair_scores", "triples_raw"}
 
     def ck(name: str, build, always: bool = False):
-        if store is None or not (fine or always):
+        if store is None:
             return build()
-        return store.stage(name, build)
+        if fine:
+            return store.stage(name, build)
+        if name in coarse_parquet:
+            return store.stage(name, build)
+        if name in coarse_mem:
+            return build().localCheckpoint()
+        return build()
 
     turns_tok = ck("turns_tok", lambda: assemble(transcripts), always=True)
     if cfg.segment_turns > 0:
@@ -93,21 +110,18 @@ def run_extraction(
             else fuse_and_decode(pair_scores)
         )
     triples_raw = ck("triples_raw", lambda: suppress_triples(decoded))
-    if store is not None and not fine:
-        # consumed by both triples and mentions_refined — pin in memory
-        # instead of a parquet checkpoint
-        triples_raw = triples_raw.localCheckpoint()
 
-    def build_final():
-        t, _ = refine_types(triples_raw, mentions)
-        return t
-
-    def build_refined():
-        _, m = refine_types(triples_raw, mentions)
-        return m
-
-    triples = ck("triples", build_final, always=True)
-    mentions_refined = ck("mentions_refined", build_refined, always=True)
+    # one refine_types build: the shared refined-type map is pinned lazily
+    # so the triples and mentions_refined outputs don't recompute it
+    triples_df, refined_df = refine_types(
+        triples_raw, mentions,
+        materialize=(
+            (lambda df: df.localCheckpoint(eager=False))
+            if store is not None else None
+        ),
+    )
+    triples = ck("triples", lambda: triples_df, always=True)
+    mentions_refined = ck("mentions_refined", lambda: refined_df, always=True)
     return {
         "turns_tok": turns_tok,
         "packed_ner": packed_ner,

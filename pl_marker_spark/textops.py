@@ -72,13 +72,16 @@ def word_shingles(col, k: int = 3):
     )
 
 
-def minhash_signature(shingles_col, n_perms: int = MINHASH_PERMS):
-    """Affine MinHash: one portable 32-bit hash per shingle, ``n_perms``
-    (A·h + B) mod P minima."""
-    hs = F.transform(shingles_col, lambda s: phash64(s, "sh", chars=8))
+def minhash_signature(hs_col, n_perms: int = MINHASH_PERMS):
+    """Affine MinHash minima over a *materialized* per-shingle hash column.
+
+    ``hs_col`` must be a plain column reference (not the hash expression
+    itself): inlining the md5 transform into all n_perms outputs makes
+    Catalyst compute it n_perms times per row — a measured 2x on the whole
+    query; a named column behind a projection boundary hashes once."""
     return [
         F.array_min(
-            F.transform(hs, lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P))
+            F.transform(hs_col, lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P))
         ).alias(f"mh{i}")
         for i in range(n_perms)
     ]
@@ -126,7 +129,10 @@ def minhash_candidates(documents: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col)).alias("sh"),
     )
-    sigs = base.select("id", *minhash_signature(F.col("sh")))
+    hashed = base.select(
+        "id", F.transform("sh", lambda s: phash64(s, "sh", chars=8)).alias("hs")
+    )
+    sigs = hashed.select("id", *minhash_signature(F.col("hs")))
     pairs = (
         salted_pair_join(_banded_ids(sigs), ["band", "bkey"], "id")
         .select("id", "b_id")
@@ -156,10 +162,16 @@ def simhash_docs(documents: DataFrame, id_col: str = "doc_id",
     hashes once; the 32 per-bit sums reuse the hash array (round 1 hashed
     every token 32 times)."""
     toks = F.split(F.col(text_col), " ")
-    hs = F.transform(toks, lambda t: phash64(t, "sim", chars=8))
+    hashed = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        # materialized once behind a projection boundary — inlining this
+        # transform into the 32 bit-sum outputs would hash every token 32x
+        F.transform(toks, lambda t: phash64(t, "sim", chars=8)).alias("hs"),
+    )
     bit_sums = [
         F.aggregate(
-            hs,
+            F.col("hs"),
             F.lit(0),
             lambda acc, h: acc
             + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
@@ -170,10 +182,7 @@ def simhash_docs(documents: DataFrame, id_col: str = "doc_id",
     for j, bs in enumerate(bit_sums):
         bit = F.when(bs > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long")
         fp = bit if fp is None else (fp + bit)
-    return documents.select(
-        F.col(id_col).alias("doc_id"), fp.alias("simhash"),
-        F.size(toks).cast("long").alias("n_tokens"),
-    )
+    return hashed.select("doc_id", fp.alias("simhash"), "n_tokens")
 
 
 def simhash_neardup(documents: DataFrame) -> DataFrame:
