@@ -38,6 +38,10 @@ class PipelineConfig:
     group_axis: int = 0                  # 0=start, 1=end (random axis not supported:
                                          # determinism is a pipeline invariant)
     group_sort: bool = False
+    # --- tokenizer family (run_acener.py:124-162) ---
+    tokenizer_family: str = "bert"       # "bert" (wordpiece ##) | "roberta"
+                                         # (prefix-space Ġ + P2 punctuation
+                                         # classifier — different alignment)
     # --- model selection (reference MODEL_CLASSES, run_acener.py:75-87) ---
     model: str = "surrogate"             # "surrogate" (gazetteer heads) |
                                          # "packed_linear" (seeded linear heads

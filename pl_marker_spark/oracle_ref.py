@@ -38,11 +38,11 @@ def _overlap(a, b) -> bool:
     return (b[0] <= a[0] <= b[1]) or (a[0] <= b[0] <= a[1])
 
 
-def _conv_structures(turn_texts: list[str]):
+def _conv_structures(turn_texts: list[str], family: str = "bert"):
     """words / subwords / alignment prefix sums for one conversation."""
     turn_words = [split_words(t) for t in turn_texts]
     words = [w for tw in turn_words for w in tw]
-    pieces = [tokenize_word(w) for w in words]
+    pieces = [tokenize_word(w, family) for w in words]
     lens = [len(p) for p in pieces]
     subwords = [p for pl in pieces for p in pl]
     t2s = [0] + list(itertools.accumulate(lens))
@@ -80,7 +80,7 @@ def oracle_ner(conv_turns: dict[str, list[str]], cfg: PipelineConfig):
     mentions = []
     raw = []
     for cid, texts in conv_turns.items():
-        words, subwords, t2s, wb, sb = _conv_structures(texts)
+        words, subwords, t2s, wb, sb = _conv_structures(texts, cfg.tokenizer_family)
         for n in range(len(texts)):
             win, off = _window(subwords, sb, n, budget, truncate=False)
             spans = []
@@ -110,7 +110,8 @@ def oracle_ner(conv_turns: dict[str, list[str]], cfg: PipelineConfig):
                     preds_l.extend(k_.tolist())
                 probs, preds = probs_l, preds_l
             else:
-                surfaces = [surface_of_span(win, lo, hi) for lo, hi, _, _ in spans]
+                surfaces = [surface_of_span(win, lo, hi, cfg.tokenizer_family)
+                            for lo, hi, _, _ in spans]
                 probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
             sent_results = []
             for (lo, hi, ws, we), p, k in zip(spans, probs, preds):
@@ -150,7 +151,7 @@ def oracle_two_stage(conv_turns: dict[str, list[str]], cfg: PipelineConfig,
     budget = cfg.budget_ner()
     mentions = []
     for cid, texts in conv_turns.items():
-        words, subwords, t2s, wb, sb = _conv_structures(texts)
+        words, subwords, t2s, wb, sb = _conv_structures(texts, cfg.tokenizer_family)
         for n in range(len(texts)):
             local = words[wb[n] : wb[n + 1]]
             cands = [
@@ -167,7 +168,8 @@ def oracle_two_stage(conv_turns: dict[str, list[str]], cfg: PipelineConfig,
                 (t2s[ws] - off + 1, t2s[we + 1] - off, ws, we)
                 for ws, we in cands
             ]
-            surfaces = [surface_of_span(win, lo, hi) for lo, hi, _, _ in spans]
+            surfaces = [surface_of_span(win, lo, hi, cfg.tokenizer_family)
+                        for lo, hi, _, _ in spans]
             probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
             sent_results = []
             for (lo, hi, ws, we), p, k in zip(spans, probs, preds):
@@ -203,7 +205,7 @@ def oracle_re(conv_turns: dict[str, list[str]], mentions, cfg: PipelineConfig):
     triples = []
     refined = []
     for cid, texts in conv_turns.items():
-        words, subwords, t2s, wb, sb = _conv_structures(texts)
+        words, subwords, t2s, wb, sb = _conv_structures(texts, cfg.tokenizer_family)
         for n in range(len(texts)):
             ments = by_turn.get((cid, n), [])
             if not ments:
@@ -401,7 +403,7 @@ def oracle_levitated(conv_turns: dict[str, list[str]], mentions,
         v.sort()
     triples, refined = [], []
     for cid, texts in conv_turns.items():
-        words, subwords, t2s, wb, sb = _conv_structures(texts)
+        words, subwords, t2s, wb, sb = _conv_structures(texts, cfg.tokenizer_family)
         for n in range(len(texts)):
             ments = by_turn.get((cid, n), [])
             if not ments:

@@ -26,26 +26,30 @@ TURNS_TOK_SCHEMA = (
 )
 
 
-def _tokenize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    memo: dict[str, list[str]] = {}
+def _make_tokenize_batch(family: str):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
 
-    def pieces(w: str) -> list[str]:
-        v = memo.get(w)
-        if v is None:
-            v = tokenize_word(w)
-            memo[w] = v
-        return v
+        def pieces(w: str) -> list[str]:
+            v = memo.get(w)
+            if v is None:
+                v = tokenize_word(w, family)
+                memo[w] = v
+            return v
 
-    for pdf in batches:
-        words_col = [split_words(t) for t in pdf["text"]]
-        piece_col = [[pieces(w) for w in ws] for ws in words_col]
-        out = pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]].copy()
-        out["words"] = words_col
-        out["subwords"] = [[p for pl in pls for p in pl] for pls in piece_col]
-        out["sw_counts"] = [[len(pl) for pl in pls] for pls in piece_col]
-        yield out
+        for pdf in batches:
+            words_col = [split_words(t) for t in pdf["text"]]
+            piece_col = [[pieces(w) for w in ws] for ws in words_col]
+            out = pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]].copy()
+            out["words"] = words_col
+            out["subwords"] = [[p for pl in pls for p in pl] for pls in piece_col]
+            out["sw_counts"] = [[len(pl) for pl in pls] for pls in piece_col]
+            yield out
+
+    return run
 
 
-def assemble(transcripts: DataFrame) -> DataFrame:
+def assemble(transcripts: DataFrame, family: str = "bert") -> DataFrame:
     """transcripts -> turns_tok (adds words + per-word subword counts)."""
-    return transcripts.mapInPandas(_tokenize_batch, schema=TURNS_TOK_SCHEMA)
+    return transcripts.mapInPandas(_make_tokenize_batch(family),
+                                   schema=TURNS_TOK_SCHEMA)

@@ -66,7 +66,8 @@ def make_infer_fn(cfg: PipelineConfig):
                     # fast exact scorer: one gazetteer scan per window instead
                     # of O(spans) surface joins (see surrogate.ner_fast_scores
                     # for the bit-identity argument)
-                    kept, probs, preds = ner_fast_scores(window, los, his)
+                    kept, probs, preds = ner_fast_scores(
+                        window, los, his, cfg.tokenizer_family)
                 k = len(kept)
                 if k == 0:
                     continue

@@ -66,7 +66,9 @@ def run_extraction(
             return build().localCheckpoint()
         return build()
 
-    turns_tok = ck("turns_tok", lambda: assemble(transcripts), always=True)
+    turns_tok = ck("turns_tok",
+                   lambda: assemble(transcripts, cfg.tokenizer_family),
+                   always=True)
     if cfg.segment_turns > 0:
         from .repack import repack_re_segmented
         from .spanpack import spanpack_ner_segmented

@@ -71,7 +71,7 @@ for _surf, _label in GAZETTEER.items():
     _PHRASE_BY_FIRST.setdefault(_ws[0], []).append((_ws, _label))
 
 
-def ner_fast_scores(window: list[str], win_s, win_e):
+def ner_fast_scores(window: list[str], win_s, win_e, family: str = "bert"):
     """Exact fast path for the surrogate NER head over one packed group.
 
     Instead of materializing every candidate span's surface (O(spans) string
@@ -81,18 +81,23 @@ def ner_fast_scores(window: list[str], win_s, win_e):
     ner_logits_for_surfaces + ner_decode and dropping NIL rows, because
     non-matching spans decode to NIL and are filtered (O1) anyway.
 
+    ``family`` selects the word-rebuild convention (## continuations vs
+    Ġ-prefixed heads) — must match the tokenizer that built the window.
+
     Returns (kept_positions, probs, label_indices) as numpy arrays."""
+    from .tokenizer import G, _starts_word
+
     words: list[str] = []
     first_sub: list[int] = []
     last_sub: list[int] = []
     for i, p in enumerate(window):
-        if p.startswith("##") and words:
-            words[-1] += p[2:]
-            last_sub[-1] = i
-        else:
-            words.append(p)
+        if _starts_word(p, family, not words):
+            words.append(p[1:] if family == "roberta" and p.startswith(G) else p)
             first_sub.append(i)
             last_sub.append(i)
+        else:
+            words[-1] += p[2:] if p.startswith("##") else p
+            last_sub[-1] = i
     matches: dict[tuple[int, int], str] = {}
     for i, w in enumerate(words):
         for ws_tuple, _label in _PHRASE_BY_FIRST.get(w, ()):
