@@ -46,14 +46,21 @@ def run_extraction(
     stages lazy — the production/bench configuration (round-1 VERDICT
     item #3: every extra parquet barrier is serial driver floor).
 
-    Coarse memory pins and why:
-    - turns_tok: consumed by span-pack, RE repack and graph surfaces;
-    - pair_scores: fuse_and_decode self-joins it — left lazy, the RE
-      inference UDF would run twice (once per join branch);
-    - triples_raw: consumed by both refine_types outputs."""
+    Coarse materialization choices and why:
+    - turns_tok (parquet): consumed by span-pack, RE repack and graph
+      surfaces — at 10^6-turn scale the words+subwords arrays are too big
+      to pin on-heap (a localCheckpoint here cost ~2x e2e at 32 threads /
+      8 GB heap via eviction+GC churn — measured, BENCH.md round 2);
+    - pair_scores (parquet): fuse_and_decode self-joins it — left lazy,
+      the RE inference UDF runs twice (once per join branch, and twice the
+      whole upstream repack); parquet materializes inference exactly once
+      and doubles as the resumable RE-scores stage;
+    - triples_raw (memory): small (one row per kept pair) and consumed by
+      both refine_types outputs."""
     fine = granularity == "fine"
-    coarse_parquet = {"packed_ner", "mentions", "triples"}
-    coarse_mem = {"turns_tok", "pair_scores", "triples_raw"}
+    coarse_parquet = {"packed_ner", "mentions", "triples", "turns_tok",
+                      "pair_scores"}
+    coarse_mem = {"triples_raw"}
 
     def ck(name: str, build, always: bool = False):
         if store is None:

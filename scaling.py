@@ -20,6 +20,10 @@ import sys
 from datetime import datetime, timezone
 
 
+def _loadavg() -> float:
+    return os.getloadavg()[0]
+
+
 def run_at(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
     # scaling runs use a corpus big enough to be compute-bound at 32 cores:
@@ -54,8 +58,21 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     lo, hi = 8, 32
-    r_lo = run_at(lo, sf_dir)
-    r_hi = run_at(hi, sf_dir)
+    # best-of-N per leg: this sandbox shares its host with neighbor load
+    # (observed 1-min loadavg 10-20 with zero processes of ours running),
+    # so a single sample conflates scaling with interference; the per-leg
+    # minimum is the least-interfered estimate. Leg order alternates to
+    # decorrelate slow host drift; ambient load is recorded per sample.
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1"))
+    samples: dict[int, list[dict]] = {lo: [], hi: []}
+    loads: dict[int, list[float]] = {lo: [], hi: []}
+    for rep in range(reps):
+        order = (lo, hi) if rep % 2 == 0 else (hi, lo)
+        for cpus in order:
+            loads[cpus].append(round(_loadavg(), 1))
+            samples[cpus].append(run_at(cpus, sf_dir))
+    r_lo = min(samples[lo], key=lambda r: r["queries"]["kg_pipeline_e2e"])
+    r_hi = min(samples[hi], key=lambda r: r["queries"]["kg_pipeline_e2e"])
     thr_lo = r_lo["triples_per_sec"]
     thr_hi = r_hi["triples_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -72,6 +89,11 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "total_sec_lo": r_lo["value"],
         "total_sec_hi": r_hi["value"],
+        "reps": reps,
+        "e2e_samples_lo": [r["queries"]["kg_pipeline_e2e"] for r in samples[lo]],
+        "e2e_samples_hi": [r["queries"]["kg_pipeline_e2e"] for r in samples[hi]],
+        "ambient_load_lo": loads[lo],
+        "ambient_load_hi": loads[hi],
     }
     print(json.dumps(result))
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
@@ -85,6 +107,10 @@ def main() -> None:
             f"Triples/sec scaling efficiency {lo}→{hi} cores "
             f"(per north rule, ≥0.8 target): **{result['scaling_efficiency']}**"
             f" (wall-clock efficiency {round(wall_eff,3)}; {result['triples']} triples).\n"
+            f"Best of {reps} rep(s)/leg; e2e samples lo={result['e2e_samples_lo']} "
+            f"hi={result['e2e_samples_hi']}; ambient 1-min load before each "
+            f"sample lo={result['ambient_load_lo']} hi={result['ambient_load_hi']} "
+            f"(shared host — neighbor interference documented in BENCH.md).\n"
         )
 
 

@@ -87,3 +87,51 @@ def test_stateful_stream_conversations_span_batches(spark, corpus, tmp_path_fact
         for r in spark.read.parquet(f"{outdir}/triples").collect()
     }
     assert got == _expected_triples(corpus)
+
+
+def test_stateful_handler_orphan_timeout_drops_state():
+    """Orphaned partial conversations (turns after their end marker, or a
+    feed that never sends one) are dropped on processing-time timeout so
+    the state store stays bounded (round-1 ADVICE). Exercised directly on
+    the handler with a fake GroupState — the availableNow test triggers
+    can't fire a timeout deterministically."""
+    import pandas as pd
+
+    from pl_marker_spark.streaming import _make_state_handler
+
+    class FakeState:
+        def __init__(self, timed_out):
+            self.hasTimedOut = timed_out
+            self.exists = False
+            self.removed = False
+            self.updated = None
+            self.timeout_ms = None
+
+        @property
+        def get(self):
+            raise AssertionError("state.get on empty state")
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    handler = _make_state_handler(DEFAULT_CONFIG, orphan_timeout_ms=1234)
+
+    # timed-out orphan: state removed, nothing emitted
+    st = FakeState(timed_out=True)
+    out = list(handler(("cZ",), iter(()), st))
+    assert st.removed and out == []
+
+    # normal partial batch: state updated and the timeout armed
+    st2 = FakeState(timed_out=False)
+    pdf = pd.DataFrame(
+        [("cZ", 0, "user", "hello there", None, None)],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    out2 = list(handler(("cZ",), iter([pdf]), st2))
+    assert out2 == [] and st2.updated is not None and st2.timeout_ms == 1234
