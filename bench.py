@@ -59,8 +59,14 @@ def main() -> None:
         synth.transcripts_df(spark, n_convs).write.parquet(tdir)
         transcripts = spark.read.parquet(tdir)
         t0 = time.time()
+        from dataclasses import replace as _replace
+
+        # production profile: conversation-local fused decode (no scored-pair
+        # shuffle); equality with the relational reference path is
+        # pytest-gated (tests/test_variants.py)
+        bench_cfg = _replace(DEFAULT_CONFIG, re_decode="grouped")
         store = CheckpointStore(spark, f"{workdir}/ck", run_id="bench")
-        out = run_full_pipeline(spark, transcripts, DEFAULT_CONFIG, store,
+        out = run_full_pipeline(spark, transcripts, bench_cfg, store,
                                 granularity="coarse")
         n_triples = out["triples"].count()
         n_edges = out["edges"].count()

@@ -28,6 +28,13 @@ class PipelineConfig:
     eval_softmax: bool = False
     eval_unidirect: bool = False         # ablation: skip bidirectional fusion
                                          # (run_re.py:899-988)
+    re_decode: str = "relational"        # "relational": pair_scores table +
+                                         # self-join fusion (semantic
+                                         # reference, driver-oracle-gated) |
+                                         # "grouped": conversation-local
+                                         # fuse+suppress inside the repack
+                                         # cogroup — no pair-table shuffle;
+                                         # the production profile
     levitated_pairs: bool = False        # C4 all-pairs levitated variant
                                          # (run_levitatedpair.py:282-322):
                                          # both mentions levitated, forward-only

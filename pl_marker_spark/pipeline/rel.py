@@ -257,6 +257,70 @@ def decode_unidirect(pair_scores: DataFrame, mentions: DataFrame) -> DataFrame:
     )
 
 
+def fuse_suppress_turn(pair_scores: dict, cfg: PipelineConfig) -> list[tuple]:
+    """Conversation-local O4/O5/O6 (run_re.py:783-852) over one turn's
+    insertion-ordered pair dict {(m1, m2): (logits, obj_ner)} — the kernel
+    of the ``re_decode="grouped"`` path. Returns kept rows
+    (score, m1, m2, label_idx, m1_ner, m2_ner) after greedy suppression.
+
+    Exists alongside the relational fuse_and_decode/suppress_triples pair:
+    the relational form is the semantic reference (self-join + zip_with,
+    oracle-gated by the driver); this form runs where the pairs already
+    live — inside the per-conversation repack group — so the widest
+    intermediate (one row per scored pair) never enters a shuffle or a
+    parquet round-trip. Equality of the two paths (and the oracle) is
+    asserted in tests/test_variants.py."""
+    sent_results = []
+    visited = set()
+    for k1, (v1, m2_ner) in pair_scores.items():
+        if k1 in visited:
+            continue
+        visited.add(k1)
+        if m2_ner == "NIL":
+            continue
+        m1, m2 = k1
+        if m1 == m2:
+            continue
+        k2 = (m2, m1)
+        if k2 not in pair_scores:
+            raise AssertionError(
+                f"orientation-unpaired RE pair {k2} (run_re.py:809 invariant)")
+        visited.add(k2)
+        v2, m1_ner = pair_scores[k2]
+        v2p = list(v2[:NUM_SYM]) + list(v2[NUM_REL:]) + list(v2[NUM_SYM:NUM_REL])
+        fused = [a + b for a, b in zip(v1, v2p)]
+        if m1_ner == "NIL":
+            continue
+        pred = max(range(len(fused)), key=fused.__getitem__)
+        if pred > 0:
+            if pred >= NUM_REL:
+                pred = pred - NUM_REL + NUM_SYM
+                m1, m2 = m2, m1
+                m1_ner, m2_ner = m2_ner, m1_ner
+            # score-slot quirk preserved (run_re.py:814-821): read the
+            # forward label slot of the first-visited orientation's vector
+            sent_results.append((fused[pred], m1, m2, pred, m1_ner, m2_ner))
+    sent_results.sort(key=lambda x: (-x[0], x[1], x[2]))
+    kept = []
+    for item in sent_results:
+        clash = False
+        for other in kept:
+            if (
+                item[3] == other[3]
+                and _overlap_t(item[1], other[1])
+                and _overlap_t(item[2], other[2])
+            ):
+                clash = True
+                break
+        if not clash:
+            kept.append(item)
+    return kept
+
+
+def _overlap_t(a, b) -> bool:
+    return (b[0] <= a[0] <= b[1]) or (a[0] <= b[0] <= a[1])
+
+
 def _suppress_re(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(
         ["score", "s1", "e1", "s2", "e2"], ascending=[False, True, True, True, True]

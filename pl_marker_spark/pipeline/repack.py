@@ -79,6 +79,88 @@ def repack_re(turns_tok: DataFrame, mentions: DataFrame, cfg: PipelineConfig) ->
     )
 
 
+def repack_decode_re(turns_tok: DataFrame, mentions: DataFrame,
+                     cfg: PipelineConfig) -> DataFrame:
+    """``re_decode="grouped"``: one cogrouped pass from (turns, mentions) to
+    suppressed triples — packing, pair scoring, bidirectional fusion and O6
+    suppression all happen conversation-locally (see rel.fuse_suppress_turn).
+
+    Scale rationale: every pair of a turn is generated inside its
+    conversation group by construction, so the scored-pair table (the
+    pipeline's widest intermediate, ~3 rows per mention² per turn) never
+    needs the fusion self-join shuffle or a checkpoint round-trip. The
+    relational path (repack_re → infer_pairs → fuse_and_decode →
+    suppress_triples) remains the driver-oracle-gated reference."""
+    from ..world import NER_LABELS, REL_LABELS
+    from .rel import TRIPLES_RAW_SCHEMA, _score_transform, fuse_suppress_turn
+
+    budget = cfg.budget_re()
+    use_ner = cfg.use_ner_results
+    transform = _score_transform(cfg)
+    tensor_head = cfg.model == "packed_linear"
+
+    def run(key, turns_pdf: pd.DataFrame, mentions_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
+                "score", "m1_ner", "m2_ner"]
+        if mentions_pdf.empty or turns_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        turns_pdf, idx = _conv_index_from_rows(turns_pdf)
+        cid = key[0]
+        tid_to_ord = {int(t): n for n, t in enumerate(turns_pdf["turn_idx"])}
+        by_turn: dict[int, list[tuple[int, int, str]]] = {}
+        for r in mentions_pdf.itertuples(index=False):
+            by_turn.setdefault(int(r.turn_idx), []).append(
+                (int(r.start), int(r.end), r.label)
+            )
+        rows = []
+        for tid, ments in sorted(by_turn.items()):
+            ments.sort()
+            n = tid_to_ord[tid]
+            win = context_window(idx, n, budget, truncate=True)
+            pair_scores: dict[tuple, tuple[list[float], str]] = {}
+            for inst in subject_instances(idx, n, win, ments, cfg):
+                if tensor_head:
+                    from ..kernels import assemble_re_tensors
+                    from ..models import re_head_logits
+
+                    ii, pi, att, subpos = assemble_re_tensors(
+                        inst.tokens, inst.sub_win,
+                        [(o[0], o[1]) for o in inst.objects],
+                        cfg.max_seq_length_re, cfg.max_pair_length_re)
+                    mat, aux = re_head_logits(
+                        ii, pi, att, subpos, len(inst.objects),
+                        cfg.max_seq_length_re)
+                else:
+                    from ..surrogate import aux_obj_ner, re_logits_for_pair
+
+                    sub_surface = " ".join(
+                        idx.words[inst.sub_word[0] : inst.sub_word[1] + 1])
+                for k, (_l, _r, olabel, ows, owe) in enumerate(inst.objects):
+                    if tensor_head:
+                        v = mat[k].tolist()
+                        ner = olabel if use_ner else NER_LABELS[int(aux[k].argmax())]
+                    else:
+                        osurf = " ".join(idx.words[ows : owe + 1])
+                        v = re_logits_for_pair(sub_surface, osurf)
+                        ner = olabel if use_ner else aux_obj_ner(osurf)
+                    pair_scores[(inst.sub_word, (ows, owe))] = (
+                        transform(v) if transform else v, ner)
+            for score, m1, m2, pred, n1, n2 in fuse_suppress_turn(pair_scores, cfg):
+                rows.append((cid, tid, m1[0], m1[1], m2[0], m2[1],
+                             REL_LABELS[pred], float(score), n1, n2))
+        out = pd.DataFrame(rows, columns=cols)
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        for c in ("s1", "e1", "s2", "e2"):
+            out[c] = out[c].astype("int32")
+        return out
+
+    return (
+        turns_tok.groupBy("conv_id")
+        .cogroup(mentions.groupBy("conv_id"))
+        .applyInPandas(run, schema=TRIPLES_RAW_SCHEMA)
+    )
+
+
 def repack_re_segmented(
     turns_tok: DataFrame, mentions: DataFrame, cfg: PipelineConfig,
     seg_turns: int = 64,

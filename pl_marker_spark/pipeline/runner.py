@@ -102,6 +102,18 @@ def run_extraction(
                        always=True)
         pair_scores = ck("pair_scores", lambda: decode_levitated(packed_re, cfg))
         decoded = pair_scores
+    elif (cfg.re_decode == "grouped" and not cfg.eval_unidirect
+          and cfg.segment_turns == 0):
+        # production profile: packing + scoring + fusion + suppression in
+        # one conversation-local cogroup — the scored-pair table never
+        # shuffles (see repack.repack_decode_re)
+        from .repack import repack_decode_re
+
+        packed_re = pair_scores = None
+        triples_raw = ck(
+            "triples_raw", lambda: repack_decode_re(turns_tok, mentions, cfg),
+            always=True,
+        )
     else:
         if cfg.segment_turns > 0:
             packed_re = ck(
@@ -118,7 +130,9 @@ def run_extraction(
             if cfg.eval_unidirect
             else fuse_and_decode(pair_scores)
         )
-    triples_raw = ck("triples_raw", lambda: suppress_triples(decoded))
+    if not (cfg.re_decode == "grouped" and not cfg.eval_unidirect
+            and not cfg.levitated_pairs and cfg.segment_turns == 0):
+        triples_raw = ck("triples_raw", lambda: suppress_triples(decoded))
 
     # one refine_types build: the shared refined-type map is pinned lazily
     # so the triples and mentions_refined outputs don't recompute it

@@ -44,6 +44,11 @@ def main(argv: list[str]) -> int:
                     default="surrogate",
                     help="registered head: gazetteer surrogate or the "
                          "tensor-consuming packed linear head (models.py)")
+    ap.add_argument("--re-decode", choices=("grouped", "relational"),
+                    default="grouped",
+                    help="RE fusion path: conversation-local grouped decode "
+                         "(production; no pair-table shuffle) or the "
+                         "relational self-join reference")
     ap.add_argument("--with-eval", action="store_true",
                     help="score vs synthetic gold and write a metrics table "
                          "(synthetic input only)")
@@ -70,6 +75,7 @@ def main(argv: list[str]) -> int:
         use_typemarker=args.use_typemarker,
         segment_turns=args.segment_turns,
         model=args.model,
+        re_decode=args.re_decode,
     )
     if args.input:
         transcripts = (

@@ -31,8 +31,9 @@ def run_at(cpus: int, sf_dir: str) -> dict:
     # P≈0.044 core-sec/conv, so ≥0.8 efficiency needs P ≥ 88·S → ~70k
     # conversations; 120k gives margin against run-to-run variance.
     env.setdefault("SPARK_GRAFT_CONVS", "120000")
-    env.setdefault("SPARK_DRIVER_MEM", "8g")
+    env.setdefault("SPARK_DRIVER_MEM", "12g")
     env.setdefault("SPARK_SHUFFLE_PARTITIONS", "128")
+    env.setdefault("SPARK_ARROW_BATCH", "8192")
     # Pin the process tree to exactly `cpus` cores: local[N] alone is NOT an
     # N-core machine — its N task threads plus N Arrow/pandas python workers
     # (plus JVM GC/shuffle threads) would spread over every core of the host,

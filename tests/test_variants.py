@@ -195,3 +195,45 @@ def test_levitated_pair_hand_oracle(spark):
     s2 = e1 + 2
     e2 = s2 + len(b.split()) - 1
     assert got == [(label, s1, e1, s2, e2)]
+
+
+def test_grouped_decode_matches_relational_and_oracle(spark):
+    """re_decode="grouped" (conversation-local fuse+suppress, the production
+    profile) == the relational self-join path == the oracle, triple for
+    triple — including scores."""
+    t = synth.transcripts_df(spark, 10)
+
+    def tset(out):
+        return {
+            (r.conv_id, r.turn_idx, r.s1, r.e1, r.s2, r.e2, r.pred,
+             round(r.score, 9), r.subj_type, r.obj_type)
+            for r in out["triples"].collect()
+        }
+
+    rel_out = tset(run_extraction(spark, t, DEFAULT_CONFIG))
+    grp_out = tset(run_extraction(
+        spark, t, replace(DEFAULT_CONFIG, re_decode="grouped")))
+    o = run_oracle(synth.local_corpus(10)[0], DEFAULT_CONFIG)
+    want = {
+        (c, t_, s1, e1, s2, e2, p, round(sc, 9), n1, n2)
+        for c, t_, s1, e1, s2, e2, p, sc, n1, n2 in o["triples"]
+    }
+    assert grp_out == rel_out == want
+    assert len(grp_out) > 20
+
+
+def test_grouped_decode_tensor_head(spark):
+    """Grouped decode composes with the tensor-consuming head."""
+    t = synth.transcripts_df(spark, 3, max_words=14)
+    cfg_rel = replace(DEFAULT_CONFIG, model="packed_linear")
+    cfg_grp = replace(cfg_rel, re_decode="grouped")
+
+    def tset(out):
+        return {
+            (r.conv_id, r.turn_idx, r.s1, r.e1, r.s2, r.e2, r.pred,
+             round(r.score, 9))
+            for r in out["triples"].collect()
+        }
+
+    assert tset(run_extraction(spark, t, cfg_grp)) == \
+        tset(run_extraction(spark, t, cfg_rel))
