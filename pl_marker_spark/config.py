@@ -54,6 +54,11 @@ class PipelineConfig:
                                          # "packed_linear" (seeded linear heads
                                          # consuming the K5 assembled tensors,
                                          # models.py)
+    ner_feature: str = "marker_text4"    # I3 head ablations (packed_linear
+                                         # only; run_acener.py:75-87):
+                                         # "marker_text4" (BertForSpanMarkerNER)
+                                         # | "span2" (BertForSpanNER)
+                                         # | "marker2" (marker-only)
     # --- engine knobs (no reference equivalent) ---
     segment_turns: int = 0               # >0: segmented window assembly for
                                          # unbounded conversations (exact; see

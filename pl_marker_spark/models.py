@@ -53,6 +53,10 @@ def _weights() -> dict[str, np.ndarray]:
         _W["pos"] = rng.standard_normal((MAX_POS, HIDDEN)) * 0.1
         _W["ner_w"] = rng.standard_normal((4 * HIDDEN, NUM_NER)) * 0.2
         _W["ner_b"] = rng.standard_normal(NUM_NER) * 0.05
+        _W["ner_w2_span"] = rng.standard_normal((2 * HIDDEN, NUM_NER)) * 0.2
+        _W["ner_b2_span"] = rng.standard_normal(NUM_NER) * 0.05
+        _W["ner_w2_marker"] = rng.standard_normal((2 * HIDDEN, NUM_NER)) * 0.2
+        _W["ner_b2_marker"] = rng.standard_normal(NUM_NER) * 0.05
         _W["re_sub"] = rng.standard_normal((2 * HIDDEN, REL_LOGIT_DIM)) * 0.2
         _W["re_obj"] = rng.standard_normal((2 * HIDDEN, REL_LOGIT_DIM)) * 0.2
         _W["re_b"] = rng.standard_normal(REL_LOGIT_DIM) * 0.05
@@ -72,11 +76,20 @@ def _encode(input_ids: np.ndarray, position_ids: np.ndarray,
     return (a @ h0) / denom
 
 
-def ner_head_logits(input_ids, position_ids, attention, spans, max_seq: int
-                    ) -> np.ndarray:
+def ner_head_logits(input_ids, position_ids, attention, spans, max_seq: int,
+                    feature: str = "marker_text4") -> np.ndarray:
     """(tensors from assemble_ner_tensors, spans=[(lo,hi)...]) ->
-    (P, NUM_NER) logits. Feature per span k: concat of the two marker
-    states and the two text endpoint states (4H)."""
+    (P, NUM_NER) logits.
+
+    ``feature`` selects the I3 head ablation family
+    (run_acener.py:75-87 MODEL_CLASSES):
+    - "marker_text4": concat(marker-start, marker-end, span-start text,
+      span-end text) → 4H linear — BertForSpanMarkerNER
+      (modeling_bert.py:3213-3281), the shipped head;
+    - "span2": concat(span-start text, span-end text) → 2H linear —
+      BertForSpanNER (:3146-3211), no marker states;
+    - "marker2": concat(marker-start, marker-end) → 2H linear — the
+      marker-only ablation."""
     w = _weights()
     h = _encode(input_ids, position_ids, attention)
     P = len(spans)
@@ -84,6 +97,10 @@ def ner_head_logits(input_ids, position_ids, attention, spans, max_seq: int
     m2 = max_seq + P + np.arange(P)
     lo = np.fromiter((s[0] for s in spans), dtype=np.int64, count=P)
     hi = np.fromiter((s[1] for s in spans), dtype=np.int64, count=P)
+    if feature == "span2":
+        return np.concatenate([h[lo], h[hi]], axis=1) @ w["ner_w2_span"] + w["ner_b2_span"]
+    if feature == "marker2":
+        return np.concatenate([h[m1], h[m2]], axis=1) @ w["ner_w2_marker"] + w["ner_b2_marker"]
     feat = np.concatenate([h[m1], h[m2], h[lo], h[hi]], axis=1)
     return feat @ w["ner_w"] + w["ner_b"]
 

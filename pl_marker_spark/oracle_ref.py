@@ -105,7 +105,9 @@ def oracle_ner(conv_turns: dict[str, list[str]], cfg: PipelineConfig):
                     ii, pi, att = assemble_ner_tensors(
                         win, grp, cfg.max_seq_length_ner, dL)
                     p_, k_ = ner_decode(
-                        ner_head_logits(ii, pi, att, grp, cfg.max_seq_length_ner))
+                        ner_head_logits(ii, pi, att, grp,
+                                        cfg.max_seq_length_ner,
+                                        cfg.ner_feature))
                     probs_l.extend(p_.tolist())
                     preds_l.extend(k_.tolist())
                 probs, preds = probs_l, preds_l

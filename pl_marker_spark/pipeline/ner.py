@@ -53,7 +53,9 @@ def make_infer_fn(cfg: PipelineConfig):
                         window, spans, cfg.max_seq_length_ner,
                         cfg.max_pair_length_ner)
                     probs, preds = ner_decode(
-                        ner_head_logits(ii, pi, att, spans, cfg.max_seq_length_ner))
+                        ner_head_logits(ii, pi, att, spans,
+                                        cfg.max_seq_length_ner,
+                                        cfg.ner_feature))
                     kept = np.flatnonzero(preds != 0)  # O1 NIL filter at emit
                     probs, preds = probs[kept], preds[kept]
                 else:

@@ -133,3 +133,43 @@ def test_torch_backend_parity():
         ner_head_logits_torch(ii, pi, att, spans, 32),
         rtol=0, atol=1e-12,
     )
+
+
+def test_ner_feature_ablations(spark, corpus):
+    """I3 head ablations (MODEL_CLASSES 'bertspan'/'bertspanmarker',
+    run_acener.py:75-87): the span-only and marker-only features run
+    end-to-end, pipeline == oracle, and genuinely differ from the shipped
+    4H head (different decisions on the same corpus)."""
+    from pl_marker_spark import synth
+    from pl_marker_spark.oracle_ref import run_oracle
+    from pl_marker_spark.pipeline.runner import run_extraction
+
+    outs = {}
+    for feat in ("span2", "marker2"):
+        cfg = PipelineConfig(model="packed_linear", ner_feature=feat)
+        out = run_extraction(
+            spark, synth.transcripts_df(spark, N_CONVS, max_words=14), cfg)
+        got = {
+            (r.conv_id, r.turn_idx, r.start, r.end, r.label, round(r.score, 9))
+            for r in out["mentions"].collect()
+        }
+        o = run_oracle(corpus[0], cfg)
+        want = {(c, t, s, e, l, round(p, 9)) for c, t, s, e, l, p in o["mentions"]}
+        assert got == want, feat
+        outs[feat] = {x[:5] for x in got}
+    # ablations are real: the three heads disagree somewhere
+    assert outs["span2"] != outs["marker2"]
+
+
+def test_ner_feature_group_invariance():
+    window = ["[CLS]", "alpha", "bo", "cedar", "dim", "echo", "fig", "[SEP]"]
+    spans = _spans_for(window, 6)
+    for feat in ("span2", "marker2"):
+        one = ner_head_logits(
+            *assemble_ner_tensors(window, spans, 64, 16), spans, 64, feat)
+        parts = [
+            ner_head_logits(
+                *assemble_ner_tensors(window, grp, 64, 16), grp, 64, feat)
+            for grp in (spans[:3], spans[3:])
+        ]
+        np.testing.assert_array_equal(one, np.vstack(parts))
