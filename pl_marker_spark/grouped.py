@@ -29,11 +29,19 @@ def sorted_grouped_map(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     schema: str,
     num_partitions: int | None = None,
+    batch: bool = False,
 ) -> DataFrame:
     """Apply ``fn`` to each group of rows sharing ``keys`` (equivalent to
     groupBy().applyInPandas but with per-batch instead of per-group
     overhead). ``fn`` receives one group's rows and returns a DataFrame with
-    columns matching ``schema``."""
+    columns matching ``schema``.
+
+    With ``batch=True`` the per-group pandas dispatch is skipped entirely:
+    ``fn`` receives a *multi-group* frame (every group in it complete, rows
+    key-contiguous) and handles grouping internally — the fast path for
+    numpy kernels over millions of tiny groups, where even one
+    ``DataFrame.__getitem__`` per group dominates the stage (measured ~1 ms
+    per group vs ~μs of actual work for greedy span suppression)."""
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -44,6 +52,8 @@ def sorted_grouped_map(
         carry: pd.DataFrame | None = None
 
         def apply_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+            if batch:
+                return fn(pdf)[out_cols]
             outs = [fn(g) for _, g in pdf.groupby(keys, sort=False)]
             merged = pd.concat(outs, ignore_index=True) if outs else pdf.iloc[0:0]
             return merged[out_cols]

@@ -68,6 +68,7 @@ class Window:
 def context_window(
     idx: ConvIndex, n: int, budget: int, truncate: bool,
     left_total: int | None = None, right_total: int | None = None,
+    materialize: bool = True,
 ) -> Window:
     """Balanced greedy context fill around sentence ``n``; smaller side is
     capped at half first (run_acener.py:212-231). ``truncate`` selects the
@@ -77,10 +78,16 @@ def context_window(
     ``left_total``/``right_total`` override the available-context lengths
     with the *full-conversation* values when ``idx`` covers only a segment
     (spanpack_ner_segmented): the fill decisions depend on them, and a
-    segment margin ≥ budget guarantees any resulting slice fits locally."""
+    segment margin ≥ budget guarantees any resulting slice fits locally.
+
+    ``materialize=False`` computes coordinates only (``tokens`` empty) —
+    for consumers that never read window *content* (the surrogate RE path
+    scores span surfaces; only the K5 tensor/splice paths need tokens), so
+    the caller can skip shipping the ``subwords`` strings entirely."""
     s0, s1 = idx.sent_subword_bounds[n], idx.sent_subword_bounds[n + 1]
+    total = idx.sent_subword_bounds[-1]
     left_len = s0 if left_total is None else left_total
-    right_len = (len(idx.subwords) - s1) if right_total is None else right_total
+    right_len = (total - s1) if right_total is None else right_total
     sent_len = s1 - s0
     half = (budget - sent_len) // 2
     left_ctx = right_ctx = 0
@@ -92,6 +99,12 @@ def context_window(
             right_ctx = min(right_len, half)
             left_ctx = min(left_len, budget - right_ctx - sent_len)
     doc_offset = s0 - left_ctx
+    if not materialize:
+        if not truncate and left_ctx + sent_len + right_ctx > budget:
+            raise ValueError(
+                f"sentence {n} ({sent_len} subwords) exceeds window budget {budget}"
+            )
+        return Window([], doc_offset, s0, s1)
     target = idx.subwords[doc_offset : s1 + right_ctx]
     if truncate:
         target = target[:budget]
@@ -136,6 +149,43 @@ def enumerate_spans_np(
     win_s = t2s[word_s] - doc_offset + 1
     win_e = t2s[word_e + 1] - doc_offset
     return win_s, win_e, word_s, word_e
+
+
+def n_spans_exhaustive(n_words: int, max_mention_len: int) -> int:
+    """Closed form of len(enumerate_spans(...)) for the exhaustive C1 path:
+    sum over word k of min(max_mention_len, n_words - k)."""
+    m = min(max_mention_len, n_words)
+    return m * n_words - m * (m - 1) // 2
+
+
+def reconstruct_spans(
+    first_sub: np.ndarray, last_sub: np.ndarray,
+    sent_off: int, n_words: int, word_off: int, max_mention_len: int,
+):
+    """Inverse of the slim packed_ner encoding: rebuild the exhaustive C1
+    enumeration (win_s, win_e, word_s, word_e) from the window's own
+    word-boundary arrays plus three scalars.
+
+    ``first_sub``/``last_sub`` are the window-token indices of each window
+    word's first/last subword (CLS included as word 0 — the same scan
+    ner_fast_scores performs); ``sent_off`` is the CLS-shifted window-token
+    index of the center sentence's first subword, ``n_words`` the sentence
+    word count, ``word_off`` the conversation-level word index of the
+    sentence's first word. Identical output (values and enumeration order)
+    to enumerate_spans_np over the original conversation index — the
+    round-trip is pytest-gated (test_kernels.test_slim_reconstruction)."""
+    f = int(np.searchsorted(first_sub, sent_off))
+    ks = np.arange(n_words)
+    grid = ks[:, None] + np.arange(max_mention_len)[None, :]
+    mask = grid < n_words
+    rel_s = np.repeat(ks, mask.sum(axis=1))
+    rel_e = grid[mask]
+    return (
+        first_sub[f + rel_s],
+        last_sub[f + rel_e],
+        rel_s + word_off,
+        rel_e + word_off,
+    )
 
 
 def pack_groups(spans: list, cfg: PipelineConfig) -> list[list]:

@@ -173,13 +173,12 @@ def spanpack_from_candidates(turns_tok: DataFrame, candidates: DataFrame,
                              cfg: PipelineConfig) -> DataFrame:
     """C2: packed NER groups restricted to the candidates table — a cogroup
     join instead of exhaustive enumeration (run_ner.py:244-260)."""
-    from .spanpack import PACKED_NER_SCHEMA, _conv_index_from_rows
+    from .spanpack import PACKED_NER_COLS, PACKED_NER_SCHEMA, _conv_index_from_rows
 
     budget = cfg.budget_ner()
 
     def repack(key, turns_pdf: pd.DataFrame, cands_pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["conv_id", "turn_idx", "group_id", "window",
-                "win_s", "win_e", "word_s", "word_e", "example_l"]
+        cols = PACKED_NER_COLS
         if turns_pdf.empty or cands_pdf.empty:
             return pd.DataFrame(columns=cols)
         turns_pdf, idx = _conv_index_from_rows(turns_pdf)
@@ -201,7 +200,8 @@ def spanpack_from_candidates(turns_tok: DataFrame, candidates: DataFrame,
                 rows.append(
                     (key[0], tid, gid, " ".join(win.tokens),
                      [s[0] for s in group], [s[1] for s in group],
-                     [s[2] for s in group], [s[3] for s in group], len(spans))
+                     [s[2] for s in group], [s[3] for s in group], len(spans),
+                     None, None, None)
                 )
         return pd.DataFrame(rows, columns=cols)
 

@@ -33,14 +33,43 @@ MENTIONS_SCHEMA = SPAN_SCORES_SCHEMA
 
 def make_infer_fn(cfg: PipelineConfig):
     tensor_head = cfg.model == "packed_linear"
+    family = cfg.tokenizer_family
+    maxlen = cfg.max_mention_ori_length
+    dL = cfg.max_pair_length_ner
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import reconstruct_spans
+        from ..surrogate import window_word_bounds
+
         for pdf in batches:
             out_conv, out_turn = [], []
             out_s, out_e, out_lab, out_score = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                window = row.window.split(" ")
-                los, his = row.win_s, row.win_e
+            # column-array access instead of itertuples: no per-row
+            # namedtuple construction on the hot path
+            c_conv = pdf["conv_id"].to_numpy()
+            c_turn = pdf["turn_idx"].to_numpy()
+            c_win = pdf["window"].to_numpy()
+            c_gid = pdf["group_id"].to_numpy()
+            c_ws = pdf["win_s"].to_numpy(); c_we = pdf["win_e"].to_numpy()
+            c_wds = pdf["word_s"].to_numpy(); c_wde = pdf["word_e"].to_numpy()
+            c_soff = pdf["sent_off"].to_numpy()
+            c_nw = pdf["n_words"].to_numpy()
+            c_woff = pdf["word_off"].to_numpy()
+            for r in range(len(pdf)):
+                window = c_win[r].split(" ")
+                bounds = window_word_bounds(window, family)
+                if c_ws[r] is None:
+                    # slim row: rebuild this group's exhaustive C1 slice
+                    # from the window's own word boundaries (numpy batch)
+                    lo_f, hi_f, ws_f, we_f = reconstruct_spans(
+                        np.asarray(bounds[1]), np.asarray(bounds[2]),
+                        int(c_soff[r]), int(c_nw[r]), int(c_woff[r]), maxlen)
+                    g0 = int(c_gid[r]) * dL
+                    los = lo_f[g0 : g0 + dL]; his = hi_f[g0 : g0 + dL]
+                    wds = ws_f[g0 : g0 + dL]; wde = we_f[g0 : g0 + dL]
+                else:
+                    los, his = c_ws[r], c_we[r]
+                    wds, wde = np.asarray(c_wds[r]), np.asarray(c_wde[r])
                 if tensor_head:
                     # I1/I5/K5 end-to-end: the packed tensors (interleaved
                     # levitated markers, copied position ids, 2D mask) feed
@@ -69,16 +98,14 @@ def make_infer_fn(cfg: PipelineConfig):
                     # of O(spans) surface joins (see surrogate.ner_fast_scores
                     # for the bit-identity argument)
                     kept, probs, preds = ner_fast_scores(
-                        window, los, his, cfg.tokenizer_family)
+                        window, los, his, family, bounds=bounds)
                 k = len(kept)
                 if k == 0:
                     continue
-                out_conv.extend([row.conv_id] * k)
-                out_turn.extend([row.turn_idx] * k)
-                ws = np.asarray(row.word_s)[kept]
-                we = np.asarray(row.word_e)[kept]
-                out_s.extend(ws.tolist())
-                out_e.extend(we.tolist())
+                out_conv.extend([c_conv[r]] * k)
+                out_turn.extend([c_turn[r]] * k)
+                out_s.extend(wds[kept].tolist())
+                out_e.extend(wde[kept].tolist())
                 out_lab.extend(NER_LABELS[p] for p in preds)
                 out_score.extend(probs.tolist())
             yield pd.DataFrame(
@@ -130,16 +157,63 @@ def make_suppress_fn(cfg: PipelineConfig):
     return suppress
 
 
+def make_suppress_batch_fn(cfg: PipelineConfig):
+    """Batch form of O3: one vectorized sort over the whole Arrow batch,
+    then a single flat pass with group resets — no per-group pandas calls.
+    Row-identical to make_suppress_fn applied per group (the per-group form
+    stays as the property-test reference): the batch sort (keys asc, score
+    desc, span asc) concatenates exactly the per-group sorted orders, and
+    the greedy scan resets its kept-set at each key change."""
+    overlap_any = cfg.overlap_any
+
+    def suppress(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["conv_id", "turn_idx", "score", "start", "end"],
+            ascending=[True, True, False, True, True],
+        ).reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            return pdf
+        s = pdf["start"].to_numpy()
+        e = pdf["end"].to_numpy()
+        lab = pd.factorize(pdf["label"])[0]
+        cid = pdf["conv_id"].to_numpy()
+        tid = pdf["turn_idx"].to_numpy()
+        new_group = np.ones(n, dtype=bool)
+        new_group[1:] = (cid[1:] != cid[:-1]) | (tid[1:] != tid[:-1])
+        keep = np.zeros(n, dtype=bool)
+        ks: list[int] = []
+        ke: list[int] = []
+        kl: list[int] = []
+        for i in range(n):
+            if new_group[i]:
+                ks.clear(); ke.clear(); kl.clear()
+            si = s[i]; ei = e[i]; li = lab[i]
+            clash = False
+            for j in range(len(ks)):
+                if si <= ke[j] and ks[j] <= ei and (overlap_any or li == kl[j]):
+                    clash = True
+                    break
+            if not clash:
+                keep[i] = True
+                ks.append(si); ke.append(ei); kl.append(li)
+        return pdf[keep]
+
+    return suppress
+
+
 def suppress_mentions(span_scores: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """O3 greedy suppression -> mentions table.
 
-    Runs as a sorted-partition grouped map (grouped.sorted_grouped_map):
-    one shuffle keyed by turn, one pandas call per Arrow batch — the
-    per-(conv,turn) group count is huge and groups are tiny, so per-group
-    applyInPandas overhead would dominate (measured 77s -> ~5s at sf0.1)."""
+    Runs as a sorted-partition grouped map (grouped.sorted_grouped_map)
+    in batch mode: one shuffle keyed by turn, one pandas call per Arrow
+    batch, one flat numpy scan per batch — the per-(conv,turn) group count
+    is huge and groups are tiny, so per-group pandas dispatch dominated the
+    stage (round-2 measurement: ~10 s of a 13 s stage at sf0.1 was group
+    dispatch; the batch kernel removes it)."""
     from ..grouped import sorted_grouped_map
 
     return sorted_grouped_map(
-        span_scores, ["conv_id", "turn_idx"], make_suppress_fn(cfg),
-        MENTIONS_SCHEMA,
+        span_scores, ["conv_id", "turn_idx"], make_suppress_batch_fn(cfg),
+        MENTIONS_SCHEMA, batch=True,
     )

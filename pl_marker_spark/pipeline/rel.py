@@ -344,13 +344,54 @@ def _suppress_re(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.iloc[kept]
 
 
+def _suppress_re_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch form of O6 (see ner.make_suppress_batch_fn for the pattern):
+    one whole-batch sort, one flat greedy scan with kept-set resets at each
+    (conv_id, turn_idx) change. Row-identical to _suppress_re per group."""
+    import numpy as np
+
+    pdf = pdf.sort_values(
+        ["conv_id", "turn_idx", "score", "s1", "e1", "s2", "e2"],
+        ascending=[True, True, False, True, True, True, True],
+    ).reset_index(drop=True)
+    n = len(pdf)
+    if n == 0:
+        return pdf
+    s1 = pdf["s1"].to_numpy(); e1 = pdf["e1"].to_numpy()
+    s2 = pdf["s2"].to_numpy(); e2 = pdf["e2"].to_numpy()
+    lab = pd.factorize(pdf["pred"])[0]
+    cid = pdf["conv_id"].to_numpy(); tid = pdf["turn_idx"].to_numpy()
+    new_group = np.ones(n, dtype=bool)
+    new_group[1:] = (cid[1:] != cid[:-1]) | (tid[1:] != tid[:-1])
+    keep = np.zeros(n, dtype=bool)
+    kept: list[int] = []
+    for i in range(n):
+        if new_group[i]:
+            kept.clear()
+        clash = False
+        for j in kept:
+            if (
+                lab[i] == lab[j]
+                and s1[j] <= e1[i] and s1[i] <= e1[j]
+                and s2[j] <= e2[i] and s2[i] <= e2[j]
+            ):
+                clash = True
+                break
+        if not clash:
+            keep[i] = True
+            kept.append(i)
+    return pdf[keep]
+
+
 def suppress_triples(decoded: DataFrame) -> DataFrame:
     """O6 greedy relation suppression per turn (sorted-partition grouped
-    map — see ner.suppress_mentions for the many-small-groups rationale)."""
+    map in batch mode — see ner.suppress_mentions for the many-small-groups
+    rationale; _suppress_re stays as the per-group reference form)."""
     from ..grouped import sorted_grouped_map
 
     return sorted_grouped_map(
-        decoded, ["conv_id", "turn_idx"], _suppress_re, TRIPLES_RAW_SCHEMA
+        decoded, ["conv_id", "turn_idx"], _suppress_re_batch,
+        TRIPLES_RAW_SCHEMA, batch=True,
     )
 
 

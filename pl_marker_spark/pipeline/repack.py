@@ -30,6 +30,7 @@ PACKED_RE_SCHEMA = (
 
 def make_repack_fn(cfg: PipelineConfig):
     budget = cfg.budget_re()
+    need_tokens = cfg.needs_spliced_tokens()
 
     def repack(key, turns_pdf: pd.DataFrame, mentions_pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["conv_id", "turn_idx", "group_id", "sub_s", "sub_e", "sub_label",
@@ -51,7 +52,8 @@ def make_repack_fn(cfg: PipelineConfig):
         for tid, ments in sorted(by_turn.items()):
             ments.sort()
             n = tid_to_ord[tid]
-            win = context_window(idx, n, budget, truncate=True)
+            win = context_window(idx, n, budget, truncate=True,
+                                 materialize=need_tokens)
             for gid, inst in enumerate(subject_instances(idx, n, win, ments, cfg)):
                 sub_surface = " ".join(idx.words[inst.sub_word[0]: inst.sub_word[1] + 1])
                 rows.append(
@@ -63,7 +65,7 @@ def make_repack_fn(cfg: PipelineConfig):
                         [o[2] for o in inst.objects], [o[3] for o in inst.objects],
                         [o[4] for o in inst.objects],
                         [" ".join(idx.words[o[3]: o[4] + 1]) for o in inst.objects],
-                        inst.tokens if cfg.needs_spliced_tokens() else [],
+                        inst.tokens if need_tokens else [],
                     )
                 )
         return pd.DataFrame(rows, columns=cols)
@@ -71,10 +73,23 @@ def make_repack_fn(cfg: PipelineConfig):
     return repack
 
 
+def _pruned_repack_inputs(turns_tok: DataFrame, mentions: DataFrame,
+                          cfg: PipelineConfig):
+    """Project both cogroup sides down to what the repack kernel reads —
+    the subword strings (the widest turn column) ship only when a
+    tensor/splice head actually consumes window content."""
+    turn_cols = ["conv_id", "turn_idx", "words", "sw_counts"]
+    if cfg.needs_spliced_tokens():
+        turn_cols.append("subwords")
+    return (turns_tok.select(*turn_cols),
+            mentions.select("conv_id", "turn_idx", "start", "end", "label"))
+
+
 def repack_re(turns_tok: DataFrame, mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    turns_pruned, mentions_pruned = _pruned_repack_inputs(turns_tok, mentions, cfg)
     return (
-        turns_tok.groupBy("conv_id")
-        .cogroup(mentions.groupBy("conv_id"))
+        turns_pruned.groupBy("conv_id")
+        .cogroup(mentions_pruned.groupBy("conv_id"))
         .applyInPandas(make_repack_fn(cfg), schema=PACKED_RE_SCHEMA)
     )
 
@@ -98,6 +113,7 @@ def repack_decode_re(turns_tok: DataFrame, mentions: DataFrame,
     use_ner = cfg.use_ner_results
     transform = _score_transform(cfg)
     tensor_head = cfg.model == "packed_linear"
+    need_tokens = cfg.needs_spliced_tokens()
 
     def run(key, turns_pdf: pd.DataFrame, mentions_pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
@@ -116,7 +132,8 @@ def repack_decode_re(turns_tok: DataFrame, mentions: DataFrame,
         for tid, ments in sorted(by_turn.items()):
             ments.sort()
             n = tid_to_ord[tid]
-            win = context_window(idx, n, budget, truncate=True)
+            win = context_window(idx, n, budget, truncate=True,
+                                 materialize=need_tokens)
             pair_scores: dict[tuple, tuple[list[float], str]] = {}
             for inst in subject_instances(idx, n, win, ments, cfg):
                 if tensor_head:
@@ -154,9 +171,10 @@ def repack_decode_re(turns_tok: DataFrame, mentions: DataFrame,
             out[c] = out[c].astype("int32")
         return out
 
+    turns_pruned, mentions_pruned = _pruned_repack_inputs(turns_tok, mentions, cfg)
     return (
-        turns_tok.groupBy("conv_id")
-        .cogroup(mentions.groupBy("conv_id"))
+        turns_pruned.groupBy("conv_id")
+        .cogroup(mentions_pruned.groupBy("conv_id"))
         .applyInPandas(run, schema=TRIPLES_RAW_SCHEMA)
     )
 

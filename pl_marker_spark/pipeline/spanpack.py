@@ -21,22 +21,42 @@ from ..config import PipelineConfig
 from ..kernels import (
     ConvIndex,
     context_window,
-    enumerate_spans_np,
     pack_groups,
 )
 
 PACKED_NER_SCHEMA = (
     "conv_id string, turn_idx int, group_id int, window string, "
     "win_s array<int>, win_e array<int>, word_s array<int>, word_e array<int>, "
-    "example_l int"
+    "example_l int, sent_off int, n_words int, word_off int"
 )
+# Two row forms share this schema:
+# - SLIM (exhaustive C1 path): the four coordinate arrays are NULL and
+#   (sent_off, n_words, word_off) are set — the group's spans are a pure
+#   function of the window string plus these scalars
+#   (kernels.reconstruct_spans), so ~70% of the stage table's bytes
+#   (measured: the int arrays vs the window string) never hit parquet or
+#   the Arrow pipe. infer_ner rebuilds coordinates executor-side.
+# - EXPLICIT (C2 candidate-restricted / K2 edge-aware packing): arbitrary
+#   span sets can't be reconstructed, so the arrays are materialized and
+#   the three scalars are NULL.
+PACKED_NER_COLS = ["conv_id", "turn_idx", "group_id", "window",
+                   "win_s", "win_e", "word_s", "word_e", "example_l",
+                   "sent_off", "n_words", "word_off"]
 
 
 def _conv_index_from_rows(pdf: pd.DataFrame) -> tuple[pd.DataFrame, ConvIndex]:
-    """Rebuild the conversation-level alignment from per-turn rows."""
+    """Rebuild the conversation-level alignment from per-turn rows.
+
+    ``words`` / ``subwords`` columns are optional: the alignment (prefix
+    sums, bounds) derives fully from ``sw_counts``, so callers that never
+    read word or subword *content* (spanpack reads subwords only; the
+    surrogate RE path reads words only) can prune the other column out of
+    their shuffle — the two string arrays are the bulk of a turn's bytes."""
     pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
-    words = [w for ws in pdf["words"] for w in ws]
-    subwords = [s for sw in pdf["subwords"] for s in sw]
+    has_words = "words" in pdf.columns
+    words = [w for ws in pdf["words"] for w in ws] if has_words else []
+    subwords = ([s for sw in pdf["subwords"] for s in sw]
+                if "subwords" in pdf.columns else [])
     if len(pdf):
         counts = np.concatenate(
             [np.asarray(c, dtype=np.int64) for c in pdf["sw_counts"]]
@@ -46,7 +66,7 @@ def _conv_index_from_rows(pdf: pd.DataFrame) -> tuple[pd.DataFrame, ConvIndex]:
     t2s = np.concatenate(([0], np.cumsum(counts)))
     s2t = np.repeat(np.arange(len(counts)), counts)
     wb = np.concatenate(
-        ([0], np.cumsum([len(ws) for ws in pdf["words"]]))
+        ([0], np.cumsum([len(c) for c in pdf["sw_counts"]]))
     ).astype(np.int64)
     sb = t2s[wb]
     idx = ConvIndex(words, subwords, t2s, s2t, wb.tolist(), sb.tolist())
@@ -57,19 +77,22 @@ def make_spanpack_fn(cfg: PipelineConfig):
     budget = cfg.budget_ner()
 
     def spanpack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels import n_spans_exhaustive
+
         pdf, idx = _conv_index_from_rows(pdf)
         cid = pdf["conv_id"].iloc[0]
-        t2s = np.asarray(idx.token2subword)
         dL = cfg.max_pair_length_ner
+        maxlen = cfg.max_mention_ori_length
+        turn_ids = pdf["turn_idx"].to_numpy()
         rows = []
         for n in range(len(pdf)):
-            tid = int(pdf["turn_idx"].iloc[n])
+            tid = int(turn_ids[n])
             win = context_window(idx, n, budget, truncate=False)
             if cfg.group_edge:
-                # K2 needs the greedy run-aware chunker; keep tuple form
+                # K2 needs the greedy run-aware chunker; explicit-array form
                 from ..kernels import enumerate_spans
 
-                spans = enumerate_spans(idx, n, win, cfg.max_mention_ori_length)
+                spans = enumerate_spans(idx, n, win, maxlen)
                 if not spans:
                     continue
                 for gid, group in enumerate(pack_groups(spans, cfg)):
@@ -77,34 +100,34 @@ def make_spanpack_fn(cfg: PipelineConfig):
                         (cid, tid, gid, " ".join(win.tokens),
                          [s[0] for s in group], [s[1] for s in group],
                          [s[2] for s in group], [s[3] for s in group],
-                         len(spans))
+                         len(spans), None, None, None)
                     )
                 continue
-            win_s, win_e, word_s, word_e = enumerate_spans_np(
-                t2s, idx.sent_word_bounds[n], idx.sent_word_bounds[n + 1],
-                win.doc_offset, cfg.max_mention_ori_length,
-            )
-            total = len(win_s)
+            # slim form: exhaustive enumeration is a pure function of the
+            # window + (sent_off, n_words, word_off); no coordinate arrays
+            nw = idx.sent_word_bounds[n + 1] - idx.sent_word_bounds[n]
+            total = n_spans_exhaustive(nw, maxlen)
             if total == 0:
                 continue
-            for gid, i in enumerate(range(0, total, dL)):
+            sent_off = idx.sent_subword_bounds[n] - win.doc_offset + 1
+            word_off = idx.sent_word_bounds[n]
+            for gid in range(0, (total + dL - 1) // dL):
                 rows.append(
                     (cid, tid, gid, " ".join(win.tokens),
-                     win_s[i : i + dL].tolist(), win_e[i : i + dL].tolist(),
-                     word_s[i : i + dL].tolist(), word_e[i : i + dL].tolist(),
-                     total)
+                     None, None, None, None,
+                     total, sent_off, nw, word_off)
                 )
-        return pd.DataFrame(
-            rows,
-            columns=["conv_id", "turn_idx", "group_id", "window",
-                     "win_s", "win_e", "word_s", "word_e", "example_l"],
-        )
+        return pd.DataFrame(rows, columns=PACKED_NER_COLS)
 
     return spanpack
 
 
 def spanpack_ner(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    return turns_tok.groupBy("conv_id").applyInPandas(
+    # explicit projection: applyInPandas ships every input column to Python,
+    # and span-pack reads only the subword stream + per-word counts — the
+    # text/role/ts/words columns would otherwise ride the conv_id shuffle
+    pruned = turns_tok.select("conv_id", "turn_idx", "subwords", "sw_counts")
+    return pruned.groupBy("conv_id").applyInPandas(
         make_spanpack_fn(cfg), schema=PACKED_NER_SCHEMA
     )
 
@@ -167,6 +190,8 @@ def spanpack_ner_segmented(
     assigned = segment_assign(turns_tok, budget, seg_turns)
 
     def pack_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels import n_spans_exhaustive
+
         pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
         cid = pdf["conv_id"].iloc[0]
         global_word_off = int(pdf["word_off"].iloc[0])
@@ -174,8 +199,8 @@ def spanpack_ner_segmented(
         local_idx_input = local[["conv_id", "turn_idx", "words", "subwords",
                                  "sw_counts"]]
         _, idx = _conv_index_from_rows(local_idx_input)
-        t2s = np.asarray(idx.token2subword)
         dL = cfg.max_pair_length_ner
+        maxlen = cfg.max_mention_ori_length
         rows = []
         for n in range(len(pdf)):
             if not bool(pdf["is_center"].iloc[n]):
@@ -186,27 +211,19 @@ def spanpack_ner_segmented(
                 left_total=int(pdf["cum_start"].iloc[n]),
                 right_total=int(pdf["conv_total"].iloc[n] - pdf["cum_end"].iloc[n]),
             )
-            win_s, win_e, word_s, word_e = enumerate_spans_np(
-                t2s, idx.sent_word_bounds[n], idx.sent_word_bounds[n + 1],
-                win.doc_offset, cfg.max_mention_ori_length,
-            )
-            total = len(win_s)
+            nw = idx.sent_word_bounds[n + 1] - idx.sent_word_bounds[n]
+            total = n_spans_exhaustive(nw, maxlen)
             if total == 0:
                 continue
-            word_s = word_s + global_word_off
-            word_e = word_e + global_word_off
-            for gid, i in enumerate(range(0, total, dL)):
+            sent_off = idx.sent_subword_bounds[n] - win.doc_offset + 1
+            word_off = idx.sent_word_bounds[n] + global_word_off
+            for gid in range(0, (total + dL - 1) // dL):
                 rows.append(
                     (cid, tid, gid, " ".join(win.tokens),
-                     win_s[i : i + dL].tolist(), win_e[i : i + dL].tolist(),
-                     word_s[i : i + dL].tolist(), word_e[i : i + dL].tolist(),
-                     total)
+                     None, None, None, None,
+                     total, sent_off, nw, word_off)
                 )
-        return pd.DataFrame(
-            rows,
-            columns=["conv_id", "turn_idx", "group_id", "window",
-                     "win_s", "win_e", "word_s", "word_e", "example_l"],
-        )
+        return pd.DataFrame(rows, columns=PACKED_NER_COLS)
 
     return assigned.groupBy("conv_id", "seg_id").applyInPandas(
         pack_segment, schema=PACKED_NER_SCHEMA

@@ -71,20 +71,11 @@ for _surf, _label in GAZETTEER.items():
     _PHRASE_BY_FIRST.setdefault(_ws[0], []).append((_ws, _label))
 
 
-def ner_fast_scores(window: list[str], win_s, win_e, family: str = "bert"):
-    """Exact fast path for the surrogate NER head over one packed group.
-
-    Instead of materializing every candidate span's surface (O(spans) string
-    joins), scan the window once for ALL gazetteer phrase occurrences
-    (including nested/overlapping ones) and look enumerated spans up by
-    their subword coordinates. Bit-identical to scoring every span with
-    ner_logits_for_surfaces + ner_decode and dropping NIL rows, because
-    non-matching spans decode to NIL and are filtered (O1) anyway.
-
-    ``family`` selects the word-rebuild convention (## continuations vs
-    Ġ-prefixed heads) — must match the tokenizer that built the window.
-
-    Returns (kept_positions, probs, label_indices) as numpy arrays."""
+def window_word_bounds(window: list[str], family: str = "bert"):
+    """One scan of a window's subword tokens -> (words, first_sub, last_sub):
+    the rebuilt word strings and each word's first/last window-token index
+    (CLS counts as word 0). The shared primitive of the surrogate NER path
+    and the slim packed_ner reconstruction (kernels.reconstruct_spans)."""
     from .tokenizer import G, _starts_word
 
     words: list[str] = []
@@ -98,6 +89,29 @@ def ner_fast_scores(window: list[str], win_s, win_e, family: str = "bert"):
         else:
             words[-1] += p[2:] if p.startswith("##") else p
             last_sub[-1] = i
+    return words, first_sub, last_sub
+
+
+def ner_fast_scores(window: list[str], win_s, win_e, family: str = "bert",
+                    bounds=None):
+    """Exact fast path for the surrogate NER head over one packed group.
+
+    Instead of materializing every candidate span's surface (O(spans) string
+    joins), scan the window once for ALL gazetteer phrase occurrences
+    (including nested/overlapping ones) and look enumerated spans up by
+    their subword coordinates. Bit-identical to scoring every span with
+    ner_logits_for_surfaces + ner_decode and dropping NIL rows, because
+    non-matching spans decode to NIL and are filtered (O1) anyway.
+
+    ``family`` selects the word-rebuild convention (## continuations vs
+    Ġ-prefixed heads) — must match the tokenizer that built the window.
+    ``bounds`` optionally passes a precomputed window_word_bounds result so
+    callers that already scanned the window don't scan twice.
+
+    Returns (kept_positions, probs, label_indices) as numpy arrays."""
+    words, first_sub, last_sub = (
+        bounds if bounds is not None else window_word_bounds(window, family)
+    )
     matches: dict[tuple[int, int], str] = {}
     for i, w in enumerate(words):
         for ws_tuple, _label in _PHRASE_BY_FIRST.get(w, ()):

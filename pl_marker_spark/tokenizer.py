@@ -82,6 +82,13 @@ def tokenize_words(words: list[str], family: str = "bert") -> tuple[list[str], l
 def _starts_word(p: str, family: str, at_start: bool) -> bool:
     if at_start:
         return True
+    if p == CLS or p == SEP:
+        # the appended specials are always their own "words" — a literal
+        # [CLS]/[SEP] text word can't survive tokenize_word intact (PIECE=4
+        # splits it), so this match is unambiguous. Without it the roberta
+        # scan merged [SEP] into a sentence-final punctuation word (no Ġ
+        # head), shifting that word's last-subword bound by one.
+        return True
     if family == "roberta":
         return p.startswith(G) or p[:1] == "'" or (len(p) == 1 and is_punctuation(p))
     return not p.startswith("##")

@@ -188,3 +188,64 @@ def test_assemble_re_tensors_shapes():
     assert (subp == [1, 4]).all()
     assert pos[16] == 9 and pos[17] == 9  # object marker pair copies its span
     assert att[16, :8].all() and att[16, 17] == 1 and not att[8:16].any()
+
+
+def test_slim_reconstruction_roundtrip():
+    """reconstruct_spans over the window's own word-boundary scan must
+    reproduce enumerate_spans_np exactly — per group slice, both tokenizer
+    families, including windows whose context truncates mid-word."""
+    import numpy as np
+    from pl_marker_spark import synth
+    from pl_marker_spark.kernels import (
+        build_conv_index, context_window, enumerate_spans_np,
+        n_spans_exhaustive, reconstruct_spans,
+    )
+    from pl_marker_spark.surrogate import window_word_bounds
+    from pl_marker_spark.tokenizer import split_words
+
+    for family in ("bert", "roberta"):
+        checked = 0
+        for conv_idx in range(12):
+            turn_rows, _, _ = synth.gen_conv(conv_idx)
+            if conv_idx == 0:
+                turn_rows = turn_rows[:40]
+            turn_words = [split_words(t[3]) for t in turn_rows]
+            idx = build_conv_index_family(turn_words, family)
+            maxlen, budget, dL = 8, 62, 16
+            for n in range(len(turn_words)):
+                win = context_window(idx, n, budget, truncate=False)
+                ws0, ws1 = idx.sent_word_bounds[n], idx.sent_word_bounds[n + 1]
+                ref = enumerate_spans_np(
+                    np.asarray(idx.token2subword), ws0, ws1, win.doc_offset,
+                    maxlen)
+                nw = ws1 - ws0
+                total = n_spans_exhaustive(nw, maxlen)
+                assert total == len(ref[0])
+                if total == 0:
+                    continue
+                sent_off = idx.sent_subword_bounds[n] - win.doc_offset + 1
+                _, fs, ls = window_word_bounds(win.tokens, family)
+                got = reconstruct_spans(
+                    np.asarray(fs), np.asarray(ls), sent_off, nw, ws0, maxlen)
+                for a, b in zip(got, ref):
+                    assert a.tolist() == b.tolist()
+                checked += 1
+        assert checked > 100
+
+
+def build_conv_index_family(turn_words, family):
+    """build_conv_index with an explicit tokenizer family (the production
+    kernel binds the family via assemble; tests pass it directly)."""
+    from pl_marker_spark.kernels import ConvIndex
+    import itertools
+    from pl_marker_spark.tokenizer import tokenize_word
+
+    words = [w for tw in turn_words for w in tw]
+    pieces = [tokenize_word(w, family) for w in words]
+    subwords = [p for pl in pieces for p in pl]
+    lens = [len(pl) for pl in pieces]
+    token2subword = [0] + list(itertools.accumulate(lens))
+    subword2token = [i for i, n in enumerate(lens) for _ in range(n)]
+    swb = [0] + list(itertools.accumulate(len(tw) for tw in turn_words))
+    ssb = [token2subword[b] for b in swb]
+    return ConvIndex(words, subwords, token2subword, subword2token, swb, ssb)

@@ -118,3 +118,71 @@ def test_suppression_invariants(raw):
                for r in rows) if t not in k]
     for d in dropped:
         assert any(ov(d, a) and a[2] == d[2] and a[3] >= d[3] for a in k)
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 12),
+                          st.integers(0, 4),
+                          st.sampled_from(NER_LABELS[1:]),
+                          st.floats(0.1, 1.0, allow_nan=False)), max_size=40))
+@settings(max_examples=60)
+def test_suppression_batch_equals_per_group(raw):
+    """The flat batch kernel (make_suppress_batch_fn) is row-identical to
+    the per-group reference (make_suppress_fn) on multi-group frames —
+    including groups interleaved in arrival order."""
+    import pandas as pd
+
+    from pl_marker_spark.config import DEFAULT_CONFIG
+    from pl_marker_spark.pipeline.ner import (
+        make_suppress_batch_fn,
+        make_suppress_fn,
+    )
+
+    rows = [
+        {"conv_id": f"c{g % 2}", "turn_idx": g, "start": s, "end": s + ln,
+         "label": lab, "score": round(sc + 1e-4 * i, 6)}
+        for i, (g, s, ln, lab, sc) in enumerate(raw)
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "start", "end",
+                                      "label", "score"])
+    # per-group reference over key-sorted groups (the shuffle's layout)
+    ordered = pdf.sort_values(["conv_id", "turn_idx"], kind="stable")
+    per_group = [
+        make_suppress_fn(DEFAULT_CONFIG)(g)
+        for _, g in ordered.groupby(["conv_id", "turn_idx"], sort=False)
+    ]
+    ref = (pd.concat(per_group, ignore_index=True)
+           if per_group else pdf.iloc[0:0])
+    got = make_suppress_batch_fn(DEFAULT_CONFIG)(pdf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref.reset_index(drop=True))
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 8),
+                          st.integers(0, 3), st.integers(0, 8),
+                          st.integers(0, 3),
+                          st.floats(0.1, 1.0, allow_nan=False)), max_size=30))
+@settings(max_examples=60)
+def test_re_suppression_batch_equals_per_group(raw):
+    """_suppress_re_batch ≡ _suppress_re per group (O6)."""
+    import pandas as pd
+
+    from pl_marker_spark.pipeline.rel import _suppress_re, _suppress_re_batch
+    from pl_marker_spark.world import REL_LABELS
+
+    rows = [
+        {"conv_id": f"c{g % 2}", "turn_idx": g,
+         "s1": s1, "e1": s1 + l1, "s2": s2, "e2": s2 + l2,
+         "pred": REL_LABELS[1 + (i % (len(REL_LABELS) - 1))],
+         "score": round(sc + 1e-4 * i, 6),
+         "m1_ner": "PER", "m2_ner": "ORG"}
+        for i, (g, s1, l1, s2, l2, sc) in enumerate(raw)
+    ]
+    cols = ["conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score",
+            "m1_ner", "m2_ner"]
+    pdf = pd.DataFrame(rows, columns=cols)
+    ordered = pdf.sort_values(["conv_id", "turn_idx"], kind="stable")
+    per_group = [_suppress_re(g)
+                 for _, g in ordered.groupby(["conv_id", "turn_idx"], sort=False)]
+    ref = (pd.concat(per_group, ignore_index=True)
+           if per_group else pdf.iloc[0:0])
+    got = _suppress_re_batch(pdf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref.reset_index(drop=True))

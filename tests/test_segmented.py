@@ -10,9 +10,10 @@ from pl_marker_spark.pipeline.spanpack import spanpack_ner, spanpack_ner_segment
 
 
 def _packed_set(df):
+    # slim row form: span coordinates live in (sent_off, n_words, word_off)
     return {
-        (r.conv_id, r.turn_idx, r.group_id, tuple(r.window), tuple(r.win_s),
-         tuple(r.win_e), tuple(r.word_s), tuple(r.word_e), r.example_l)
+        (r.conv_id, r.turn_idx, r.group_id, tuple(r.window), r.example_l,
+         r.sent_off, r.n_words, r.word_off)
         for r in df.collect()
     }
 
