@@ -136,19 +136,26 @@ def link_entities(vocab: DataFrame) -> DataFrame:
     banded = (
         vocab.withColumn("hs", hs)
         .withColumn("sig", sig)
-        .select("sid", "label", "norm", "shingles",
-                F.explode(band_structs).alias("bb"))
-        .select("sid", "label", "norm", "shingles", "bb.band", "bb.bkey")
+        .select("sid", "label", F.explode(band_structs).alias("bb"))
+        .select("sid", "label", "bb.band", "bb.bkey")
     )
 
+    # band shuffle carries ids only — the wide shingle arrays must not ride
+    # the band explosion (×N_BANDS) nor the salt replication of a hot
+    # bucket; the payload re-joins once per *deduped* pair (the discipline
+    # textops.py's minhash/embedding paths already follow). Identical
+    # output: (norm, shingles) are functions of sid.
     cand = (
-        salted_pair_join(
-            banded, ["label", "band", "bkey"], "sid",
-            carry=["norm", "shingles"],
-        )
-        .select("sid", "b_sid", "shingles", "b_shingles", "norm", "b_norm")
+        salted_pair_join(banded, ["label", "band", "bkey"], "sid")
+        .select("sid", "b_sid")
         .distinct()
     )
+    payload = vocab.select("sid", "norm", "shingles")
+    payload_b = vocab.select(
+        F.col("sid").alias("b_sid"), F.col("norm").alias("b_norm"),
+        F.col("shingles").alias("b_shingles"),
+    )
+    cand = cand.join(payload, "sid").join(payload_b, "b_sid")
     jac = (
         F.size(F.array_intersect("shingles", "b_shingles"))
         / F.size(F.array_union("shingles", "b_shingles"))
