@@ -73,6 +73,58 @@ def _oracle_outputs() -> dict:
     return _CACHE["out"]
 
 
+_M_COLS = ["conv_id", "turn_idx", "start", "end", "label", "score"]
+_M_TYPES = ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "VARCHAR", "DOUBLE"]
+_T_COLS = ["conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score",
+           "subj_type", "obj_type"]
+_T_TYPES = ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER", "INTEGER",
+            "VARCHAR", "DOUBLE", "VARCHAR", "VARCHAR"]
+
+
+def variant_configs():
+    """The variant pipeline profiles under the driver gate (VERDICT round-2
+    item #4): C4 levitated pairs (run_levitatedpair.py:282-322), the roberta
+    tokenizer family (run_acener.py:155-162), and the unidirectional-eval
+    ablation (run_re.py:899-918). Shared by the Spark catalog entries and
+    the oracle renders below so both sides bind identical configs."""
+    from dataclasses import replace
+
+    return {
+        "levpair": replace(DEFAULT_CONFIG, levitated_pairs=True),
+        "roberta": replace(DEFAULT_CONFIG, tokenizer_family="roberta"),
+        "unidirect": replace(DEFAULT_CONFIG, eval_unidirect=True),
+    }
+
+
+def variant_oracle_sqls() -> dict[str, str]:
+    """VALUES-materialized oracles for the variant kg_* queries — same
+    transport as kg_oracle_sqls, each over run_oracle with the variant
+    config."""
+    if "variants" not in _CACHE:
+        from . import synth
+
+        turns, _gm, _gr = synth.local_corpus(N_KG_CONVS)
+        cfgs = variant_configs()
+        sqls = {}
+        o_lev = run_oracle(turns, cfgs["levpair"])
+        sqls["kg_triples_levpair"] = _values_sql(
+            [(c, t, s1, e1, s2, e2, p, round_half_up(sc, 6), n1, n2)
+             for c, t, s1, e1, s2, e2, p, sc, n1, n2 in o_lev["triples"]],
+            _T_COLS, _T_TYPES)
+        o_rob = run_oracle(turns, cfgs["roberta"])
+        sqls["kg_mentions_roberta"] = _values_sql(
+            [(c, t, s, e, l, round_half_up(p, 6))
+             for c, t, s, e, l, p in o_rob["mentions"]],
+            _M_COLS, _M_TYPES)
+        o_uni = run_oracle(turns, cfgs["unidirect"])
+        sqls["kg_triples_unidirect"] = _values_sql(
+            [(c, t, s1, e1, s2, e2, p, round_half_up(sc, 6), n1, n2)
+             for c, t, s1, e1, s2, e2, p, sc, n1, n2 in o_uni["triples"]],
+            _T_COLS, _T_TYPES)
+        _CACHE["variants"] = sqls
+    return _CACHE["variants"]
+
+
 def kg_oracle_sqls() -> dict[str, str]:
     out = _oracle_outputs()
     o, g, ts = out["oracle"], out["graph"], out["two_stage"]

@@ -543,6 +543,56 @@ def q_kg_graph_edges(spark, sf_dir):
     )
 
 
+def _variant_outputs(spark, variant: str) -> dict:
+    """Extraction-only pipeline run for a variant profile (levpair /
+    roberta / unidirect — oracle_values.variant_configs); memoized like
+    _pipeline_outputs. Graph stages are profile-independent, so the
+    variant gate covers extraction."""
+    from . import synth
+    from .oracle_values import N_KG_CONVS, variant_configs
+    from .pipeline.runner import run_extraction
+
+    key = (id(spark), "variant", variant)
+    if key not in _PIPE_CACHE:
+        t = synth.transcripts_df(spark, N_KG_CONVS)
+        out = run_extraction(spark, t, variant_configs()[variant])
+        _PIPE_CACHE[key] = {
+            name: out[name].localCheckpoint() for name in ("mentions", "triples")
+        }
+    return _PIPE_CACHE[key]
+
+
+def q_kg_triples_levpair(spark, sf_dir):
+    """C4 all-pairs levitated-pair RE variant end-to-end
+    (run_levitatedpair.py:282-322): forward-only decode, shared O6/O7."""
+    t = _variant_outputs(spark, "levpair")["triples"]
+    return t.select(
+        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
+        F.round("score", 6).alias("score"), "subj_type", "obj_type",
+    )
+
+
+def q_kg_mentions_roberta(spark, sf_dir):
+    """NER mentions under the roberta tokenizer family (prefix-space Ġ +
+    P2 punctuation classifier, run_acener.py:155-162) — different
+    token↔subword alignment end-to-end."""
+    m = _variant_outputs(spark, "roberta")["mentions"]
+    return m.select(
+        "conv_id", "turn_idx", "start", "end", "label",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_kg_triples_unidirect(spark, sf_dir):
+    """Unidirectional-eval ablation (run_re.py:899-918): raw forward-logit
+    argmax, no bidirectional fusion; m1 types from the NER mentions."""
+    t = _variant_outputs(spark, "unidirect")["triples"]
+    return t.select(
+        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
+        F.round("score", 6).alias("score"), "subj_type", "obj_type",
+    )
+
+
 def q_minhash_neardup(spark, sf_dir):
     """MinHash+LSH near-dup candidates over documents (shingle → one
     portable hash → affine permutation minima → band → salted bucket join →
@@ -746,6 +796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": q_simhash_hamming,
         "embedding_neardup": q_embedding_neardup,
         "kg_two_stage_mentions": q_kg_two_stage_mentions,
+        "kg_triples_levpair": q_kg_triples_levpair,
+        "kg_mentions_roberta": q_kg_mentions_roberta,
+        "kg_triples_unidirect": q_kg_triples_unidirect,
     }
 
 
@@ -776,6 +829,6 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _kg_sqls() -> dict[str, str]:
-    from .oracle_values import kg_oracle_sqls
+    from .oracle_values import kg_oracle_sqls, variant_oracle_sqls
 
-    return kg_oracle_sqls()
+    return {**kg_oracle_sqls(), **variant_oracle_sqls()}
