@@ -107,6 +107,70 @@ def repack_levitated(turns_tok: DataFrame, mentions: DataFrame,
     )
 
 
+def repack_levitated_segmented(
+    turns_tok: DataFrame, mentions: DataFrame, cfg: PipelineConfig,
+    seg_turns: int = 64,
+) -> DataFrame:
+    """Segmented C4 packing (unbounded-conversation path composed with the
+    levitated-pair variant — round-2 VERDICT item #5): turns replicate into
+    reachable segments, mentions cogroup by center segment, windows use
+    full-conversation context totals, word coords shift back to
+    conversation level. Output equals the unsegmented repack_levitated
+    exactly (tests/test_segmented.py::test_segmented_levpair)."""
+    from .repack import _segmented_repack_inputs
+
+    budget = cfg.budget_lev()
+    assigned, m_seg = _segmented_repack_inputs(turns_tok, mentions, budget,
+                                               seg_turns)
+
+    def repack(key, turns_pdf: pd.DataFrame, mentions_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "turn_idx", "group_id", "s1", "e1", "s2", "e2",
+                "sub_surface", "obj_surface"]
+        if mentions_pdf.empty or turns_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        turns_pdf = turns_pdf.sort_values("turn_idx").reset_index(drop=True)
+        _, idx = _conv_index_from_rows(
+            turns_pdf[["conv_id", "turn_idx", "words", "subwords", "sw_counts"]]
+        )
+        cid = key[0]
+        word_off = int(turns_pdf["word_off"].iloc[0])
+        tid_to_ord = {int(t): n for n, t in enumerate(turns_pdf["turn_idx"])}
+        by_turn: dict[int, list[tuple[int, int, str]]] = {}
+        for r in mentions_pdf.itertuples(index=False):
+            by_turn.setdefault(int(r.turn_idx), []).append(
+                (int(r.start) - word_off, int(r.end) - word_off, r.label)
+            )
+        rows = []
+        for tid, ments in sorted(by_turn.items()):
+            ments.sort()
+            n = tid_to_ord[tid]
+            win = context_window(
+                idx, n, budget, truncate=True,
+                left_total=int(turns_pdf["cum_start"].iloc[n]),
+                right_total=int(turns_pdf["conv_total"].iloc[n]
+                                - turns_pdf["cum_end"].iloc[n]),
+            )
+            for gid, chunk in enumerate(
+                levitated_pair_instances(idx, n, win, ments, cfg)
+            ):
+                rows.append(
+                    (cid, tid, gid,
+                     [p[0][0] + word_off for p in chunk],
+                     [p[0][1] + word_off for p in chunk],
+                     [p[1][0] + word_off for p in chunk],
+                     [p[1][1] + word_off for p in chunk],
+                     [" ".join(idx.words[p[0][0] : p[0][1] + 1]) for p in chunk],
+                     [" ".join(idx.words[p[1][0] : p[1][1] + 1]) for p in chunk])
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        assigned.groupBy("conv_id", "seg_id")
+        .cogroup(m_seg.groupBy("conv_id", "seg_id"))
+        .applyInPandas(repack, schema=PACKED_LEV_SCHEMA)
+    )
+
+
 def decode_levitated(packed_lev: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Forward-only decode per pair: argmax over the NUM_REL head, keep
     pred > 0, endpoint types from the aux NER lookup."""

@@ -94,6 +94,59 @@ def repack_re(turns_tok: DataFrame, mentions: DataFrame, cfg: PipelineConfig) ->
     )
 
 
+def _decode_turn(idx, n: int, win, ments, cfg: PipelineConfig, transform,
+                 tensor_head: bool, use_ner: bool, word_off: int = 0):
+    """One turn's conversation-local RE decode: pack subject instances,
+    score every (subject, object) pair, then fuse+suppress (O4/O5/O6,
+    rel.fuse_suppress_turn). ``ments`` are index-local word coords;
+    ``word_off`` shifts emitted coords back to conversation level (segmented
+    path). Returns kept rows (s1, e1, s2, e2, label_idx, score, m1, m2)."""
+    from ..world import NER_LABELS
+    from .rel import fuse_suppress_turn
+
+    pair_scores: dict[tuple, tuple[list[float], str]] = {}
+    for inst in subject_instances(idx, n, win, ments, cfg):
+        if tensor_head:
+            from ..kernels import assemble_re_tensors
+            from ..models import re_head_logits
+
+            ii, pi, att, subpos = assemble_re_tensors(
+                inst.tokens, inst.sub_win,
+                [(o[0], o[1]) for o in inst.objects],
+                cfg.max_seq_length_re, cfg.max_pair_length_re)
+            mat, aux = re_head_logits(
+                ii, pi, att, subpos, len(inst.objects),
+                cfg.max_seq_length_re)
+        else:
+            from ..surrogate import aux_obj_ner, re_logits_for_pair
+
+            sub_surface = " ".join(
+                idx.words[inst.sub_word[0] : inst.sub_word[1] + 1])
+        for k, (_l, _r, olabel, ows, owe) in enumerate(inst.objects):
+            if tensor_head:
+                v = mat[k].tolist()
+                ner = olabel if use_ner else NER_LABELS[int(aux[k].argmax())]
+            else:
+                osurf = " ".join(idx.words[ows : owe + 1])
+                v = re_logits_for_pair(sub_surface, osurf)
+                ner = olabel if use_ner else aux_obj_ner(osurf)
+            pair_scores[(inst.sub_word, (ows, owe))] = (
+                transform(v) if transform else v, ner)
+    return [
+        (m1[0] + word_off, m1[1] + word_off, m2[0] + word_off,
+         m2[1] + word_off, pred, float(score), n1, n2)
+        for score, m1, m2, pred, n1, n2 in fuse_suppress_turn(pair_scores, cfg)
+    ]
+
+
+def _triples_frame(rows, cols):
+    out = pd.DataFrame(rows, columns=cols)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    for c in ("s1", "e1", "s2", "e2"):
+        out[c] = out[c].astype("int32")
+    return out
+
+
 def repack_decode_re(turns_tok: DataFrame, mentions: DataFrame,
                      cfg: PipelineConfig) -> DataFrame:
     """``re_decode="grouped"``: one cogrouped pass from (turns, mentions) to
@@ -106,8 +159,8 @@ def repack_decode_re(turns_tok: DataFrame, mentions: DataFrame,
     needs the fusion self-join shuffle or a checkpoint round-trip. The
     relational path (repack_re → infer_pairs → fuse_and_decode →
     suppress_triples) remains the driver-oracle-gated reference."""
-    from ..world import NER_LABELS, REL_LABELS
-    from .rel import TRIPLES_RAW_SCHEMA, _score_transform, fuse_suppress_turn
+    from ..world import REL_LABELS
+    from .rel import TRIPLES_RAW_SCHEMA, _score_transform
 
     budget = cfg.budget_re()
     use_ner = cfg.use_ner_results
@@ -134,42 +187,12 @@ def repack_decode_re(turns_tok: DataFrame, mentions: DataFrame,
             n = tid_to_ord[tid]
             win = context_window(idx, n, budget, truncate=True,
                                  materialize=need_tokens)
-            pair_scores: dict[tuple, tuple[list[float], str]] = {}
-            for inst in subject_instances(idx, n, win, ments, cfg):
-                if tensor_head:
-                    from ..kernels import assemble_re_tensors
-                    from ..models import re_head_logits
-
-                    ii, pi, att, subpos = assemble_re_tensors(
-                        inst.tokens, inst.sub_win,
-                        [(o[0], o[1]) for o in inst.objects],
-                        cfg.max_seq_length_re, cfg.max_pair_length_re)
-                    mat, aux = re_head_logits(
-                        ii, pi, att, subpos, len(inst.objects),
-                        cfg.max_seq_length_re)
-                else:
-                    from ..surrogate import aux_obj_ner, re_logits_for_pair
-
-                    sub_surface = " ".join(
-                        idx.words[inst.sub_word[0] : inst.sub_word[1] + 1])
-                for k, (_l, _r, olabel, ows, owe) in enumerate(inst.objects):
-                    if tensor_head:
-                        v = mat[k].tolist()
-                        ner = olabel if use_ner else NER_LABELS[int(aux[k].argmax())]
-                    else:
-                        osurf = " ".join(idx.words[ows : owe + 1])
-                        v = re_logits_for_pair(sub_surface, osurf)
-                        ner = olabel if use_ner else aux_obj_ner(osurf)
-                    pair_scores[(inst.sub_word, (ows, owe))] = (
-                        transform(v) if transform else v, ner)
-            for score, m1, m2, pred, n1, n2 in fuse_suppress_turn(pair_scores, cfg):
-                rows.append((cid, tid, m1[0], m1[1], m2[0], m2[1],
-                             REL_LABELS[pred], float(score), n1, n2))
-        out = pd.DataFrame(rows, columns=cols)
-        out["turn_idx"] = out["turn_idx"].astype("int32")
-        for c in ("s1", "e1", "s2", "e2"):
-            out[c] = out[c].astype("int32")
-        return out
+            for s1, e1, s2, e2, pred, score, n1, n2 in _decode_turn(
+                idx, n, win, ments, cfg, transform, tensor_head, use_ner
+            ):
+                rows.append((cid, tid, s1, e1, s2, e2,
+                             REL_LABELS[pred], score, n1, n2))
+        return _triples_frame(rows, cols)
 
     turns_pruned, mentions_pruned = _pruned_repack_inputs(turns_tok, mentions, cfg)
     return (
@@ -177,6 +200,92 @@ def repack_decode_re(turns_tok: DataFrame, mentions: DataFrame,
         .cogroup(mentions_pruned.groupBy("conv_id"))
         .applyInPandas(run, schema=TRIPLES_RAW_SCHEMA)
     )
+
+
+def repack_decode_re_segmented(
+    turns_tok: DataFrame, mentions: DataFrame, cfg: PipelineConfig,
+    seg_turns: int = 64,
+) -> DataFrame:
+    """Segmented grouped decode: the unbounded-conversation path composed
+    with the production conversation-local fuse+suppress. Every pair of a
+    turn is generated inside the turn's center segment (mentions cogroup by
+    center segment; subject instances never cross turns), so the per-turn
+    fuse/suppress semantics are unchanged — output equals the unsegmented
+    grouped (and relational, and oracle) paths exactly
+    (tests/test_segmented.py::test_segmented_grouped_decode)."""
+    from ..world import REL_LABELS
+    from .rel import TRIPLES_RAW_SCHEMA, _score_transform
+
+    budget = cfg.budget_re()
+    use_ner = cfg.use_ner_results
+    transform = _score_transform(cfg)
+    tensor_head = cfg.model == "packed_linear"
+    need_tokens = cfg.needs_spliced_tokens()
+    assigned, m_seg = _segmented_repack_inputs(turns_tok, mentions, budget,
+                                               seg_turns)
+
+    def run(key, turns_pdf: pd.DataFrame, mentions_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
+                "score", "m1_ner", "m2_ner"]
+        if mentions_pdf.empty or turns_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        turns_pdf = turns_pdf.sort_values("turn_idx").reset_index(drop=True)
+        _, idx = _conv_index_from_rows(
+            turns_pdf[[c for c in ("conv_id", "turn_idx", "words", "subwords",
+                                   "sw_counts") if c in turns_pdf.columns]]
+        )
+        cid = key[0]
+        word_off = int(turns_pdf["word_off"].iloc[0])
+        tid_to_ord = {int(t): n for n, t in enumerate(turns_pdf["turn_idx"])}
+        by_turn: dict[int, list[tuple[int, int, str]]] = {}
+        for r in mentions_pdf.itertuples(index=False):
+            by_turn.setdefault(int(r.turn_idx), []).append(
+                (int(r.start) - word_off, int(r.end) - word_off, r.label)
+            )
+        rows = []
+        for tid, ments in sorted(by_turn.items()):
+            ments.sort()
+            n = tid_to_ord[tid]
+            win = context_window(
+                idx, n, budget, truncate=True, materialize=need_tokens,
+                left_total=int(turns_pdf["cum_start"].iloc[n]),
+                right_total=int(turns_pdf["conv_total"].iloc[n]
+                                - turns_pdf["cum_end"].iloc[n]),
+            )
+            for s1, e1, s2, e2, pred, score, n1, n2 in _decode_turn(
+                idx, n, win, ments, cfg, transform, tensor_head, use_ner,
+                word_off=word_off,
+            ):
+                rows.append((cid, tid, s1, e1, s2, e2,
+                             REL_LABELS[pred], score, n1, n2))
+        return _triples_frame(rows, cols)
+
+    return (
+        assigned.groupBy("conv_id", "seg_id")
+        .cogroup(m_seg.groupBy("conv_id", "seg_id"))
+        .applyInPandas(run, schema=TRIPLES_RAW_SCHEMA)
+    )
+
+
+def _segmented_repack_inputs(turns_tok: DataFrame, mentions: DataFrame,
+                             budget: int, seg_turns: int):
+    """Segment-replicated turns + center-segment-keyed mentions — the
+    shared cogroup inputs of every segmented RE packer."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from .spanpack import segment_assign
+
+    assigned = segment_assign(turns_tok, budget, seg_turns)
+    # independent derivation of each turn's center segment (reusing the
+    # `assigned` plan here would be an ambiguous self-join in the cogroup)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    seg_of_turn = turns_tok.select(
+        "conv_id", "turn_idx",
+        ((F.row_number().over(w) - 1) / F.lit(seg_turns)).cast("int").alias("seg_id"),
+    )
+    m_seg = mentions.join(seg_of_turn, ["conv_id", "turn_idx"])
+    return assigned, m_seg
 
 
 def repack_re_segmented(
@@ -188,21 +297,9 @@ def repack_re_segmented(
     segments; mentions cogroup by their turn's center segment; windows use
     full-conversation context totals so packing is bit-identical to the
     per-conversation cogroup."""
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
-    from .spanpack import segment_assign
-
     budget = cfg.budget_re()
-    assigned = segment_assign(turns_tok, budget, seg_turns)
-    # independent derivation of each turn's center segment (reusing the
-    # `assigned` plan here would be an ambiguous self-join in the cogroup)
-    w = W.partitionBy("conv_id").orderBy("turn_idx")
-    seg_of_turn = turns_tok.select(
-        "conv_id", "turn_idx",
-        ((F.row_number().over(w) - 1) / F.lit(seg_turns)).cast("int").alias("seg_id"),
-    )
-    m_seg = mentions.join(seg_of_turn, ["conv_id", "turn_idx"])
+    assigned, m_seg = _segmented_repack_inputs(turns_tok, mentions, budget,
+                                               seg_turns)
 
     def repack(key, turns_pdf: pd.DataFrame, mentions_pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["conv_id", "turn_idx", "group_id", "sub_s", "sub_e", "sub_label",

@@ -92,28 +92,47 @@ def run_extraction(
     mentions = ck("mentions", lambda: suppress_mentions(span_scores, cfg), always=True)
     if cfg.levitated_pairs:
         # C4 all-pairs levitated variant (run_levitatedpair.py:282-322):
-        # forward-only decode, shared O6/O7 downstream
-        from .levpair import decode_levitated, repack_levitated
+        # forward-only decode, shared O6/O7 downstream; composes with
+        # segmented windowing (repack_levitated_segmented)
+        from .levpair import (
+            decode_levitated,
+            repack_levitated,
+            repack_levitated_segmented,
+        )
 
         if cfg.segment_turns > 0:
-            raise NotImplementedError("levitated_pairs + segment_turns")
-        packed_re = ck("packed_re",
-                       lambda: repack_levitated(turns_tok, mentions, cfg),
-                       always=True)
+            packed_re = ck(
+                "packed_re",
+                lambda: repack_levitated_segmented(turns_tok, mentions, cfg,
+                                                   cfg.segment_turns),
+                always=True,
+            )
+        else:
+            packed_re = ck("packed_re",
+                           lambda: repack_levitated(turns_tok, mentions, cfg),
+                           always=True)
         pair_scores = ck("pair_scores", lambda: decode_levitated(packed_re, cfg))
         decoded = pair_scores
-    elif (cfg.re_decode == "grouped" and not cfg.eval_unidirect
-          and cfg.segment_turns == 0):
+    elif cfg.re_decode == "grouped" and not cfg.eval_unidirect:
         # production profile: packing + scoring + fusion + suppression in
         # one conversation-local cogroup — the scored-pair table never
-        # shuffles (see repack.repack_decode_re)
-        from .repack import repack_decode_re
+        # shuffles (repack.repack_decode_re; segment-local for unbounded
+        # conversations via repack_decode_re_segmented)
+        from .repack import repack_decode_re, repack_decode_re_segmented
 
         packed_re = pair_scores = None
-        triples_raw = ck(
-            "triples_raw", lambda: repack_decode_re(turns_tok, mentions, cfg),
-            always=True,
-        )
+        if cfg.segment_turns > 0:
+            triples_raw = ck(
+                "triples_raw",
+                lambda: repack_decode_re_segmented(turns_tok, mentions, cfg,
+                                                   cfg.segment_turns),
+                always=True,
+            )
+        else:
+            triples_raw = ck(
+                "triples_raw", lambda: repack_decode_re(turns_tok, mentions, cfg),
+                always=True,
+            )
     else:
         if cfg.segment_turns > 0:
             packed_re = ck(
@@ -131,7 +150,7 @@ def run_extraction(
             else fuse_and_decode(pair_scores)
         )
     if not (cfg.re_decode == "grouped" and not cfg.eval_unidirect
-            and not cfg.levitated_pairs and cfg.segment_turns == 0):
+            and not cfg.levitated_pairs):
         triples_raw = ck("triples_raw", lambda: suppress_triples(decoded))
 
     # one refine_types build: the shared refined-type map is pinned lazily
