@@ -394,9 +394,11 @@ FROM x GROUP BY doc_id
 
 
 def q_jaccard_neardup(spark, sf_dir):
-    """N-gram Jaccard near-duplicate pairs with *content-based* blocking
-    (word count + minimum distinct word — round-1 VERDICT item #5 replaced
-    the id-adjacency block, which silently missed far-apart pairs at scale).
+    """N-gram Jaccard near-duplicate pairs with *content-based* blocking:
+    word-count band (±1 — round-2 VERDICT item #7 replaced the exact
+    word-count equality, which split near-dups differing by a single word)
+    plus minimum-distinct-word equality as the join key. A bounded
+    candidate-set demo — production-recall near-dup is the MinHash path.
     The filter applies to the same rounded value both engines emit (ADVICE
     round-1: never filter raw on one side and rounded on the other)."""
     d = _doc(spark, sf_dir, "documents").select(
@@ -411,7 +413,7 @@ def q_jaccard_neardup(spark, sf_dir):
     ).alias("b")
     pairs = a.join(
         b,
-        (F.col("a.n") == F.col("b_n"))
+        (F.abs(F.col("a.n") - F.col("b_n")) <= 1)
         & (F.col("a.mn") == F.col("b_mn"))
         & (F.col("a.doc_id") < F.col("b_id")),
     )
@@ -431,7 +433,7 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              round(len(list_intersect(a.ws, b.ws)) /
                    len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
       FROM d a JOIN d b
-        ON a.n = b.n AND a.mn = b.mn AND a.doc_id < b.doc_id)
+        ON abs(a.n - b.n) <= 1 AND a.mn = b.mn AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
 """
 

@@ -202,7 +202,15 @@ def simhash_hamming_pairs(fps: DataFrame, k: int = 3) -> DataFrame:
     Bands the 32-bit fingerprint into SIMHASH_BANDS bytes and bucket-joins on
     any matching byte, then verifies ``bit_count(a ^ b) <= k``. Pigeonhole:
     k ≤ SIMHASH_BANDS - 1 flipped bits leave at least one byte untouched, so
-    recall is exact for k ≤ 3 — not a heuristic (round-1 VERDICT item #9)."""
+    recall is exact for k ≤ 3 — not a heuristic (round-1 VERDICT item #9).
+    k beyond the bound raises instead of silently degrading recall
+    (round-2 VERDICT item #9); exact k > 3 needs more/wider bands."""
+    if k > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"simhash_hamming_pairs: k={k} exceeds the exact-recall "
+            f"pigeonhole bound (SIMHASH_BANDS - 1 = {SIMHASH_BANDS - 1}); "
+            "recall would silently degrade — raise SIMHASH_BANDS (multi-band "
+            "OR-composition) instead of passing a larger k")
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     banded = fps.select(
         F.col("doc_id").alias("id"),

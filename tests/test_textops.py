@@ -136,3 +136,14 @@ def test_frame_sample_plan(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal._decode_image(b"xx")
+
+
+def test_simhash_hamming_k_guard(spark):
+    """k beyond the pigeonhole bound must raise loudly, not silently lose
+    recall (exactness holds only for k <= SIMHASH_BANDS - 1)."""
+    import pytest
+    from pl_marker_spark.textops import SIMHASH_BANDS, simhash_hamming_pairs
+
+    fps = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(fps, k=SIMHASH_BANDS)
