@@ -173,3 +173,98 @@ def test_ner_feature_group_invariance():
             for grp in (spans[:3], spans[3:])
         ]
         np.testing.assert_array_equal(one, np.vstack(parts))
+
+
+def _mock_adapter_weights(kind, h=8, n_lab=5):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    if kind == "ner":
+        return {
+            "ner_classifier.weight": rng.standard_normal((n_lab, 4 * h)),
+            "ner_classifier.bias": rng.standard_normal(n_lab),
+        }
+    return {
+        "re_classifier_m1.weight": rng.standard_normal((n_lab, 2 * h)),
+        "re_classifier_m1.bias": rng.standard_normal(n_lab),
+        "re_classifier_m2.weight": rng.standard_normal((n_lab, 2 * h)),
+        "re_classifier_m2.bias": rng.standard_normal(n_lab),
+        "ner_classifier.weight": rng.standard_normal((n_lab, 2 * h)),
+        "ner_classifier.bias": rng.standard_normal(n_lab),
+    }
+
+
+def test_hf_adapter_ner_wiring():
+    """Mocked-weights NER adapter: feature concat order and linear math
+    match a hand-computed reference; shape/key validation raises."""
+    import numpy as np
+    import pytest
+    from pl_marker_spark.models import HFMarkerAdapter
+
+    h = 8
+    max_seq, P = 10, 3
+    width = max_seq + 2 * P
+    rng = np.random.default_rng(11)
+    H = rng.standard_normal((width, h))
+
+    def fake_encoder(ii, pi, att):
+        return H
+
+    w = _mock_adapter_weights("ner", h)
+    ad = HFMarkerAdapter(w, fake_encoder, kind="ner")
+    spans = [(1, 2), (3, 5), (2, 2)]
+    got = ad.ner_head_logits(None, None, None, spans, max_seq)
+    for k, (lo, hi) in enumerate(spans):
+        feat = np.concatenate([H[max_seq + k], H[max_seq + P + k], H[lo], H[hi]])
+        ref = feat @ w["ner_classifier.weight"].T + w["ner_classifier.bias"]
+        assert np.allclose(got[k], ref)
+
+    with pytest.raises(ValueError, match="missing checkpoint keys"):
+        HFMarkerAdapter({"ner_classifier.weight": w["ner_classifier.weight"]},
+                        fake_encoder, kind="ner")
+    bad = dict(w); bad["ner_classifier.weight"] = np.zeros((5, 4 * h + 1))
+    with pytest.raises(ValueError, match="multiple of 4"):
+        HFMarkerAdapter(bad, fake_encoder, kind="ner")
+
+
+def test_hf_adapter_re_wiring():
+    """Mocked-weights RE adapter: two-tower broadcast-add (both biases, as
+    in the reference's m1+m2 Linear sum) plus the aux object-NER head."""
+    import numpy as np
+    from pl_marker_spark.models import HFMarkerAdapter
+
+    h = 8
+    max_seq, P = 10, 2
+    width = max_seq + 2 * P
+    rng = np.random.default_rng(13)
+    H = rng.standard_normal((width, h))
+    w = _mock_adapter_weights("re", h)
+    ad = HFMarkerAdapter(w, lambda *a: H, kind="re")
+    sub = np.array([4, 6])
+    logits, aux = ad.re_head_logits(None, None, None, sub, P, max_seq)
+    sub_feat = np.concatenate([H[4], H[6]])
+    for k in range(P):
+        obj_feat = np.concatenate([H[max_seq + k], H[max_seq + P + k]])
+        ref = (sub_feat @ w["re_classifier_m1.weight"].T
+               + w["re_classifier_m1.bias"]
+               + obj_feat @ w["re_classifier_m2.weight"].T
+               + w["re_classifier_m2.bias"])
+        assert np.allclose(logits[k], ref)
+        ref_aux = (obj_feat @ w["ner_classifier.weight"].T
+                   + w["ner_classifier.bias"])
+        assert np.allclose(aux[k], ref_aux)
+
+
+def test_hf_adapter_checkpoint_gate():
+    """from_checkpoint is env-gated: without torch it raises the documented
+    RuntimeError instead of failing deep in a load."""
+    import pytest
+    from pl_marker_spark.models import (
+        HFMarkerAdapter,
+        packed_linear_torch_available,
+    )
+
+    if packed_linear_torch_available():
+        pytest.skip("torch present; gate not exercised")
+    with pytest.raises(RuntimeError, match="requires torch"):
+        HFMarkerAdapter.from_checkpoint("/nonexistent")
