@@ -1,13 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
-UDFs. The decode kernels themselves are STUBS (image/audio libraries are not
-available in this container — ``NotImplementedError`` behind a deterministic
-fake), but the Spark-side plumbing — schema, batch shape, partition-safe UDF
-signature — is real and tested (tests/test_multimodal.py).
+UDFs.
+
+Round-3 unstub (VERDICT item #8): uncompressed 24-bit BMP decode is
+implemented in pure numpy/struct — no PIL — so one real decode→feature
+kernel (``phash_media``: decode → grayscale → 8×8 block-average →
+64-bit perceptual hash) runs end-to-end under the driver's oracle gate
+(``multimodal_phash`` catalog entry, VALUES oracle from an independent
+stdlib-only reimplementation). Compressed formats (PNG/JPEG/audio/video)
+still raise ``NotImplementedError`` behind the deterministic fake — those
+genuinely need codec libraries this container doesn't ship.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -20,13 +27,108 @@ MEDIA_SCHEMA = (
     "width int, height int, duration_ms int"
 )
 FEATURES_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>"
+PHASH_SCHEMA = "media_id long, width int, height int, phash long"
 
-_HAVE_DECODERS = False  # no PIL/ffmpeg in this container
+_HAVE_DECODERS = False  # no PIL/ffmpeg in this container (BMP is native)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit BI_RGB BMP
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
+    h, w, _ = pixels.shape
+    row_size = (3 * w + 3) // 4 * 4
+    img_size = row_size * h
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + img_size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    pad = b"\x00" * (row_size - 3 * w)
+    rows = [pixels[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)]
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP -> (H, W, 3) uint8 RGB. Handles
+    bottom-up (positive height) and top-down (negative) row order and row
+    padding; anything else (compression, other bit depths) raises."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported natively "
+            f"(got bpp={bpp}, compression={compression})")
+    h = abs(h_raw)
+    row_size = (3 * w + 3) // 4 * 4
+    buf = np.frombuffer(payload, dtype=np.uint8,
+                        count=row_size * h, offset=data_off)
+    rows = buf.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    if h_raw > 0:
+        rows = rows[::-1]          # bottom-up storage
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def image_phash(pixels: np.ndarray, hash_size: int = 8) -> int:
+    """Average-hash perceptual fingerprint: luma -> hash_size² block means
+    -> bit j set iff block j > mean of blocks (row-major, MSB first).
+    Returned as a signed 64-bit int (Spark/DuckDB BIGINT range)."""
+    h, w, _ = pixels.shape
+    gray = (0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1]
+            + 0.114 * pixels[:, :, 2])
+    bh, bw = h // hash_size, w // hash_size
+    if bh == 0 or bw == 0:
+        raise ValueError(f"image {h}x{w} smaller than hash grid")
+    blocks = (
+        gray[: bh * hash_size, : bw * hash_size]
+        .reshape(hash_size, bh, hash_size, bw)
+        .mean(axis=(1, 3))
+    )
+    bits = (blocks > blocks.mean()).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Real decode path — requires an image library."""
-    raise NotImplementedError("image decoding requires PIL/libvips (not in container)")
+    """Image decode: BMP natively; compressed formats need PIL/libvips."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image decoding requires PIL/libvips (not in container); "
+        "uncompressed BMP is supported natively")
+
+
+def phash_media(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """image rows -> (media_id, width, height, phash): the real
+    decode→feature kernel, Arrow-batched, no image libraries."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, phs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or bytes(payload[:2]) != b"BM":
+                    continue
+                px = decode_bmp(bytes(payload))
+                ids.append(int(mid))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                phs.append(image_phash(px, hash_size))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "phash": pd.Series(phs, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=PHASH_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
@@ -61,20 +163,42 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+IMG_SIZE = 32
+
+
+def synthetic_pixels(i: int, size: int = IMG_SIZE) -> np.ndarray:
+    """Deterministic RGB test pattern for media_id ``i`` — the *input
+    definition* shared by the generator and the oracle (the decode+hash
+    implementations stay independent)."""
+    y, x = np.mgrid[0:size, 0:size]
+    r = (x * 7 + y * 13 + i * 31) % 256
+    g = (x * 3 + y * 5 + i * 17) % 256
+    b = (x + y + i) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
 def synthetic_media(spark: SparkSession, n: int) -> DataFrame:
-    """Deterministic fake media table (binary payloads from a seeded hash)."""
+    """Deterministic fake media table. Image rows carry REAL uncompressed
+    24-bit BMP payloads (decodable by the native kernel); audio/video stay
+    opaque seeded bytes behind the documented stubs."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                payload = bytes((i * 131 + k * 17) % 256 for k in range(64 + i % 64))
                 kind = ("image", "audio", "video")[i % 3]
+                if kind == "image":
+                    payload = encode_bmp(synthetic_pixels(i))
+                    mime = "image/bmp"
+                else:
+                    payload = bytes(
+                        (i * 131 + k * 17) % 256 for k in range(64 + i % 64))
+                    mime = f"application/x-fake-{kind}"
                 rows.append(
-                    (i, kind, payload, f"application/x-fake-{kind}",
-                     64 if kind == "image" else None,
-                     64 if kind == "image" else None,
+                    (i, kind, payload, mime,
+                     IMG_SIZE if kind == "image" else None,
+                     IMG_SIZE if kind == "image" else None,
                      1000 + i if kind != "image" else None)
                 )
             yield pd.DataFrame(

@@ -125,6 +125,70 @@ def variant_oracle_sqls() -> dict[str, str]:
     return _CACHE["variants"]
 
 
+N_MEDIA = 60
+
+
+def _bmp_phash_py(payload: bytes, hash_size: int = 8):
+    """Independent stdlib-only BMP decode + average-hash (no numpy, no
+    shared code with multimodal.decode_bmp/image_phash) — the oracle twin
+    of the multimodal_phash kernel. Returns (width, height, signed phash)."""
+    import struct
+
+    assert payload[:2] == b"BM"
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    _hdr, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    h = abs(h_raw)
+    row_size = (3 * w + 3) // 4 * 4
+    gray = []
+    for y in range(h):                       # image rows, top-down
+        srow = (h - 1 - y) if h_raw > 0 else y
+        base = data_off + srow * row_size
+        row = []
+        for x in range(w):
+            b = payload[base + 3 * x]
+            g = payload[base + 3 * x + 1]
+            r = payload[base + 3 * x + 2]
+            row.append(0.299 * r + 0.587 * g + 0.114 * b)
+        gray.append(row)
+    bh, bw = h // hash_size, w // hash_size
+    blocks = []
+    for by in range(hash_size):
+        for bx in range(hash_size):
+            s = 0.0
+            for y in range(by * bh, (by + 1) * bh):
+                for x in range(bx * bw, (bx + 1) * bw):
+                    s += gray[y][x]
+            blocks.append(s / (bh * bw))
+    mean = sum(blocks) / len(blocks)
+    v = 0
+    for b in blocks:
+        v = (v << 1) | (1 if b > mean else 0)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return w, h, v
+
+
+def multimodal_oracle_sqls() -> dict[str, str]:
+    """VALUES oracle for the multimodal_phash query: the pinned synthetic
+    media corpus's image payloads re-hashed by the independent stdlib
+    implementation above."""
+    if "multimodal" not in _CACHE:
+        from .multimodal import encode_bmp, synthetic_pixels
+
+        rows = []
+        for i in range(N_MEDIA):
+            if i % 3 != 0:           # synthetic_media kind cycle: image at 0
+                continue
+            w, h, v = _bmp_phash_py(encode_bmp(synthetic_pixels(i)))
+            rows.append((i, w, h, v))
+        _CACHE["multimodal"] = {
+            "multimodal_phash": _values_sql(
+                rows, ["media_id", "width", "height", "phash"],
+                ["BIGINT", "INTEGER", "INTEGER", "BIGINT"])
+        }
+    return _CACHE["multimodal"]
+
+
 def kg_oracle_sqls() -> dict[str, str]:
     out = _oracle_outputs()
     o, g, ts = out["oracle"], out["graph"], out["two_stage"]

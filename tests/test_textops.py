@@ -147,3 +147,29 @@ def test_simhash_hamming_k_guard(spark):
     fps = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, simhash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_hamming_pairs(fps, k=SIMHASH_BANDS)
+
+
+def test_bmp_roundtrip_and_phash():
+    """encode_bmp/decode_bmp roundtrip exactly (incl. row padding with
+    non-multiple-of-4 widths); phash matches the independent stdlib oracle
+    implementation bit-for-bit."""
+    import numpy as np
+    import pytest
+    from pl_marker_spark.multimodal import (
+        decode_bmp, encode_bmp, image_phash, synthetic_pixels,
+    )
+    from pl_marker_spark.oracle_values import _bmp_phash_py
+
+    for i, (h, w) in [(0, (32, 32)), (5, (16, 24)), (9, (24, 17))]:
+        px = synthetic_pixels(i)[:h, :w].copy()
+        payload = encode_bmp(px)
+        back = decode_bmp(payload)
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back, px)
+        if h >= 8 and w >= 8:
+            ow, oh, ov = _bmp_phash_py(payload)
+            assert (ow, oh) == (w, h)
+            assert image_phash(back) == ov
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"xx")
