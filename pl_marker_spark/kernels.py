@@ -335,6 +335,90 @@ def assemble_ner_tensors(
     return input_ids, position_ids, attention
 
 
+def assemble_ner_tensors_batch(
+    windows: list[list[str]], spans_list: list[list[tuple[int, int]]],
+    max_seq: int, max_pairs: int,
+):
+    """Batched K5 assembly across packed groups (round-2 VERDICT item #1):
+    every group's tensors are written into ONE stacked buffer set
+    (ids/positions (B, Wmax), attention (B, Wmax, Wmax) int8) instead of a
+    fresh (S+2P)² allocation per group. Each group keeps its own layout —
+    markers at max_seq+k / max_seq+P_g+k — and the padded tail is all-zero
+    attention, so the batched masked-mean contributes exactly +0 terms
+    there. Returns (input_ids, position_ids, attention, widths)."""
+    B = len(windows)
+    Ps = [min(len(s), max_pairs) for s in spans_list]
+    widths = np.array([max_seq + 2 * p for p in Ps], dtype=np.int64)
+    Wmax = int(widths.max()) if B else max_seq
+    input_ids = np.zeros((B, Wmax), dtype=np.int64)
+    position_ids = np.zeros((B, Wmax), dtype=np.int64)
+    attention = np.zeros((B, Wmax, Wmax), dtype=np.int8)
+    for b, (window, spans) in enumerate(zip(windows, spans_list)):
+        L = len(window)
+        P = Ps[b]
+        input_ids[b, :L] = [_token_id(t) for t in window]
+        position_ids[b, :L] = np.arange(L)
+        attention[b, :L, :L] = 1
+        if P == 0:
+            continue
+        lo = np.fromiter((s[0] for s in spans[:P]), dtype=np.int64, count=P)
+        hi = np.fromiter((s[1] for s in spans[:P]), dtype=np.int64, count=P)
+        m1 = max_seq + np.arange(P)
+        m2 = max_seq + P + np.arange(P)
+        input_ids[b, m1] = 1
+        input_ids[b, m2] = 2
+        position_ids[b, m1] = lo
+        position_ids[b, m2] = hi
+        attention[b, m1, :L] = 1
+        attention[b, m2, :L] = 1
+        attention[b, m1, m1] = attention[b, m1, m2] = 1
+        attention[b, m2, m1] = attention[b, m2, m2] = 1
+    return input_ids, position_ids, attention, widths
+
+
+def assemble_re_tensors_batch(
+    tokens_list: list[list[str]],
+    sub_wins: list[tuple[int, int]],
+    objects_list: list[list[tuple[int, int]]],
+    max_seq: int,
+    max_pairs: int,
+):
+    """Batched RE-variant K5 assembly (see assemble_ner_tensors_batch).
+    Returns (input_ids, position_ids, attention, sub_positions (B,2),
+    widths)."""
+    B = len(tokens_list)
+    Ps = [min(len(o), max_pairs) for o in objects_list]
+    widths = np.array([max_seq + 2 * p for p in Ps], dtype=np.int64)
+    Wmax = int(widths.max()) if B else max_seq
+    input_ids = np.zeros((B, Wmax), dtype=np.int64)
+    position_ids = np.zeros((B, Wmax), dtype=np.int64)
+    attention = np.zeros((B, Wmax, Wmax), dtype=np.int8)
+    sub_positions = np.zeros((B, 2), dtype=np.int64)
+    for b, (tokens, sub_win, objects) in enumerate(
+        zip(tokens_list, sub_wins, objects_list)
+    ):
+        L = len(tokens)
+        P = Ps[b]
+        input_ids[b, :L] = [_token_id(t) for t in tokens]
+        position_ids[b, :L] = np.arange(L)
+        attention[b, :L, :L] = 1
+        sub_positions[b] = sub_win
+        if P == 0:
+            continue
+        left = np.fromiter((o[0] for o in objects[:P]), dtype=np.int64, count=P)
+        right = np.fromiter((o[1] for o in objects[:P]), dtype=np.int64, count=P)
+        m1 = max_seq + np.arange(P)
+        m2 = max_seq + P + np.arange(P)
+        input_ids[b, m1] = 3
+        input_ids[b, m2] = 4
+        position_ids[b, m1] = left
+        position_ids[b, m2] = right
+        attention[b, m1, :L] = attention[b, m2, :L] = 1
+        attention[b, m1, m1] = attention[b, m1, m2] = 1
+        attention[b, m2, m1] = attention[b, m2, m2] = 1
+    return input_ids, position_ids, attention, sub_positions, widths
+
+
 def assemble_re_tensors(
     tokens_with_markers: list[str],
     sub_win: tuple[int, int],

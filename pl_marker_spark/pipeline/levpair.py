@@ -177,38 +177,48 @@ def decode_levitated(packed_lev: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            conv, turn = [], []
-            s1, e1, s2, e2 = [], [], [], []
-            pred, score, n1, n2 = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                for a, b, c, d, ss, os_ in zip(
-                    row.s1, row.e1, row.s2, row.e2,
-                    row.sub_surface, row.obj_surface,
-                ):
-                    v = re_logits_for_pair(ss, os_)[:NUM_REL]
-                    k = int(np.argmax(v))
-                    if k <= 0:
-                        continue
-                    conv.append(row.conv_id)
-                    turn.append(row.turn_idx)
-                    s1.append(int(a)); e1.append(int(b))
-                    s2.append(int(c)); e2.append(int(d))
-                    pred.append(REL_LABELS[k])
-                    score.append(float(v[k]))
-                    n1.append(aux_obj_ner(ss))
-                    n2.append(aux_obj_ner(os_))
+            # flattened batch decode: pairs explode via repeat/concatenate,
+            # forward-only argmax vectorized over the stacked logit matrix
+            n = len(pdf)
+            c_s1 = pdf["s1"].to_numpy()
+            counts = np.fromiter((len(x) for x in c_s1), dtype=np.int64,
+                                 count=n)
+            rep = np.repeat(np.arange(n), counts)
+            total = int(counts.sum())
+
+            def flat(col):
+                arrs = pdf[col].to_numpy()
+                return (np.concatenate([np.asarray(a) for a in arrs])
+                        if total else np.empty(0, dtype=object))
+
+            ss = flat("sub_surface")
+            os_ = flat("obj_surface")
+            if total:
+                mat = np.array([re_logits_for_pair(a, b)[:NUM_REL]
+                                for a, b in zip(ss, os_)])
+                ks = mat.argmax(axis=1)
+                kk = np.flatnonzero(ks > 0)
+                kpred = ks[kk]
+            else:
+                kk = kpred = np.empty(0, dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "conv_id": conv,
-                    "turn_idx": pd.Series(turn, dtype="int32"),
-                    "s1": pd.Series(s1, dtype="int32"),
-                    "e1": pd.Series(e1, dtype="int32"),
-                    "s2": pd.Series(s2, dtype="int32"),
-                    "e2": pd.Series(e2, dtype="int32"),
-                    "pred": pred,
-                    "score": pd.Series(score, dtype="float64"),
-                    "m1_ner": n1,
-                    "m2_ner": n2,
+                    "conv_id": pdf["conv_id"].to_numpy()[rep][kk],
+                    "turn_idx": pd.Series(
+                        pdf["turn_idx"].to_numpy()[rep][kk], dtype="int32"),
+                    "s1": pd.Series(
+                        np.asarray(flat("s1"), dtype=np.int64)[kk], dtype="int32"),
+                    "e1": pd.Series(
+                        np.asarray(flat("e1"), dtype=np.int64)[kk], dtype="int32"),
+                    "s2": pd.Series(
+                        np.asarray(flat("s2"), dtype=np.int64)[kk], dtype="int32"),
+                    "e2": pd.Series(
+                        np.asarray(flat("e2"), dtype=np.int64)[kk], dtype="int32"),
+                    "pred": [REL_LABELS[int(k)] for k in kpred],
+                    "score": pd.Series(
+                        (mat[kk, kpred] if total else kk), dtype="float64"),
+                    "m1_ner": [aux_obj_ner(x) for x in ss[kk]],
+                    "m2_ner": [aux_obj_ner(x) for x in os_[kk]],
                 }
             )
 

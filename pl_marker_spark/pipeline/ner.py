@@ -21,7 +21,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..config import PipelineConfig
-from ..kernels import assemble_ner_tensors
 from ..surrogate import ner_fast_scores
 from ..world import NER_LABELS
 
@@ -55,6 +54,7 @@ def make_infer_fn(cfg: PipelineConfig):
             c_soff = pdf["sent_off"].to_numpy()
             c_nw = pdf["n_words"].to_numpy()
             c_woff = pdf["word_off"].to_numpy()
+            windows, spans_list, word_coords = [], [], []
             for r in range(len(pdf)):
                 window = c_win[r].split(" ")
                 bounds = window_word_bounds(window, family)
@@ -70,35 +70,21 @@ def make_infer_fn(cfg: PipelineConfig):
                 else:
                     los, his = c_ws[r], c_we[r]
                     wds, wde = np.asarray(c_wds[r]), np.asarray(c_wde[r])
-                if tensor_head:
-                    # I1/I5/K5 end-to-end: the packed tensors (interleaved
-                    # levitated markers, copied position ids, 2D mask) feed
-                    # the registered head; one numpy batch per packed group.
-                    from ..models import ner_head_logits
-                    from ..surrogate import ner_decode
-
-                    spans = list(zip((int(x) for x in los), (int(x) for x in his)))
-                    ii, pi, att = assemble_ner_tensors(
-                        window, spans, cfg.max_seq_length_ner,
-                        cfg.max_pair_length_ner)
-                    probs, preds = ner_decode(
-                        ner_head_logits(ii, pi, att, spans,
-                                        cfg.max_seq_length_ner,
-                                        cfg.ner_feature))
-                    kept = np.flatnonzero(preds != 0)  # O1 NIL filter at emit
-                    probs, preds = probs[kept], preds[kept]
-                else:
-                    if cfg.assemble_tensors:
-                        # K5 parity path: build the packed marker tensors the
-                        # real encoder would consume (shape/positions/2D mask).
-                        assemble_ner_tensors(window, list(zip(los, his)),
-                                             cfg.max_seq_length_ner,
-                                             cfg.max_pair_length_ner)
-                    # fast exact scorer: one gazetteer scan per window instead
-                    # of O(spans) surface joins (see surrogate.ner_fast_scores
-                    # for the bit-identity argument)
-                    kept, probs, preds = ner_fast_scores(
-                        window, los, his, family, bounds=bounds)
+                if tensor_head or cfg.assemble_tensors:
+                    # I1/I5/K5: defer to ONE chunked batch assembly + head
+                    # call per Arrow batch (models.ner_logits_grouped) —
+                    # no per-row mask allocation
+                    windows.append(window)
+                    spans_list.append(
+                        list(zip((int(x) for x in los), (int(x) for x in his))))
+                    word_coords.append((r, wds, wde))
+                    if tensor_head:
+                        continue
+                # fast exact scorer: one gazetteer scan per window instead
+                # of O(spans) surface joins (see surrogate.ner_fast_scores
+                # for the bit-identity argument)
+                kept, probs, preds = ner_fast_scores(
+                    window, los, his, family, bounds=bounds)
                 k = len(kept)
                 if k == 0:
                     continue
@@ -108,6 +94,37 @@ def make_infer_fn(cfg: PipelineConfig):
                 out_e.extend(wde[kept].tolist())
                 out_lab.extend(NER_LABELS[p] for p in preds)
                 out_score.extend(probs.tolist())
+            if windows and tensor_head:
+                from ..models import ner_logits_grouped
+                from ..surrogate import ner_decode
+
+                logit_list = ner_logits_grouped(
+                    windows, spans_list, cfg.max_seq_length_ner,
+                    cfg.max_pair_length_ner, cfg.ner_feature)
+                for (r, wds, wde), logits in zip(word_coords, logit_list):
+                    probs, preds = ner_decode(logits)
+                    kept = np.flatnonzero(preds != 0)  # O1 NIL filter at emit
+                    if len(kept) == 0:
+                        continue
+                    probs, preds = probs[kept], preds[kept]
+                    out_conv.extend([c_conv[r]] * len(kept))
+                    out_turn.extend([c_turn[r]] * len(kept))
+                    out_s.extend(np.asarray(wds)[kept].tolist())
+                    out_e.extend(np.asarray(wde)[kept].tolist())
+                    out_lab.extend(NER_LABELS[p] for p in preds)
+                    out_score.extend(probs.tolist())
+            elif windows:
+                # K5 parity path (assemble_tensors without a tensor head):
+                # build the packed marker tensors the real encoder would
+                # consume, batched
+                from ..kernels import assemble_ner_tensors_batch
+                from ..models import GROUP_CHUNK
+
+                for s0 in range(0, len(windows), GROUP_CHUNK):
+                    assemble_ner_tensors_batch(
+                        windows[s0 : s0 + GROUP_CHUNK],
+                        spans_list[s0 : s0 + GROUP_CHUNK],
+                        cfg.max_seq_length_ner, cfg.max_pair_length_ner)
             yield pd.DataFrame(
                 {
                     "conv_id": pd.Series(out_conv, dtype="object"),

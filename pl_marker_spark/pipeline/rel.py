@@ -60,66 +60,88 @@ def make_pair_infer_fn(cfg: PipelineConfig):
     tensor_head = cfg.model == "packed_linear"
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            conv, turn = [], []
-            s1, e1, s2, e2, logits, obj_ner = [], [], [], [], [], []
-            for row in pdf.itertuples(index=False):
-                pair_logits = aux_logits = None
-                if tensor_head:
-                    # I2/I5/K5 end-to-end: two-tower head over the assembled
-                    # RE tensors (solid subject markers in the stream,
-                    # levitated object markers) — one numpy batch per
-                    # packed subject instance (run_re.py:362-438 semantics).
-                    from ..kernels import assemble_re_tensors
-                    from ..models import re_head_logits
+            n = len(pdf)
+            # flattened batch emit: object arrays explode via repeat /
+            # concatenate instead of a per-row itertuples loop
+            c_ol = pdf["o_left"].to_numpy()
+            counts = np.fromiter((len(x) for x in c_ol), dtype=np.int64,
+                                 count=n)
+            rep = np.repeat(np.arange(n), counts)
+            total = int(counts.sum())
 
-                    objs = list(zip(
-                        (int(x) for x in row.o_left),
-                        (int(x) for x in row.o_right)))
-                    ii, pi, att, subpos = assemble_re_tensors(
-                        list(row.window), (row.sub_win_s, row.sub_win_e),
-                        objs, cfg.max_seq_length_re, cfg.max_pair_length_re,
-                    )
-                    pair_logits, aux_logits = re_head_logits(
-                        ii, pi, att, subpos, len(objs), cfg.max_seq_length_re)
-                elif cfg.assemble_tensors:
-                    # K5 RE parity path (run_re.py:362-438)
-                    from ..kernels import assemble_re_tensors
+            def flat(col):
+                arrs = pdf[col].to_numpy()
+                return (np.concatenate([np.asarray(a) for a in arrs])
+                        if total else np.empty(0, dtype=object))
 
-                    assemble_re_tensors(
-                        list(row.window), (row.sub_win_s, row.sub_win_e),
-                        list(zip(row.o_left, row.o_right)),
-                        cfg.max_seq_length_re, cfg.max_pair_length_re,
-                    )
-                for k, (ol, osurf, ows, owe) in enumerate(zip(
-                    row.o_label, row.o_surface, row.o_ws, row.o_we
-                )):
-                    conv.append(row.conv_id)
-                    turn.append(row.turn_idx)
-                    s1.append(row.sub_s)
-                    e1.append(row.sub_e)
-                    s2.append(int(ows))
-                    e2.append(int(owe))
-                    if tensor_head:
-                        v = pair_logits[k].tolist()
-                        aux = NER_LABELS[int(aux_logits[k].argmax())]
-                    else:
-                        v = re_logits_for_pair(row.sub_surface, osurf)
-                        aux = None
-                    logits.append(transform(v) if transform else v)
-                    if use_ner:
-                        obj_ner.append(ol)
-                    else:
-                        obj_ner.append(aux if tensor_head else aux_obj_ner(osurf))
+            conv = pdf["conv_id"].to_numpy()[rep]
+            turn = pdf["turn_idx"].to_numpy()[rep]
+            s1 = np.repeat(pdf["sub_s"].to_numpy(), counts)
+            e1 = np.repeat(pdf["sub_e"].to_numpy(), counts)
+            s2 = flat("o_ws")
+            e2 = flat("o_we")
+            olab = flat("o_label")
+            osurf = flat("o_surface")
+
+            if tensor_head:
+                # I2/I5/K5 end-to-end: two-tower head over the assembled RE
+                # tensors (solid subject markers in the stream, levitated
+                # object markers) — ONE chunked batch assembly + head call
+                # per Arrow batch (run_re.py:362-438 semantics).
+                from ..models import re_logits_grouped
+
+                res = re_logits_grouped(
+                    [list(w) for w in pdf["window"].to_numpy()],
+                    list(zip(pdf["sub_win_s"].to_numpy(),
+                             pdf["sub_win_e"].to_numpy())),
+                    [list(zip((int(x) for x in l), (int(x) for x in r)))
+                     for l, r in zip(c_ol, pdf["o_right"].to_numpy())],
+                    cfg.max_seq_length_re, cfg.max_pair_length_re,
+                )
+                logit_rows = [v for mat, _aux in res for v in mat.tolist()]
+                aux_flat = [NER_LABELS[int(j)] for mat, aux in res
+                            for j in aux.argmax(axis=1)]
+            else:
+                if cfg.assemble_tensors:
+                    # K5 RE parity path (run_re.py:362-438), batched
+                    from ..kernels import assemble_re_tensors_batch
+                    from ..models import GROUP_CHUNK
+
+                    wins = [list(w) for w in pdf["window"].to_numpy()]
+                    subw = list(zip(pdf["sub_win_s"].to_numpy(),
+                                    pdf["sub_win_e"].to_numpy()))
+                    objs = [list(zip(l, r)) for l, r in
+                            zip(c_ol, pdf["o_right"].to_numpy())]
+                    for s0 in range(0, n, GROUP_CHUNK):
+                        assemble_re_tensors_batch(
+                            wins[s0 : s0 + GROUP_CHUNK],
+                            subw[s0 : s0 + GROUP_CHUNK],
+                            objs[s0 : s0 + GROUP_CHUNK],
+                            cfg.max_seq_length_re, cfg.max_pair_length_re)
+                sub_flat = np.repeat(pdf["sub_surface"].to_numpy(), counts)
+                logit_rows = [re_logits_for_pair(ss, os_)
+                              for ss, os_ in zip(sub_flat, osurf)]
+                aux_flat = None
+            if transform:
+                logit_rows = [transform(v) for v in logit_rows]
+            if use_ner:
+                obj_ner = [str(x) for x in olab]
+            elif tensor_head:
+                obj_ner = aux_flat
+            else:
+                obj_ner = [aux_obj_ner(os_) for os_ in osurf]
             yield pd.DataFrame(
                 {
                     "conv_id": conv,
                     "turn_idx": pd.Series(turn, dtype="int32"),
                     "s1": pd.Series(s1, dtype="int32"),
                     "e1": pd.Series(e1, dtype="int32"),
-                    "s2": pd.Series(s2, dtype="int32"),
-                    "e2": pd.Series(e2, dtype="int32"),
-                    "logits": logits,
+                    "s2": pd.Series(np.asarray(s2, dtype=np.int64), dtype="int32"),
+                    "e2": pd.Series(np.asarray(e2, dtype=np.int64), dtype="int32"),
+                    "logits": logit_rows,
                     "obj_ner": obj_ner,
                 }
             )

@@ -268,3 +268,32 @@ def test_hf_adapter_checkpoint_gate():
         pytest.skip("torch present; gate not exercised")
     with pytest.raises(RuntimeError, match="requires torch"):
         HFMarkerAdapter.from_checkpoint("/nonexistent")
+
+
+def test_batched_heads_match_per_group():
+    """The chunked batch assembly+head path (ner_logits_grouped /
+    re_logits_grouped) must match the per-group functions to float
+    round-off on groups of mixed sizes (padding contributes exactly-zero
+    attention terms)."""
+    from pl_marker_spark.models import ner_logits_grouped, re_logits_grouped
+
+    windows = [
+        ["[CLS]", "alpha", "bo", "cedar", "dim", "echo", "fig", "[SEP]"],
+        ["[CLS]", "zip", "zap", "[SEP]"],
+        ["[CLS]", "one", "two", "three", "four", "[SEP]"],
+    ]
+    spans_list = [_spans_for(w, min(5, len(w) - 3)) for w in windows]
+    batch = ner_logits_grouped(windows, spans_list, 64, 16)
+    for w, sp, got in zip(windows, spans_list, batch):
+        ref = ner_head_logits(*assemble_ner_tensors(w, sp, 64, 16), sp, 64)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+    tokens = ["[CLS]", "alpha", "[SUB_L]", "bo", "[SUB_R]", "cedar", "dim",
+              "echo", "[SEP]"]
+    objs_list = [[(1, 1), (5, 6)], [(6, 7), (5, 5), (1, 1)], [(5, 5)]]
+    res = re_logits_grouped([tokens] * 3, [(2, 4)] * 3, objs_list, 64, 16)
+    for objs, (got_m, got_a) in zip(objs_list, res):
+        ii, pi, att, sp = assemble_re_tensors(tokens, (2, 4), objs, 64, 16)
+        ref_m, ref_a = re_head_logits(ii, pi, att, sp, len(objs), 64)
+        np.testing.assert_allclose(got_m, ref_m, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(got_a, ref_a, rtol=0, atol=1e-12)
