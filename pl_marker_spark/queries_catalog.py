@@ -401,27 +401,58 @@ def q_jaccard_neardup(spark, sf_dir):
     candidate-set demo — production-recall near-dup is the MinHash path.
     The filter applies to the same rounded value both engines emit (ADVICE
     round-1: never filter raw on one side and rounded on the other)."""
-    d = _doc(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws"),
-        F.size(F.split("text", " ")).alias("n"),
-        F.array_min(F.array_distinct(F.split("text", " "))).alias("mn"),
+    # repartition BEFORE the word-set computation: the sf table is one
+    # parquet file, so the split/distinct map work would otherwise run in
+    # a single scan task (at production scale many files make this moot)
+    d = (
+        _doc(spark, sf_dir, "documents").select("doc_id", "text")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("ws"),
+            F.size(F.split("text", " ")).alias("n"),
+            F.array_min(F.array_distinct(F.split("text", " "))).alias("mn"),
+        )
     )
     a = d.alias("a")
+    # The ±1 band must stay an EQUI-join key: the right side explodes to
+    # its three reachable length keys (n-1, n, n+1) so Catalyst hash-joins
+    # on (length-key, mn). A raw `abs(a.n - b.n) <= 1` predicate degrades
+    # the join key to mn alone — mn concentrates on few values, so blocks
+    # go quadratic (measured 3s → ~150s at sf0.1 before this form).
+    # Each qualifying pair matches exactly one of the three keys. The
+    # exploded side carries ids only; the word-set payload re-joins onto
+    # matched pairs (same discipline as the LSH band joins).
     b = d.select(
-        F.col("doc_id").alias("b_id"), F.col("ws").alias("b_ws"),
-        F.col("n").alias("b_n"), F.col("mn").alias("b_mn"),
+        F.col("doc_id").alias("b_id"), F.col("mn").alias("b_mn"),
+        F.explode(
+            F.array(F.col("n") - 1, F.col("n"), F.col("n") + 1)
+        ).alias("b_k"),
     ).alias("b")
     pairs = a.join(
         b,
-        (F.abs(F.col("a.n") - F.col("b_n")) <= 1)
+        (F.col("a.n") == F.col("b_k"))
         & (F.col("a.mn") == F.col("b_mn"))
         & (F.col("a.doc_id") < F.col("b_id")),
+    ).join(
+        d.select(F.col("doc_id").alias("b_id"), F.col("ws").alias("b_ws")),
+        "b_id",
     )
-    jac = F.size(F.array_intersect("a.ws", "b_ws")) / F.size(F.array_union("a.ws", "b_ws"))
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b_id").alias("doc_b"),
-        F.round(jac, 6).alias("jaccard"),
-    ).filter(F.col("jaccard") >= 0.5)
+    # |union| by arithmetic (|A|+|B|-|A∩B|): one array op per pair instead
+    # of two; `inter` is a named column behind a projection boundary so the
+    # intersect is computed once (the CSE trap documented at textops.py)
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b_id").alias("doc_b"),
+            F.size(F.array_intersect("a.ws", "b_ws")).alias("inter"),
+            (F.size("a.ws") + F.size("b_ws")).alias("tot"),
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("inter") / (F.col("tot") - F.col("inter")), 6)
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
 
 
 SQL_JACCARD = """

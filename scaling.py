@@ -58,7 +58,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    lo, hi = 8, 32
+    # default legs 8→32; SPARK_GRAFT_CORES_LO/HI select another N→4N pair
+    # (e.g. 2→8) — on this shared-bandwidth host the high leg saturates the
+    # memory path (see BENCH.md ceilings), so a lower pair isolates the
+    # PLAN's scaling from the box's bandwidth wall
+    lo = int(os.environ.get("SPARK_GRAFT_CORES_LO", "8"))
+    hi = int(os.environ.get("SPARK_GRAFT_CORES_HI", "32"))
     # best-of-N per leg: this sandbox shares its host with neighbor load
     # (observed 1-min loadavg 10-20 with zero processes of ours running),
     # so a single sample conflates scaling with interference; the per-leg
