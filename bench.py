@@ -86,7 +86,7 @@ def main() -> None:
     qs = queries_catalog.queries()
     for name in ("c1_span_enum", "k1_pack_groups", "p4_prefix_sum",
                  "minhash_neardup", "dedup_exact", "jaccard_neardup",
-                 "ann_cosine_topk", "fingerprint"):
+                 "ann_cosine_topk", "ann_ivf_topk", "fingerprint"):
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

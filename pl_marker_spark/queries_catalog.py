@@ -513,6 +513,20 @@ FROM r WHERE rk <= 10
 """
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN scale path (seed-init + one distributed Lloyd step,
+    nprobe=2) — see ann_ivf.py for the plan shape and recall numbers."""
+    from .ann_ivf import q_ann_ivf_topk
+
+    return q_ann_ivf_topk(spark, sf_dir)
+
+
+def _sql_ann_ivf() -> str:
+    from .ann_ivf import SQL_ANN_IVF
+
+    return SQL_ANN_IVF
+
+
 # ---------- model-dependent entries (oracle = materialized python oracle) --
 # The packed-marker pipeline is the engine under test — its DuckDB twin is
 # the single-process oracle (oracle_ref + oracle_graph) rendered as a VALUES
@@ -844,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_roberta": q_kg_mentions_roberta,
         "kg_triples_unidirect": q_kg_triples_unidirect,
         "multimodal_phash": q_multimodal_phash,
+        "ann_ivf_topk": _q_ann_ivf,
     }
 
 
@@ -865,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "jaccard_neardup": SQL_JACCARD,
         "ann_cosine_topk": SQL_ANN,
+        "ann_ivf_topk": _sql_ann_ivf(),
         "minhash_neardup": _sql_minhash(),
         "simhash_buckets": _sql_simhash_buckets(),
         "simhash_hamming": _sql_simhash_hamming(),
