@@ -41,10 +41,19 @@ class PipelineConfig:
                                          # decode over NUM_REL labels, no fusion
     use_typemarker: bool = False         # typed solid markers (run_re.py:294-296)
     # --- packing variants (run_acener.py:266-315) ---
+    # The reference's shuffle / group_sort / axis=-1 knobs draw from the
+    # GLOBAL random state (run_acener.py:268-272,288-292) — a per-process
+    # nondeterminism Spark cannot reproduce. Here the same distributions
+    # are driven by a PER-TURN seed (crc32 of conv_id:turn_idx), so output
+    # is deterministic, partitioning-independent, and re-runnable, while
+    # the packing geometry matches the reference's knob semantics.
     group_edge: bool = False
-    group_axis: int = 0                  # 0=start, 1=end (random axis not supported:
-                                         # determinism is a pipeline invariant)
-    group_sort: bool = False
+    group_axis: int = 0                  # 0=start, 1=end, -1=seeded random axis
+                                         # (+ seeded random direction, as the
+                                         # reference's edge mode always does)
+    group_sort: bool = False             # sort by seeded random (axis, dir)
+                                         # before fixed-size chunking
+    shuffle: bool = False                # seeded shuffle before chunking
     # --- tokenizer family (run_acener.py:124-162) ---
     tokenizer_family: str = "bert"       # "bert" (wordpiece ##) | "roberta"
                                          # (prefix-space Ġ + P2 punctuation

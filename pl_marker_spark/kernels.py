@@ -188,16 +188,37 @@ def reconstruct_spans(
     )
 
 
-def pack_groups(spans: list, cfg: PipelineConfig) -> list[list]:
+def pack_groups(spans: list, cfg: PipelineConfig, seed: int | None = None) -> list[list]:
     """K1 fixed-size chunking, or K2 edge-aware packing that never splits a
-    run of equal group-axis values (run_acener.py:287-315; deterministic
-    ascending sort — the reference's random axis/direction is a train-time
-    regularizer, see SURVEY.md §4)."""
+    run of equal group-axis values (run_acener.py:287-315).
+
+    The reference's randomized knobs — ``shuffle`` (run_acener.py:268-269),
+    ``group_sort`` (random axis + direction sort, :270-272), and edge mode's
+    random axis (``group_axis=-1``) / always-random direction (:288-292) —
+    are reproduced from a caller-supplied ``seed`` (stable per turn), not
+    global random state: deterministic, partitioning-independent packing
+    with the same geometry distribution. Draw ORDER mirrors the reference
+    (shuffle, then axis, then direction). With all knobs off the default
+    deterministic ascending sort is byte-identical to previous rounds."""
     dL = cfg.max_pair_length_ner
+    rng = None
+    if cfg.shuffle or cfg.group_sort or (cfg.group_edge and cfg.group_axis == -1):
+        rng = np.random.RandomState((seed or 0) & 0x7FFFFFFF)
+    if rng is not None and cfg.shuffle:
+        spans = list(spans)
+        rng.shuffle(spans)
     if not cfg.group_edge:
+        if rng is not None and cfg.group_sort:
+            ax = int(rng.randint(2))
+            rev = bool(rng.randint(2))
+            spans = sorted(spans, key=lambda x: (x[ax], x[1 - ax]), reverse=rev)
         return [spans[i : i + dL] for i in range(0, len(spans), dL)]
     ax = cfg.group_axis
-    ordered = sorted(spans, key=lambda x: (x[ax], x[1 - ax]))
+    rev = False
+    if ax == -1:
+        ax = int(rng.randint(2))
+        rev = bool(rng.randint(2))
+    ordered = sorted(spans, key=lambda x: (x[ax], x[1 - ax]), reverse=rev)
     groups = []
     start = 0
     while start < len(ordered):

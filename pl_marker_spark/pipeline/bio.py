@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..kernels import context_window, pack_groups
-from ..world import GAZETTEER, jitter
+from ..world import GAZETTEER, jitter, stable_hash
 
 BIO_SCHEMA = (
     "conv_id string, turn_idx int, tags array<string>, word_off int"
@@ -196,7 +196,9 @@ def spanpack_from_candidates(turns_tok: DataFrame, candidates: DataFrame,
                 lo = idx.token2subword[ws] - win.doc_offset + 1
                 hi = idx.token2subword[we + 1] - win.doc_offset
                 spans.append((lo, hi, ws, we))
-            for gid, group in enumerate(pack_groups(spans, cfg)):
+            groups = pack_groups(spans, cfg,
+                                 seed=stable_hash(f"{key[0]}:{tid}"))
+            for gid, group in enumerate(groups):
                 rows.append(
                     (key[0], tid, gid, " ".join(win.tokens),
                      [s[0] for s in group], [s[1] for s in group],

@@ -88,14 +88,19 @@ def make_spanpack_fn(cfg: PipelineConfig):
         for n in range(len(pdf)):
             tid = int(turn_ids[n])
             win = context_window(idx, n, budget, truncate=False)
-            if cfg.group_edge:
-                # K2 needs the greedy run-aware chunker; explicit-array form
+            if cfg.group_edge or cfg.shuffle or cfg.group_sort:
+                # K2's greedy run-aware chunker and the seeded shuffle/sort
+                # knobs reorder spans before grouping, so the slim
+                # arithmetic form below doesn't apply; explicit-array form
                 from ..kernels import enumerate_spans
+                from ..world import stable_hash
 
                 spans = enumerate_spans(idx, n, win, maxlen)
                 if not spans:
                     continue
-                for gid, group in enumerate(pack_groups(spans, cfg)):
+                groups = pack_groups(spans, cfg,
+                                     seed=stable_hash(f"{cid}:{tid}"))
+                for gid, group in enumerate(groups):
                     rows.append(
                         (cid, tid, gid, " ".join(win.tokens),
                          [s[0] for s in group], [s[1] for s in group],

@@ -65,6 +65,25 @@ def test_pack_groups_partition_property(spans, dl, edge):
                 assert len({x[0] for x in g}) == 1
 
 
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)), max_size=40),
+       st.integers(min_value=1, max_value=7), st.booleans(), st.booleans(),
+       st.booleans(), st.integers(0, 2**31 - 1))
+@settings(max_examples=60)
+def test_pack_groups_randomized_knobs(spans, dl, shuf, gsort, edge, seed):
+    """The seeded shuffle / group_sort / random-axis knobs
+    (run_acener.py:266-315) repartition, never drop or duplicate, and are
+    a pure function of the seed."""
+    ax = -1 if edge else 0
+    cfg = PipelineConfig(max_pair_length_ner=dl, shuffle=shuf,
+                         group_sort=gsort, group_edge=edge, group_axis=ax)
+    groups = pack_groups(spans, cfg, seed=seed)
+    flat = [s for g in groups for s in g]
+    assert sorted(flat) == sorted(spans)
+    if not edge:
+        assert all(len(g) <= dl for g in groups)
+    assert groups == pack_groups(spans, cfg, seed=seed)  # seed-deterministic
+
+
 @given(st.lists(st.sampled_from(
     ["O"] + [p + l for p in ("B-", "I-") for l in NER_LABELS[1:4]]),
     max_size=25))

@@ -33,6 +33,17 @@ def test_group_edge_packing_is_result_invariant(spark):
     assert _triple_set(base["triples"]) == _triple_set(edged["triples"])
 
 
+def test_randomized_packing_is_result_invariant(spark):
+    """The reference's seeded shuffle + group_sort train-time packing
+    knobs (run_acener.py:266-292) also change batching only: the mention
+    and triple sets are identical to the default deterministic packing."""
+    t = synth.transcripts_df(spark, N)
+    base = run_extraction(spark, t, DEFAULT_CONFIG)
+    rnd_cfg = replace(DEFAULT_CONFIG, shuffle=True, group_sort=True)
+    rnd = run_extraction(spark, t, rnd_cfg)
+    assert _triple_set(base["triples"]) == _triple_set(rnd["triples"])
+
+
 def test_unidirect_matches_oracle(spark):
     cfg = replace(DEFAULT_CONFIG, eval_unidirect=True)
     corpus = synth.local_corpus(N)
