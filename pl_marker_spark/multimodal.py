@@ -2,14 +2,22 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 UDFs.
 
-Round-3 unstub (VERDICT item #8): uncompressed 24-bit BMP decode is
-implemented in pure numpy/struct — no PIL — so one real decode→feature
-kernel (``phash_media``: decode → grayscale → 8×8 block-average →
-64-bit perceptual hash) runs end-to-end under the driver's oracle gate
-(``multimodal_phash`` catalog entry, VALUES oracle from an independent
-stdlib-only reimplementation). Compressed formats (PNG/JPEG/audio/video)
-still raise ``NotImplementedError`` behind the deterministic fake — those
-genuinely need codec libraries this container doesn't ship.
+Round-3 unstubs (VERDICT item #8): two REAL decode→feature kernels run
+end-to-end under the driver's oracle gate, no media libraries:
+- image: uncompressed 24-bit BMP decode in pure numpy/struct
+  (``phash_media``: decode → grayscale → 8×8 block-average → 64-bit
+  perceptual hash; ``multimodal_phash`` catalog entry, VALUES oracle
+  from an independent stdlib-only reimplementation);
+- audio: 16-bit mono PCM WAV decode via RIFF chunk walking
+  (``fingerprint_audio``: decode → 64 frame energies in EXACT int64
+  arithmetic → energy-above-mean bit fingerprint;
+  ``multimodal_audiofp`` catalog entry, oracle twin decodes with the
+  stdlib ``wave`` module — a genuinely independent RIFF parser). The
+  integer energy math is deliberate: float RMS would make the bit
+  pattern depend on summation order across engines.
+Compressed formats (PNG/JPEG/MP3/video) still raise
+``NotImplementedError`` behind the deterministic fake — those genuinely
+need codec libraries this container doesn't ship.
 """
 
 from __future__ import annotations
@@ -131,6 +139,91 @@ def phash_media(media: DataFrame, hash_size: int = 8) -> DataFrame:
         run, schema=PHASH_SCHEMA)
 
 
+AUDIO_RATE = 8000
+AUDIO_SCHEMA = "media_id long, sample_rate int, n_samples long, afp long"
+
+
+def encode_wav(samples: np.ndarray, rate: int = AUDIO_RATE) -> bytes:
+    """int16 mono samples -> RIFF/WAVE, 16-bit PCM."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16, b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE 16-bit mono PCM -> (rate, int16 samples). Walks chunks
+    (odd-size padding honored); compressed/stereo/other depths raise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit mono PCM WAV is supported natively "
+                    f"(got fmt={fmt}, channels={ch}, bits={bits})")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def audio_fingerprint(samples: np.ndarray, n_bits: int = 64) -> int:
+    """64-bit energy fingerprint: n_bits equal frames (tail truncated),
+    bit j set iff frame j's energy exceeds the mean frame energy. All
+    arithmetic is exact int64 (energy_j * n_bits > total), so the bit
+    pattern is independent of summation order — the cross-engine
+    portability the float path can't give. Signed 64-bit return."""
+    n = len(samples) // n_bits
+    if n == 0:
+        raise ValueError(f"audio with {len(samples)} samples shorter than "
+                         f"{n_bits}-frame fingerprint grid")
+    w = samples[: n * n_bits].astype(np.int64).reshape(n_bits, n)
+    e = (w * w).sum(axis=1)
+    tot = int(e.sum())
+    v = 0
+    for ej in e:
+        v = (v << 1) | (1 if int(ej) * n_bits > tot else 0)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def fingerprint_audio(media: DataFrame, n_bits: int = 64) -> DataFrame:
+    """audio rows -> (media_id, sample_rate, n_samples, afp): the real
+    WAV decode→fingerprint kernel, Arrow-batched, stdlib+numpy only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, fps = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or bytes(payload[:4]) != b"RIFF":
+                    continue
+                rate, samples = decode_wav(bytes(payload))
+                ids.append(int(mid))
+                rates.append(rate)
+                ns.append(len(samples))
+                fps.append(audio_fingerprint(samples, n_bits))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_SCHEMA)
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
     """Deterministic stand-in feature: byte-histogram moments. Replaces the
     decode→embed kernel so the distributed plumbing is fully exercised."""
@@ -177,10 +270,24 @@ def synthetic_pixels(i: int, size: int = IMG_SIZE) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+def synthetic_samples(i: int, rate: int = AUDIO_RATE) -> np.ndarray:
+    """Deterministic int16 waveform for media_id ``i`` (sine + square mix,
+    100-135 ms) — the *input definition* shared by the generator and the
+    oracle (the decode+fingerprint implementations stay independent)."""
+    n = 800 + (i % 7) * 160
+    t = np.arange(n)
+    f1 = 200 + (i * 37) % 1800
+    f2 = 100 + (i * 53) % 900
+    x = (9000 * np.sin(2 * np.pi * f1 * t / rate)
+         + 6000 * np.sign(np.sin(2 * np.pi * f2 * t / rate)))
+    return np.clip(x, -32768, 32767).astype(np.int16)
+
+
 def synthetic_media(spark: SparkSession, n: int) -> DataFrame:
     """Deterministic fake media table. Image rows carry REAL uncompressed
-    24-bit BMP payloads (decodable by the native kernel); audio/video stay
-    opaque seeded bytes behind the documented stubs."""
+    24-bit BMP payloads and audio rows REAL 16-bit PCM WAV payloads
+    (both decodable by the native kernels); video stays opaque seeded
+    bytes behind the documented stub."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -188,18 +295,25 @@ def synthetic_media(spark: SparkSession, n: int) -> DataFrame:
             for i in pdf["id"]:
                 i = int(i)
                 kind = ("image", "audio", "video")[i % 3]
+                dur = None
                 if kind == "image":
                     payload = encode_bmp(synthetic_pixels(i))
                     mime = "image/bmp"
+                elif kind == "audio":
+                    samples = synthetic_samples(i)
+                    payload = encode_wav(samples)
+                    mime = "audio/wav"
+                    dur = len(samples) * 1000 // AUDIO_RATE
                 else:
                     payload = bytes(
                         (i * 131 + k * 17) % 256 for k in range(64 + i % 64))
                     mime = f"application/x-fake-{kind}"
+                    dur = 1000 + i
                 rows.append(
                     (i, kind, payload, mime,
                      IMG_SIZE if kind == "image" else None,
                      IMG_SIZE if kind == "image" else None,
-                     1000 + i if kind != "image" else None)
+                     dur)
                 )
             yield pd.DataFrame(
                 rows,

@@ -168,23 +168,63 @@ def _bmp_phash_py(payload: bytes, hash_size: int = 8):
     return w, h, v
 
 
-def multimodal_oracle_sqls() -> dict[str, str]:
-    """VALUES oracle for the multimodal_phash query: the pinned synthetic
-    media corpus's image payloads re-hashed by the independent stdlib
-    implementation above."""
-    if "multimodal" not in _CACHE:
-        from .multimodal import encode_bmp, synthetic_pixels
+def _wav_fp_py(payload: bytes, n_bits: int = 64):
+    """Independent WAV decode + energy fingerprint: the stdlib ``wave``
+    module (its own RIFF parser — no shared code with
+    multimodal.decode_wav) and pure-python exact-integer frame energies.
+    Returns (rate, n_samples, signed fingerprint)."""
+    import io
+    import struct
+    import wave
 
-        rows = []
+    wf = wave.open(io.BytesIO(payload))
+    assert wf.getnchannels() == 1 and wf.getsampwidth() == 2
+    rate = wf.getframerate()
+    raw = wf.readframes(wf.getnframes())
+    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    n = len(samples) // n_bits
+    energies = []
+    for j in range(n_bits):
+        s = 0
+        for x in samples[j * n : (j + 1) * n]:
+            s += x * x
+        energies.append(s)
+    tot = sum(energies)
+    v = 0
+    for ej in energies:
+        v = (v << 1) | (1 if ej * n_bits > tot else 0)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return rate, len(samples), v
+
+
+def multimodal_oracle_sqls() -> dict[str, str]:
+    """VALUES oracles for the multimodal queries: the pinned synthetic
+    media corpus's image/audio payloads re-decoded and re-hashed by the
+    independent stdlib implementations above."""
+    if "multimodal" not in _CACHE:
+        from .multimodal import (
+            encode_bmp,
+            encode_wav,
+            synthetic_pixels,
+            synthetic_samples,
+        )
+
+        img_rows, wav_rows = [], []
         for i in range(N_MEDIA):
-            if i % 3 != 0:           # synthetic_media kind cycle: image at 0
-                continue
-            w, h, v = _bmp_phash_py(encode_bmp(synthetic_pixels(i)))
-            rows.append((i, w, h, v))
+            if i % 3 == 0:           # synthetic_media kind cycle: image at 0
+                w, h, v = _bmp_phash_py(encode_bmp(synthetic_pixels(i)))
+                img_rows.append((i, w, h, v))
+            elif i % 3 == 1:         # audio at 1
+                r, ns, v = _wav_fp_py(encode_wav(synthetic_samples(i)))
+                wav_rows.append((i, r, ns, v))
         _CACHE["multimodal"] = {
             "multimodal_phash": _values_sql(
-                rows, ["media_id", "width", "height", "phash"],
-                ["BIGINT", "INTEGER", "INTEGER", "BIGINT"])
+                img_rows, ["media_id", "width", "height", "phash"],
+                ["BIGINT", "INTEGER", "INTEGER", "BIGINT"]),
+            "multimodal_audiofp": _values_sql(
+                wav_rows, ["media_id", "sample_rate", "n_samples", "afp"],
+                ["BIGINT", "INTEGER", "BIGINT", "BIGINT"]),
         }
     return _CACHE["multimodal"]
 

@@ -651,6 +651,18 @@ def q_multimodal_phash(spark, sf_dir):
     return phash_media(synthetic_media(spark, N_MEDIA))
 
 
+def q_multimodal_audiofp(spark, sf_dir):
+    """Real audio decode→feature kernel: RIFF/PCM WAV decode + 64-bit
+    exact-integer frame-energy fingerprint over the pinned synthetic
+    media corpus (second unstubbed modality). Oracle = stdlib ``wave``
+    module decode + pure-python integer energies rendered as VALUES
+    (oracle_values._wav_fp_py — an independent RIFF parser)."""
+    from .multimodal import fingerprint_audio, synthetic_media
+    from .oracle_values import N_MEDIA
+
+    return fingerprint_audio(synthetic_media(spark, N_MEDIA))
+
+
 def q_minhash_neardup(spark, sf_dir):
     """MinHash+LSH near-dup candidates over documents (shingle → one
     portable hash → affine permutation minima → band → salted bucket join →
@@ -858,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_roberta": q_kg_mentions_roberta,
         "kg_triples_unidirect": q_kg_triples_unidirect,
         "multimodal_phash": q_multimodal_phash,
+        "multimodal_audiofp": q_multimodal_audiofp,
         "ann_ivf_topk": _q_ann_ivf,
     }
 

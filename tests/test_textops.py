@@ -173,3 +173,37 @@ def test_bmp_roundtrip_and_phash():
 
     with pytest.raises(ValueError, match="not a BMP"):
         decode_bmp(b"xx")
+
+
+def test_wav_roundtrip_and_fingerprint():
+    """encode_wav/decode_wav roundtrip exactly; the numpy fingerprint
+    matches the independent stdlib ``wave``-module oracle bit-for-bit
+    (exact-integer energy math — no float summation-order dependence)."""
+    import numpy as np
+    import pytest
+    from pl_marker_spark.multimodal import (
+        AUDIO_RATE, audio_fingerprint, decode_wav, encode_wav,
+        synthetic_samples,
+    )
+    from pl_marker_spark.oracle_values import _wav_fp_py
+
+    for i in (1, 4, 13, 22):
+        samples = synthetic_samples(i)
+        payload = encode_wav(samples)
+        rate, back = decode_wav(payload)
+        assert rate == AUDIO_RATE
+        assert np.array_equal(back, samples)
+        orate, on, ofp = _wav_fp_py(payload)
+        assert (orate, on) == (rate, len(samples))
+        assert audio_fingerprint(back) == ofp
+
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"xx")
+    # stereo / non-PCM guarded loudly
+    import struct
+    bad = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 40, b"WAVE", b"fmt ",
+                      16, 1, 2, 8000, 32000, 4, 16, b"data", 4) + b"\0" * 4
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_wav(bad)
+    with pytest.raises(ValueError, match="shorter"):
+        audio_fingerprint(np.zeros(10, dtype=np.int16))
