@@ -64,7 +64,8 @@ def main() -> None:
         # production profile: conversation-local fused decode (no scored-pair
         # shuffle); equality with the relational reference path is
         # pytest-gated (tests/test_variants.py)
-        bench_cfg = _replace(DEFAULT_CONFIG, re_decode="grouped")
+        bench_cfg = _replace(DEFAULT_CONFIG, re_decode="grouped",
+                             ner_decode="fused")
         store = CheckpointStore(spark, f"{workdir}/ck", run_id="bench")
         out = run_full_pipeline(spark, transcripts, bench_cfg, store,
                                 granularity="coarse")

@@ -28,6 +28,17 @@ class PipelineConfig:
     eval_softmax: bool = False
     eval_unidirect: bool = False         # ablation: skip bidirectional fusion
                                          # (run_re.py:899-988)
+    ner_decode: str = "staged"           # "staged": spanpack_ner → infer_ner
+                                         # → suppress_mentions with a
+                                         # materialized packed_ner boundary
+                                         # (semantic reference,
+                                         # driver-oracle-gated) | "fused":
+                                         # windowing+enumeration+scoring+O3
+                                         # in one conversation-local grouped
+                                         # map — no packed_ner shuffle or
+                                         # parquet round-trip; surrogate
+                                         # model only (runner falls back to
+                                         # staged otherwise)
     re_decode: str = "relational"        # "relational": pair_scores table +
                                          # self-join fusion (semantic
                                          # reference, driver-oracle-gated) |

@@ -144,6 +144,104 @@ def infer_ner(packed_ner: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return packed_ner.mapInPandas(make_infer_fn(cfg), schema=SPAN_SCORES_SCHEMA)
 
 
+def spanpack_decode_ner(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Fused NER production profile (``ner_decode="fused"``): windowing +
+    C1 enumeration + surrogate scoring (O1 NIL filter) + O3 per-turn
+    suppression in ONE conversation-local grouped map — the packed_ner
+    table never materializes, so no window strings ride a shuffle or a
+    parquet round-trip. The NER twin of ``repack.repack_decode_re``; the
+    staged spanpack_ner → infer_ner → suppress_mentions chain remains the
+    oracle-gated semantic reference and the fused output is
+    equality-tested against it (test_variants).
+
+    Surrogate head only: the packed_linear tensor head batches packed
+    groups ACROSS conversations in the staged path (models.GROUP_CHUNK),
+    which a per-conversation kernel would undo — the runner routes tensor
+    models (and candidate-restricted / reorder-knob configs) to the
+    staged path."""
+    budget = cfg.budget_ner()
+    maxlen = cfg.max_mention_ori_length
+    family = cfg.tokenizer_family
+    overlap_any = cfg.overlap_any
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels import context_window, reconstruct_spans
+        from ..surrogate import window_word_bounds
+        from .spanpack import _conv_index_from_rows
+
+        cols = {
+            "conv_id": pd.Series([], dtype="object"),
+            "turn_idx": pd.Series([], dtype="int32"),
+            "start": pd.Series([], dtype="int32"),
+            "end": pd.Series([], dtype="int32"),
+            "label": pd.Series([], dtype="object"),
+            "score": pd.Series([], dtype="float64"),
+        }
+        if pdf.empty:
+            return pd.DataFrame(cols)
+        pdf, idx = _conv_index_from_rows(pdf)
+        cid = pdf["conv_id"].iloc[0]
+        turn_ids = pdf["turn_idx"].to_numpy()
+        out_conv, out_turn = [], []
+        out_s, out_e, out_lab, out_score = [], [], [], []
+        for n in range(len(pdf)):
+            nw = int(idx.sent_word_bounds[n + 1] - idx.sent_word_bounds[n])
+            if nw == 0:
+                continue
+            win = context_window(idx, n, budget, truncate=False)
+            bounds = window_word_bounds(win.tokens, family)
+            sent_off = idx.sent_subword_bounds[n] - win.doc_offset + 1
+            word_off = int(idx.sent_word_bounds[n])
+            los, his, wds, wde = reconstruct_spans(
+                np.asarray(bounds[1]), np.asarray(bounds[2]),
+                int(sent_off), nw, word_off, maxlen)
+            if len(los) == 0:
+                continue
+            kept, probs, preds = ner_fast_scores(
+                win.tokens, los, his, family, bounds=bounds)
+            if len(kept) == 0:
+                continue
+            # O3 greedy suppression, same total order as suppress_mentions:
+            # (score desc, start asc, end asc) — unique per turn because a
+            # span enumerates once, so the orders coincide exactly
+            s_k = wds[kept]
+            e_k = wde[kept]
+            order = np.lexsort((e_k, s_k, -probs))
+            ks: list[int] = []
+            ke: list[int] = []
+            kl: list[int] = []
+            for o in order:
+                si = int(s_k[o]); ei = int(e_k[o]); li = int(preds[o])
+                clash = False
+                for j in range(len(ks)):
+                    if si <= ke[j] and ks[j] <= ei and (
+                            overlap_any or li == kl[j]):
+                        clash = True
+                        break
+                if clash:
+                    continue
+                ks.append(si); ke.append(ei); kl.append(li)
+                out_conv.append(cid)
+                out_turn.append(int(turn_ids[n]))
+                out_s.append(si)
+                out_e.append(ei)
+                out_lab.append(NER_LABELS[li])
+                out_score.append(float(probs[o]))
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(out_conv, dtype="object"),
+                "turn_idx": pd.Series(out_turn, dtype="int32"),
+                "start": pd.Series(out_s, dtype="int32"),
+                "end": pd.Series(out_e, dtype="int32"),
+                "label": pd.Series(out_lab, dtype="object"),
+                "score": pd.Series(out_score, dtype="float64"),
+            }
+        )
+
+    pruned = turns_tok.select("conv_id", "turn_idx", "subwords", "sw_counts")
+    return pruned.groupBy("conv_id").applyInPandas(run, schema=MENTIONS_SCHEMA)
+
+
 def _overlap_mat(s: np.ndarray, e: np.ndarray) -> np.ndarray:
     """Pairwise span-overlap matrix (is_overlap, run_acener.py:708-713)."""
     return (s[:, None] <= e[None, :]) & (s[None, :] <= e[:, None])

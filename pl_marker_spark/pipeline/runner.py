@@ -76,7 +76,28 @@ def run_extraction(
     turns_tok = ck("turns_tok",
                    lambda: assemble(transcripts, cfg.tokenizer_family),
                    always=True)
-    if cfg.segment_turns > 0:
+    # fused NER profile: windowing+enumeration+scoring+suppression in one
+    # conversation-local pass (ner.spanpack_decode_ner) — packed_ner never
+    # materializes. Applies only where the fused kernel is exactly
+    # equivalent AND profitable: surrogate head (tensor heads batch groups
+    # across conversations), unsegmented, no reorder knobs (their seeded
+    # draws are positional in the staged packing; equality holds anyway by
+    # the invariance property, but keep the gate conservative).
+    ner_fused = (
+        cfg.ner_decode == "fused"
+        and cfg.model == "surrogate"
+        and not cfg.assemble_tensors
+        and cfg.segment_turns == 0
+        and not (cfg.shuffle or cfg.group_sort or cfg.group_edge)
+    )
+    if ner_fused:
+        from .ner import spanpack_decode_ner
+
+        packed_ner = span_scores = None
+        mentions = ck("mentions",
+                      lambda: spanpack_decode_ner(turns_tok, cfg),
+                      always=True)
+    elif cfg.segment_turns > 0:
         from .repack import repack_re_segmented
         from .spanpack import spanpack_ner_segmented
 
@@ -88,8 +109,10 @@ def run_extraction(
     else:
         packed_ner = ck("packed_ner", lambda: spanpack_ner(turns_tok, cfg),
                         always=True)
-    span_scores = ck("span_scores", lambda: infer_ner(packed_ner, cfg))
-    mentions = ck("mentions", lambda: suppress_mentions(span_scores, cfg), always=True)
+    if not ner_fused:
+        span_scores = ck("span_scores", lambda: infer_ner(packed_ner, cfg))
+        mentions = ck("mentions", lambda: suppress_mentions(span_scores, cfg),
+                      always=True)
     if cfg.levitated_pairs:
         # C4 all-pairs levitated variant (run_levitatedpair.py:282-322):
         # forward-only decode, shared O6/O7 downstream; composes with

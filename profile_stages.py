@@ -48,9 +48,15 @@ def main():
 
         t_all = time.time()
         turns_tok = tstage("turns_tok", lambda: assemble(transcripts, cfg.tokenizer_family))
-        packed_ner = tstage("packed_ner", lambda: spanpack_ner(turns_tok, cfg))
-        span_scores = infer_ner(packed_ner, cfg)
-        mentions = tstage("mentions", lambda: suppress_mentions(span_scores, cfg))
+        if os.environ.get("SPARK_GRAFT_NER_STAGED"):
+            packed_ner = tstage("packed_ner", lambda: spanpack_ner(turns_tok, cfg))
+            span_scores = infer_ner(packed_ner, cfg)
+            mentions = tstage("mentions", lambda: suppress_mentions(span_scores, cfg))
+        else:
+            from pl_marker_spark.pipeline.ner import spanpack_decode_ner
+
+            mentions = tstage("mentions(fused NER)",
+                              lambda: spanpack_decode_ner(turns_tok, cfg))
         t0 = time.time()
         triples_raw = repack_decode_re(turns_tok, mentions, cfg).localCheckpoint()
         timings["triples_raw(grouped RE)"] = round(time.time() - t0, 2)

@@ -49,6 +49,13 @@ def main(argv: list[str]) -> int:
                     help="RE fusion path: conversation-local grouped decode "
                          "(production; no pair-table shuffle) or the "
                          "relational self-join reference")
+    ap.add_argument("--ner-decode", choices=("fused", "staged"),
+                    default="fused",
+                    help="NER path: conversation-local fused "
+                         "windowing+scoring+suppression (production; no "
+                         "packed_ner materialization) or the staged "
+                         "spanpack/infer/suppress reference (auto-selected "
+                         "for tensor models / segmented / reorder knobs)")
     ap.add_argument("--with-eval", action="store_true",
                     help="score vs synthetic gold and write a metrics table "
                          "(synthetic input only)")
@@ -76,6 +83,7 @@ def main(argv: list[str]) -> int:
         segment_turns=args.segment_turns,
         model=args.model,
         re_decode=args.re_decode,
+        ner_decode=args.ner_decode,
     )
     if args.input:
         transcripts = (

@@ -33,6 +33,24 @@ def test_group_edge_packing_is_result_invariant(spark):
     assert _triple_set(base["triples"]) == _triple_set(edged["triples"])
 
 
+def test_fused_ner_decode_matches_staged(spark):
+    """The fused NER production profile (windowing+scoring+suppression in
+    one conversation-local pass, no packed_ner materialization) is
+    triple- and mention-identical to the staged oracle-gated reference."""
+    t = synth.transcripts_df(spark, N)
+    staged = run_extraction(spark, t, replace(DEFAULT_CONFIG,
+                                              re_decode="grouped"))
+    fused = run_extraction(spark, t, replace(DEFAULT_CONFIG,
+                                             re_decode="grouped",
+                                             ner_decode="fused"))
+    m = lambda df: {
+        (r.conv_id, r.turn_idx, r.start, r.end, r.label, round(r.score, 9))
+        for r in df.collect()
+    }
+    assert m(staged["mentions"]) == m(fused["mentions"])
+    assert _triple_set(staged["triples"]) == _triple_set(fused["triples"])
+
+
 def test_randomized_packing_is_result_invariant(spark):
     """The reference's seeded shuffle + group_sort train-time packing
     knobs (run_acener.py:266-292) also change batching only: the mention
