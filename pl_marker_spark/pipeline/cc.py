@@ -82,9 +82,57 @@ def _signature(df: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 16) -> DataFrame:
+def _local_cc(edge_rows, spark, dtype) -> DataFrame:
+    """Driver-side union-find over a size-bounded edge list; labels each
+    node with the minimum node id of its component — the same labeling the
+    star algorithm converges to (UTF-8 binary string order equals
+    code-point order, so Spark's min and Python's min agree)."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    schema = StructType([
+        StructField("sid", dtype, False),
+        StructField("component", dtype, False),
+    ])
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    return spark.createDataFrame(rows, schema)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 16, local_threshold: int = 100_000,
+) -> DataFrame:
     """edges (src, dst) -> assignment (sid, component); component id is the
     minimum node id in the component.
+
+    Size-gated plan choice (the discipline AQE applies to joins): a
+    post-blocking similarity graph is normally a vanishing fraction of the
+    corpus, and when its deduped edge list fits comfortably on the driver
+    (``local_threshold``, bounded probe via limit(n+1) — never an unbounded
+    collect) a driver-side union-find replaces O(log n) shuffle rounds.
+    The alternating-star path below is the ≥threshold branch and the one
+    that runs at true graph scale; both produce identical min-id labels
+    (equality-tested in test_scoring_and_graph).
 
     The signature action runs every *second* star-pair round (the star
     operators are idempotent at the fixpoint, so convergence detection only
@@ -99,6 +147,14 @@ def connected_components(edges: DataFrame, max_iter: int = 16) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if local_threshold > 0:
+        probe = e.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            return _local_cc(
+                [(r["u"], r["v"]) for r in probe],
+                edges.sparkSession,
+                e.schema["u"].dataType,
+            )
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     cur = e.localCheckpoint()
     sig = _signature(cur)

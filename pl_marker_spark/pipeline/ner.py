@@ -145,28 +145,36 @@ def infer_ner(packed_ner: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def spanpack_decode_ner(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Fused NER production profile (``ner_decode="fused"``): windowing +
-    C1 enumeration + surrogate scoring (O1 NIL filter) + O3 per-turn
+    """Fused NER production profile (``ner_decode="fused"``): C1
+    enumeration + surrogate scoring (O1 NIL filter) + O3 per-turn
     suppression in ONE conversation-local grouped map — the packed_ner
     table never materializes, so no window strings ride a shuffle or a
-    parquet round-trip. The NER twin of ``repack.repack_decode_re``; the
-    staged spanpack_ner → infer_ner → suppress_mentions chain remains the
-    oracle-gated semantic reference and the fused output is
-    equality-tested against it (test_variants).
+    parquet round-trip. Windows are never even assembled: C1 spans are
+    per-sentence and the surrogate scores surfaces, not context, so one
+    conversation-level word scan + gazetteer pass
+    (surrogate.conv_word_index / conv_gazetteer_matches) replaces the
+    ~9×-overlapping per-window scans of the staged path. The NER twin of
+    ``repack.repack_decode_re``; the staged spanpack_ner → infer_ner →
+    suppress_mentions chain remains the oracle-gated semantic reference
+    and the fused output is equality-tested against it (test_variants).
 
     Surrogate head only: the packed_linear tensor head batches packed
     groups ACROSS conversations in the staged path (models.GROUP_CHUNK),
     which a per-conversation kernel would undo — the runner routes tensor
     models (and candidate-restricted / reorder-knob configs) to the
     staged path."""
-    budget = cfg.budget_ner()
     maxlen = cfg.max_mention_ori_length
     family = cfg.tokenizer_family
     overlap_any = cfg.overlap_any
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..kernels import context_window, reconstruct_spans
-        from ..surrogate import window_word_bounds
+        from ..kernels import reconstruct_spans
+        from ..surrogate import (
+            conv_gazetteer_matches,
+            conv_word_index,
+            ner_decode,
+            ner_logits_for_surfaces,
+        )
         from .spanpack import _conv_index_from_rows
 
         cols = {
@@ -182,25 +190,37 @@ def spanpack_decode_ner(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
         pdf, idx = _conv_index_from_rows(pdf)
         cid = pdf["conv_id"].iloc[0]
         turn_ids = pdf["turn_idx"].to_numpy()
+        # one conversation-level word scan + one gazetteer match pass
+        # replace the ~9×-overlapping per-window scans; windows themselves
+        # are not needed — C1 spans are per-sentence and the surrogate
+        # scores surfaces, never context. Lookups happen in conversation
+        # subword coordinates throughout.
+        words_c, first_c, last_c = conv_word_index(idx.subwords, family)
+        matches = conv_gazetteer_matches(words_c, first_c, last_c)
         out_conv, out_turn = [], []
         out_s, out_e, out_lab, out_score = [], [], [], []
+        if not matches:
+            return pd.DataFrame(cols)
         for n in range(len(pdf)):
             nw = int(idx.sent_word_bounds[n + 1] - idx.sent_word_bounds[n])
             if nw == 0:
                 continue
-            win = context_window(idx, n, budget, truncate=False)
-            bounds = window_word_bounds(win.tokens, family)
-            sent_off = idx.sent_subword_bounds[n] - win.doc_offset + 1
+            sent_off = int(idx.sent_subword_bounds[n])
             word_off = int(idx.sent_word_bounds[n])
             los, his, wds, wde = reconstruct_spans(
-                np.asarray(bounds[1]), np.asarray(bounds[2]),
-                int(sent_off), nw, word_off, maxlen)
+                first_c, last_c, sent_off, nw, word_off, maxlen)
             if len(los) == 0:
                 continue
-            kept, probs, preds = ner_fast_scores(
-                win.tokens, los, his, family, bounds=bounds)
-            if len(kept) == 0:
+            kept, surfaces = [], []
+            for j in range(len(los)):
+                s = matches.get((int(los[j]), int(his[j])))
+                if s is not None:
+                    kept.append(j)
+                    surfaces.append(s)
+            if not kept:
                 continue
+            kept = np.asarray(kept, dtype=np.int64)
+            probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
             # O3 greedy suppression, same total order as suppress_mentions:
             # (score desc, start asc, end asc) — unique per turn because a
             # span enumerates once, so the orders coincide exactly

@@ -92,6 +92,50 @@ def window_word_bounds(window: list[str], family: str = "bert"):
     return words, first_sub, last_sub
 
 
+def conv_word_index(subwords: list[str], family: str = "bert"):
+    """Conversation-level word rebuild over the raw subword stream (no
+    CLS/SEP): (words, first_sub, last_sub np arrays in conversation subword
+    coordinates). The window-free twin of window_word_bounds — any NER
+    window's word segmentation is a contiguous slice of this one because
+    window boundaries are sentence-aligned (word heads are recognized
+    context-freely: '##' continuations / Ġ heads)."""
+    from .tokenizer import G, _starts_word
+
+    words: list[str] = []
+    first_sub: list[int] = []
+    last_sub: list[int] = []
+    for i, p in enumerate(subwords):
+        if _starts_word(p, family, not words):
+            words.append(p[1:] if family == "roberta" and p.startswith(G) else p)
+            first_sub.append(i)
+            last_sub.append(i)
+        else:
+            words[-1] += p[2:] if p.startswith("##") else p
+            last_sub[-1] = i
+    return (words, np.asarray(first_sub, dtype=np.int64),
+            np.asarray(last_sub, dtype=np.int64))
+
+
+def conv_gazetteer_matches(words, first_sub, last_sub):
+    """All gazetteer phrase occurrences over a conversation's words →
+    {(first_subword, last_subword): surface} in conversation coordinates.
+
+    Exactly the per-window match set for lookups of enumerated spans: a
+    window match is a conversation match (window words are a contiguous
+    subsequence), and a conversation match whose endpoints lie inside a
+    window lies wholly inside it (contiguity) — so scanning once per
+    conversation instead of once per overlapping window (~9× less work at
+    the default budget) changes nothing the lookups can see."""
+    matches: dict[tuple[int, int], str] = {}
+    for i, w in enumerate(words):
+        for ws_tuple, _label in _PHRASE_BY_FIRST.get(w, ()):
+            k = len(ws_tuple)
+            if i + k <= len(words) and tuple(words[i : i + k]) == ws_tuple:
+                matches[(int(first_sub[i]), int(last_sub[i + k - 1]))] = (
+                    " ".join(ws_tuple))
+    return matches
+
+
 def ner_fast_scores(window: list[str], win_s, win_e, family: str = "bert",
                     bounds=None):
     """Exact fast path for the surrogate NER head over one packed group.

@@ -57,6 +57,28 @@ def test_connected_components_basic(spark):
     assert assign[5] == assign[6] == 5
 
 
+def test_cc_local_matches_distributed(spark):
+    """The size-gated driver union-find and the alternating-star path label
+    identically (min node id per component) — on longs and on strings
+    (entity keys), chains + cliques + singles-by-edge."""
+    cases = [
+        ([(1, 2), (2, 3), (5, 6), (9, 9), (7, 3)], "src long, dst long"),
+        ([(i, i + 1) for i in range(50)]
+         + [(100 + i, 100 + (i + 1) % 5) for i in range(5)],
+         "src long, dst long"),
+        ([("b", "a"), ("c", "b"), ("x", "x"), ("m", "z")],
+         "src string, dst string"),
+    ]
+    for rows, schema in cases:
+        edges = spark.createDataFrame(rows, schema)
+        local = {(r.sid, r.component)
+                 for r in connected_components(edges).collect()}
+        dist = {(r.sid, r.component)
+                for r in connected_components(
+                    edges, local_threshold=0).collect()}
+        assert local == dist and local
+
+
 def test_graph_build(spark, everything):
     _, _, out = everything
     g = build_graph(out["mentions_refined"], out["triples"], out["turns_tok"])

@@ -166,7 +166,7 @@ def test_cc_nonconvergence_warns(spark):
     )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        connected_components(edges, max_iter=0).collect()
+        connected_components(edges, max_iter=0, local_threshold=0).collect()
     assert any("under-merged" in str(x.message) for x in w)
 
 
