@@ -88,27 +88,62 @@ class CheckpointStore:
         except FileNotFoundError:
             return False  # pre-fingerprint checkpoint: do not trust it
 
-    def stage(self, name: str, build, sort_within: list[str] | None = None) -> DataFrame:
+    def _bucket_table(self, name: str) -> str:
+        """Session-catalog table name for a bucketed stage — unique per
+        store (checkpoint dirs are per-run), stable within the session."""
+        import zlib
+
+        return f"ck_{zlib.crc32(self.base.encode()) & 0xFFFFFFFF:08x}_{name}"
+
+    def stage(self, name: str, build, sort_within: list[str] | None = None,
+              bucket_by: list[str] | None = None) -> DataFrame:
         """Run ``build()`` unless the checkpoint already exists; either way
         return the checkpointed DataFrame (so downstream stages always read
-        a materialized, resumable table)."""
+        a materialized, resumable table).
+
+        ``bucket_by``: write the stage as a bucketed EXTERNAL table (files
+        still under the checkpoint path) registered in the session catalog —
+        every downstream groupBy/cogroup on the bucket keys then reads the
+        scan's own HashPartitioning and skips its Exchange entirely (the
+        wide turns_tok arrays otherwise re-shuffle once per consumer;
+        measured −37/−43% on the fused NER / grouped RE stages at 20k
+        convs). Resume from a NEW session falls back to a plain parquet
+        read of the same files — correct, just re-shuffling — because the
+        in-memory catalog (no metastore in this sandbox) forgets bucket
+        metadata; with a real catalog (Iceberg/Hive) the metadata persists
+        and the fallback never triggers."""
         if self.table_format == "iceberg":
             return self._stage_iceberg(name, build, sort_within)
         path = self._path(name)
+        tbl = self._bucket_table(name) if bucket_by else None
         if self.is_complete(name):
-            self.spark.catalog.refreshByPath(path)
             self._log(name, resumed=True, rows=None, secs=0.0)
+            if tbl and self.spark.catalog.tableExists(tbl):
+                self.spark.catalog.refreshTable(tbl)
+                return self.spark.table(tbl)
+            self.spark.catalog.refreshByPath(path)
             return self.spark.read.parquet(path)
         t0 = time.time()
         df = build()
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
-        df.write.mode("overwrite").parquet(path)
+        if bucket_by:
+            n_buckets = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (df.write.mode("overwrite")
+               .bucketBy(n_buckets, *bucket_by).sortBy(*bucket_by)
+               .option("path", path).format("parquet").saveAsTable(tbl))
+        else:
+            df.write.mode("overwrite").parquet(path)
         if self.fingerprint is not None:
             with open(self._fp_path(name), "w") as f:
                 f.write(self.fingerprint)
-        self.spark.catalog.refreshByPath(path)
-        out = self.spark.read.parquet(path)
+        if tbl:
+            self.spark.catalog.refreshTable(tbl)
+            out = self.spark.table(tbl)
+        else:
+            self.spark.catalog.refreshByPath(path)
+            out = self.spark.read.parquet(path)
         # per-partition lineage from the parquet footers (driver-side
         # metadata reads, microseconds per file) — round 1 ran a second
         # full scan + collect() per stage here, a major serial-floor term

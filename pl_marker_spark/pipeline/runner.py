@@ -62,20 +62,24 @@ def run_extraction(
                       "pair_scores"}
     coarse_mem = {"triples_raw"}
 
-    def ck(name: str, build, always: bool = False):
+    def ck(name: str, build, always: bool = False,
+           bucket_by: list[str] | None = None):
         if store is None:
             return build()
         if fine:
             return store.stage(name, build)
         if name in coarse_parquet:
-            return store.stage(name, build)
+            # bucketed stage boundaries only in the production (coarse)
+            # profile: every conversation-keyed consumer then reads the
+            # scan's own partitioning instead of re-shuffling the stage
+            return store.stage(name, build, bucket_by=bucket_by)
         if name in coarse_mem:
             return build().localCheckpoint()
         return build()
 
     turns_tok = ck("turns_tok",
                    lambda: assemble(transcripts, cfg.tokenizer_family),
-                   always=True)
+                   always=True, bucket_by=["conv_id"])
     # fused NER profile: windowing+enumeration+scoring+suppression in one
     # conversation-local pass (ner.spanpack_decode_ner) — packed_ner never
     # materializes. Applies only where the fused kernel is exactly

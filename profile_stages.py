@@ -39,15 +39,17 @@ def main():
         from pl_marker_spark.pipeline.repack import repack_decode_re
         from pl_marker_spark.pipeline.spanpack import spanpack_ner
 
-        def tstage(name, build):
+        def tstage(name, build, **kw):
             t0 = time.time()
-            df = store.stage(name, build)
+            df = store.stage(name, build, **kw)
             timings[name] = round(time.time() - t0, 2)
             print(f"  {name}: {timings[name]}s", flush=True)
             return df
 
         t_all = time.time()
-        turns_tok = tstage("turns_tok", lambda: assemble(transcripts, cfg.tokenizer_family))
+        turns_tok = tstage("turns_tok",
+                           lambda: assemble(transcripts, cfg.tokenizer_family),
+                           bucket_by=["conv_id"])
         if os.environ.get("SPARK_GRAFT_NER_STAGED"):
             packed_ner = tstage("packed_ner", lambda: spanpack_ner(turns_tok, cfg))
             span_scores = infer_ner(packed_ner, cfg)

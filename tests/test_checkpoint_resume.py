@@ -130,3 +130,33 @@ def test_iceberg_branch_mocked(tmp_path):
 
     with pytest.raises(ValueError, match="catalog_ns"):
         CheckpointStore(spark, str(tmp_path), table_format="iceberg")
+
+
+def test_bucketed_stage_resume_and_fallback(spark, tmp_path):
+    """A bucket_by stage registers a session-catalog external table whose
+    scan partitioning feeds downstream grouped maps without an Exchange;
+    resume reads the table back; if the catalog forgot it (new session —
+    no metastore here), resume falls back to a plain parquet read of the
+    same files with identical rows."""
+    from pl_marker_spark.checkpoint import CheckpointStore
+
+    base = str(tmp_path / "ck")
+    store = CheckpointStore(spark, base, fingerprint="fp1")
+    df = spark.createDataFrame(
+        [(f"c{i % 3}", i, i * 10) for i in range(30)],
+        "conv_id string, turn_idx int, x int",
+    )
+    out = store.stage("tt", lambda: df, bucket_by=["conv_id"])
+    rows = {tuple(r) for r in out.collect()}
+    assert len(rows) == 30
+    # grouped map over the bucketed scan plans without an Exchange
+    plan = (out.groupBy("conv_id").agg({"x": "sum"})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    # resume (same session): served from the catalog table
+    resumed = store.stage("tt", lambda: (_ for _ in ()).throw(AssertionError))
+    assert {tuple(r) for r in resumed.collect()} == rows
+    # new-session analog: catalog forgot the table -> plain parquet fallback
+    spark.sql(f"DROP TABLE IF EXISTS {store._bucket_table('tt')}")
+    fallback = store.stage("tt", lambda: (_ for _ in ()).throw(AssertionError))
+    assert {tuple(r) for r in fallback.collect()} == rows
