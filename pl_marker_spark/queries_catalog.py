@@ -752,13 +752,22 @@ def q_simhash_hamming(spark, sf_dir):
     return simhash_neardup_hamming(_doc(spark, sf_dir, "documents"), k=3)
 
 
-def _sql_simhash_hamming() -> str:
-    return _sql_simhash_fp() + """
+def _sql_simhash_hamming(k: int = 3) -> str:
+    return _sql_simhash_fp() + f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
 """
+
+
+def q_simhash_hamming_k5(spark, sf_dir):
+    """SimHash Hamming-≤5 pairs: k above the 4-band pigeonhole bound routes
+    to the 8×4-bit band composition (`textops._simhash_n_bands`); the
+    brute-force DuckDB twin verifies the wider banding's exact recall."""
+    from .textops import simhash_neardup_hamming
+
+    return simhash_neardup_hamming(_doc(spark, sf_dir, "documents"), k=5)
 
 
 def _planted_embeddings(spark, sf_dir):
@@ -864,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_buckets": q_simhash_buckets,
         "simhash_hamming": q_simhash_hamming,
+        "simhash_hamming_k5": q_simhash_hamming_k5,
         "embedding_neardup": q_embedding_neardup,
         "kg_two_stage_mentions": q_kg_two_stage_mentions,
         "kg_triples_levpair": q_kg_triples_levpair,
@@ -897,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _sql_minhash(),
         "simhash_buckets": _sql_simhash_buckets(),
         "simhash_hamming": _sql_simhash_hamming(),
+        "simhash_hamming_k5": _sql_simhash_hamming(5),
         "embedding_neardup": _sql_embedding_neardup(),
         **_kg_sqls(),
     }

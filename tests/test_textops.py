@@ -138,15 +138,31 @@ def test_decode_stub_raises():
         multimodal._decode_image(b"xx")
 
 
-def test_simhash_hamming_k_guard(spark):
-    """k beyond the pigeonhole bound must raise loudly, not silently lose
-    recall (exactness holds only for k <= SIMHASH_BANDS - 1)."""
+def test_simhash_hamming_band_selection(spark):
+    """k above the 4-band bound routes to wider band compositions (8 bands
+    for k≤7, 16 for k≤15) instead of the round-2 hard guard; only a radius
+    as wide as the fingerprint itself raises."""
     import pytest
-    from pl_marker_spark.textops import SIMHASH_BANDS, simhash_hamming_pairs
+    from pl_marker_spark.textops import (
+        SIMHASH_BITS, _simhash_n_bands, simhash_hamming_pairs,
+    )
 
-    fps = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, simhash long")
-    with pytest.raises(ValueError, match="pigeonhole"):
-        simhash_hamming_pairs(fps, k=SIMHASH_BANDS)
+    assert [_simhash_n_bands(k) for k in (0, 3, 4, 7, 8, 15)] == \
+        [4, 4, 8, 8, 16, 16]
+    with pytest.raises(ValueError, match="near-dup"):
+        _simhash_n_bands(SIMHASH_BITS)
+    # k=4 (first beyond the old guard): exact vs brute force on a planted set
+    rows = [(i, i) for i in range(40)] + [(100, 0b11110), (101, 0)]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+           for r in simhash_hamming_pairs(fps, k=4).collect()}
+    want = {
+        (min(a, b), max(a, b))
+        for i, (a, fa) in enumerate(rows)
+        for b, fb in rows[i + 1:]
+        if bin(fa ^ fb).count("1") <= 4
+    }
+    assert got == want
 
 
 def test_bmp_roundtrip_and_phash():
