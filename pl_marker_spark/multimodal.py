@@ -225,13 +225,53 @@ def fingerprint_audio(media: DataFrame, n_bits: int = 64) -> DataFrame:
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic stand-in feature: byte-histogram moments. Replaces the
-    decode→embed kernel so the distributed plumbing is fully exercised."""
+    """Deterministic stand-in feature: byte-histogram moments — the stub
+    for kinds whose codecs aren't in this container (video / compressed)."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     if arr.size == 0:
         return np.zeros(dim, dtype=np.float32)
     hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
     return (hist / max(arr.size, 1)).astype(np.float32)
+
+
+def _image_feature(payload: bytes) -> np.ndarray:
+    """Real decode→feature for BMP images: shape + channel means + luma
+    spread + perceptual-hash bit density."""
+    px = decode_bmp(payload)
+    h, w, _ = px.shape
+    gray = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
+    ph = image_phash(px) & ((1 << 64) - 1)
+    return np.array(
+        [h / 256.0, w / 256.0,
+         px[:, :, 0].mean() / 255.0, px[:, :, 1].mean() / 255.0,
+         px[:, :, 2].mean() / 255.0, gray.std() / 255.0,
+         bin(ph).count("1") / 64.0, 0.0],
+        dtype=np.float32)
+
+
+def _audio_feature(payload: bytes) -> np.ndarray:
+    """Real decode→feature for PCM WAV audio: duration + amplitude stats +
+    zero-crossing rate + energy-fingerprint bit density."""
+    rate, s = decode_wav(payload)
+    x = s.astype(np.float64) / 32768.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    fp = audio_fingerprint(s) & ((1 << 64) - 1) if len(s) >= 64 else 0
+    return np.array(
+        [len(s) / (10.0 * rate), rate / 48000.0,
+         float(np.abs(x).mean()), float(np.sqrt((x * x).mean())),
+         float(np.abs(x).max()), zcr,
+         bin(fp).count("1") / 64.0, 0.0],
+        dtype=np.float32)
+
+
+def _feature(payload: bytes) -> np.ndarray:
+    """Dispatch by magic bytes: real kernels for the natively-decodable
+    formats, the documented byte-histogram stub otherwise."""
+    if payload[:2] == b"BM":
+        return _image_feature(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _audio_feature(payload)
+    return _fake_feature(payload)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -240,8 +280,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_feature(p if p is not None else b"") if not _HAVE_DECODERS
-                else _decode_image(p)
+                _feature(bytes(p) if p is not None else b"")
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
