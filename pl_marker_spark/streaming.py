@@ -176,3 +176,36 @@ def stream_extract_stateful(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession, in_dir: str, out_dir: str, within: str = "1 hour",
+):
+    """Streaming exact dedup over a document feed (doc_id, text, ts):
+    stateful ``dropDuplicatesWithinWatermark`` on the content hash — the
+    engine's state store does the bookkeeping, and state is bounded by the
+    watermark horizon, so at production rates memory scales with
+    ``within``, never with corpus size. Duplicates farther apart than the
+    horizon are the batch dedup job's responsibility
+    (``textops``/`dedup_exact`) — the standard stream/batch split for
+    dedup at 100 TB/day.
+
+    File-source + availableNow trigger here (the sandbox harness); swap
+    the reader for Kafka/Iceberg CDC unchanged."""
+    docs = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    deduped = (
+        docs.withColumn("content_hash", F.xxhash64("text"))
+        .withWatermark("ts", within)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{out_dir}/docs")
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .trigger(availableNow=True)
+        .start()
+    )

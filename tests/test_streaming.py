@@ -135,3 +135,29 @@ def test_stateful_handler_orphan_timeout_drops_state():
     )
     out2 = list(handler(("cZ",), iter([pdf]), st2))
     assert out2 == [] and st2.updated is not None and st2.timeout_ms == 1234
+
+
+def test_stream_dedup_exact(spark, tmp_path_factory):
+    """Duplicates within and across micro-batches collapse to one row per
+    distinct text; distinct texts all survive."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pl_marker_spark.streaming import stream_dedup_exact
+
+    indir = str(tmp_path_factory.mktemp("dedup_in"))
+    outdir = str(tmp_path_factory.mktemp("dedup_out"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    chunk_a = [(i, f"text {i % 4}", t0 + dt.timedelta(seconds=i))
+               for i in range(8)]          # 4 distinct, dups in-batch
+    chunk_b = [(100 + i, f"text {i % 6}", t0 + dt.timedelta(seconds=60 + i))
+               for i in range(6)]          # 2 new distinct, 4 cross-batch dups
+    for name, chunk in (("a", chunk_a), ("b", chunk_b)):
+        pd.DataFrame(chunk, columns=["doc_id", "text", "ts"]).to_parquet(
+            f"{indir}/{name}.parquet", coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+    q = stream_dedup_exact(spark, indir, outdir, within="1 hour")
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{outdir}/docs").collect()
+    assert sorted(r.text for r in out) == sorted(f"text {i}" for i in range(6))
