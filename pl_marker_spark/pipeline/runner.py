@@ -98,9 +98,12 @@ def run_extraction(
         from .ner import spanpack_decode_ner
 
         packed_ner = span_scores = None
+        # mentions inherits the bucketed scan's clustering (same hash, same
+        # count), so the bucketed write adds no exchange — and the RE
+        # cogroup downstream becomes exchange-free on BOTH sides
         mentions = ck("mentions",
                       lambda: spanpack_decode_ner(turns_tok, cfg),
-                      always=True)
+                      always=True, bucket_by=["conv_id"])
     elif cfg.segment_turns > 0:
         from .repack import repack_re_segmented
         from .spanpack import spanpack_ner_segmented
@@ -116,7 +119,7 @@ def run_extraction(
     if not ner_fused:
         span_scores = ck("span_scores", lambda: infer_ner(packed_ner, cfg))
         mentions = ck("mentions", lambda: suppress_mentions(span_scores, cfg),
-                      always=True)
+                      always=True, bucket_by=["conv_id"])
     if cfg.levitated_pairs:
         # C4 all-pairs levitated variant (run_levitatedpair.py:282-322):
         # forward-only decode, shared O6/O7 downstream; composes with

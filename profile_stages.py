@@ -58,7 +58,8 @@ def main():
             from pl_marker_spark.pipeline.ner import spanpack_decode_ner
 
             mentions = tstage("mentions(fused NER)",
-                              lambda: spanpack_decode_ner(turns_tok, cfg))
+                              lambda: spanpack_decode_ner(turns_tok, cfg),
+                              bucket_by=["conv_id"])
         t0 = time.time()
         triples_raw = repack_decode_re(turns_tok, mentions, cfg).localCheckpoint()
         timings["triples_raw(grouped RE)"] = round(time.time() - t0, 2)
