@@ -78,6 +78,90 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", __import__("zlib").crc32(tag + body)))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> PNG (8-bit RGB, non-interlaced, filter 0
+    rows, stdlib zlib deflate). A *compressed* format needs no codec
+    library — PNG's entire compression layer is zlib, which is stdlib."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (8-bit RGB, non-interlaced) -> (H, W, 3) uint8 RGB. Inflates the
+    IDAT stream with stdlib zlib and reverses all five scanline filters
+    (None/Sub/Up/Average/Paeth); other depths/color types/interlacing
+    raise. The Up filter (the common one for photographic rows) is
+    vectorized; Sub/Average/Paeth carry a per-pixel left dependency and
+    run as a scalar scan."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, ilace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or ctype != 2 or ilace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit RGB non-interlaced PNG is supported "
+                    f"natively (got depth={depth}, colortype={ctype}, "
+                    f"interlace={ilace})")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(idat)
+    stride = 3 * w
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=y * (stride + 1) + 1).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:                       # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):               # Sub / Average / Paeth
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, 3)
+
+
 def image_phash(pixels: np.ndarray, hash_size: int = 8) -> int:
     """Average-hash perceptual fingerprint: luma -> hash_size² block means
     -> bit j set iff block j > mean of blocks (row-major, MSB first).
@@ -103,12 +187,16 @@ def image_phash(pixels: np.ndarray, hash_size: int = 8) -> int:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Image decode: BMP natively; compressed formats need PIL/libvips."""
+    """Image decode dispatch: BMP and PNG natively (PNG's compression
+    layer is stdlib zlib); formats with non-stdlib codecs (JPEG/WebP)
+    raise."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image decoding requires PIL/libvips (not in container); "
-        "uncompressed BMP is supported natively")
+        "JPEG/WebP decoding requires PIL/libvips (not in container); "
+        "BMP and 8-bit RGB PNG are supported natively")
 
 
 def phash_media(media: DataFrame, hash_size: int = 8) -> DataFrame:
@@ -119,9 +207,12 @@ def phash_media(media: DataFrame, hash_size: int = 8) -> DataFrame:
         for pdf in batches:
             ids, ws, hs, phs = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None or bytes(payload[:2]) != b"BM":
+                if payload is None:
                     continue
-                px = decode_bmp(bytes(payload))
+                head = bytes(payload[:8])
+                if head[:2] != b"BM" and head != b"\x89PNG\r\n\x1a\n":
+                    continue
+                px = _decode_image(bytes(payload))
                 ids.append(int(mid))
                 hs.append(px.shape[0])
                 ws.append(px.shape[1])
@@ -235,9 +326,9 @@ def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
 
 
 def _image_feature(payload: bytes) -> np.ndarray:
-    """Real decode→feature for BMP images: shape + channel means + luma
-    spread + perceptual-hash bit density."""
-    px = decode_bmp(payload)
+    """Real decode→feature for BMP/PNG images: shape + channel means +
+    luma spread + perceptual-hash bit density."""
+    px = _decode_image(payload)
     h, w, _ = px.shape
     gray = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
     ph = image_phash(px) & ((1 << 64) - 1)
@@ -267,7 +358,7 @@ def _audio_feature(payload: bytes) -> np.ndarray:
 def _feature(payload: bytes) -> np.ndarray:
     """Dispatch by magic bytes: real kernels for the natively-decodable
     formats, the documented byte-histogram stub otherwise."""
-    if payload[:2] == b"BM":
+    if payload[:2] == b"BM" or payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _image_feature(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _audio_feature(payload)
@@ -336,8 +427,14 @@ def synthetic_media(spark: SparkSession, n: int) -> DataFrame:
                 kind = ("image", "audio", "video")[i % 3]
                 dur = None
                 if kind == "image":
-                    payload = encode_bmp(synthetic_pixels(i))
-                    mime = "image/bmp"
+                    # alternate the two native codecs: BMP (uncompressed)
+                    # and PNG (zlib-compressed) image rows
+                    if i % 6 == 0:
+                        payload = encode_bmp(synthetic_pixels(i))
+                        mime = "image/bmp"
+                    else:
+                        payload = encode_png(synthetic_pixels(i))
+                        mime = "image/png"
                 elif kind == "audio":
                     samples = synthetic_samples(i)
                     payload = encode_wav(samples)

@@ -128,6 +128,28 @@ def variant_oracle_sqls() -> dict[str, str]:
 N_MEDIA = 60
 
 
+def _phash_from_gray(gray, hash_size: int = 8) -> int:
+    """Pure-python block-mean average-hash over a row-major grayscale
+    grid (no numpy, no shared code with multimodal.image_phash)."""
+    h, w = len(gray), len(gray[0])
+    bh, bw = h // hash_size, w // hash_size
+    blocks = []
+    for by in range(hash_size):
+        for bx in range(hash_size):
+            s = 0.0
+            for y in range(by * bh, (by + 1) * bh):
+                for x in range(bx * bw, (bx + 1) * bw):
+                    s += gray[y][x]
+            blocks.append(s / (bh * bw))
+    mean = sum(blocks) / len(blocks)
+    v = 0
+    for b in blocks:
+        v = (v << 1) | (1 if b > mean else 0)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
 def _bmp_phash_py(payload: bytes, hash_size: int = 8):
     """Independent stdlib-only BMP decode + average-hash (no numpy, no
     shared code with multimodal.decode_bmp/image_phash) — the oracle twin
@@ -150,22 +172,24 @@ def _bmp_phash_py(payload: bytes, hash_size: int = 8):
             r = payload[base + 3 * x + 2]
             row.append(0.299 * r + 0.587 * g + 0.114 * b)
         gray.append(row)
-    bh, bw = h // hash_size, w // hash_size
-    blocks = []
-    for by in range(hash_size):
-        for bx in range(hash_size):
-            s = 0.0
-            for y in range(by * bh, (by + 1) * bh):
-                for x in range(bx * bw, (bx + 1) * bw):
-                    s += gray[y][x]
-            blocks.append(s / (bh * bw))
-    mean = sum(blocks) / len(blocks)
-    v = 0
-    for b in blocks:
-        v = (v << 1) | (1 if b > mean else 0)
-    if v >= 1 << 63:
-        v -= 1 << 64
-    return w, h, v
+    return w, h, _phash_from_gray(gray, hash_size)
+
+
+def _pixels_phash_py(i: int, hash_size: int = 8):
+    """Average-hash computed straight from the shared *pixel definition*
+    (multimodal.synthetic_pixels) in pure python — no decoder at all. Used
+    as the oracle for PNG rows: the Spark side must invert
+    encode_png(synthetic_pixels(i)) exactly to hash-match, so the driver
+    gate verifies the zlib-compressed roundtrip end to end."""
+    from .multimodal import IMG_SIZE, synthetic_pixels
+
+    px = synthetic_pixels(i)
+    gray = [
+        [0.299 * int(px[y, x, 0]) + 0.587 * int(px[y, x, 1])
+         + 0.114 * int(px[y, x, 2]) for x in range(IMG_SIZE)]
+        for y in range(IMG_SIZE)
+    ]
+    return IMG_SIZE, IMG_SIZE, _phash_from_gray(gray, hash_size)
 
 
 def _wav_fp_py(payload: bytes, n_bits: int = 64):
@@ -213,8 +237,11 @@ def multimodal_oracle_sqls() -> dict[str, str]:
         img_rows, wav_rows = [], []
         for i in range(N_MEDIA):
             if i % 3 == 0:           # synthetic_media kind cycle: image at 0
-                w, h, v = _bmp_phash_py(encode_bmp(synthetic_pixels(i)))
-                img_rows.append((i, w, h, v))
+                if i % 6 == 0:       # BMP rows: independent payload decoder
+                    w, h, v = _bmp_phash_py(encode_bmp(synthetic_pixels(i)))
+                else:                # PNG rows: hash from the pixel
+                    w, h, v = _pixels_phash_py(i)  # definition (roundtrip
+                img_rows.append((i, w, h, v))      # verified end-to-end)
             elif i % 3 == 1:         # audio at 1
                 r, ns, v = _wav_fp_py(encode_wav(synthetic_samples(i)))
                 wav_rows.append((i, r, ns, v))
