@@ -1,0 +1,193 @@
+"""Single-pass extraction: mentions AND triples from ONE pass over the
+conversation — the terminal fusion of the production profile.
+
+``ner_decode="fused"`` removed the packed_ner table; ``re_decode="grouped"``
+removed the scored-pair table; this stage removes the remaining hop: the
+mentions a conversation produces are consumed by that same conversation's
+RE decode *in-process*, so the extraction writes exactly one table (a
+``kind``-discriminated union of mention and triple rows) and the corpus is
+read exactly once. At 10^12 turns that is the difference between two full
+passes over the token arrays and one.
+
+Semantics are byte-identical to the staged chain by construction: the NER
+half is ``ner.spanpack_decode_ner``'s kernel (conversation-level word scan
++ gazetteer pass + per-turn O3) and the RE half is
+``repack.repack_decode_re``'s kernel (`_decode_turn`) fed the same sorted
+per-turn mention lists the parquet roundtrip would deliver —
+equality-tested against both staged paths in test_variants.
+
+Eligibility mirrors the two component profiles (runner enforces):
+surrogate head, unsegmented, no packing-reorder knobs, grouped RE decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import PipelineConfig
+
+EXTRACT_SCHEMA = (
+    "conv_id string, turn_idx int, kind string, "
+    "start int, end int, label string, score double, "
+    "s1 int, e1 int, s2 int, e2 int, pred string, m1_ner string, m2_ner string"
+)
+
+MENTION_COLS = ["conv_id", "turn_idx", "start", "end", "label", "score"]
+TRIPLE_COLS = ["conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
+               "score", "m1_ner", "m2_ner"]
+
+
+def extract_single_pass(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """turns_tok -> kind-discriminated union of mention ('m') and triple
+    ('t') rows, one grouped map per conversation."""
+    from ..world import NER_LABELS, REL_LABELS
+    from .rel import _score_transform
+
+    maxlen = cfg.max_mention_ori_length
+    family = cfg.tokenizer_family
+    overlap_any = cfg.overlap_any
+    budget_re = cfg.budget_re()
+    use_ner = cfg.use_ner_results
+    transform = _score_transform(cfg)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels import context_window, reconstruct_spans
+        from ..surrogate import (
+            conv_gazetteer_matches,
+            conv_word_index,
+            ner_decode,
+            ner_logits_for_surfaces,
+        )
+        from .repack import _decode_turn
+        from .spanpack import _conv_index_from_rows
+
+        out = {
+            "conv_id": [], "turn_idx": [], "kind": [],
+            "start": [], "end": [], "label": [], "score": [],
+            "s1": [], "e1": [], "s2": [], "e2": [], "pred": [],
+            "m1_ner": [], "m2_ner": [],
+        }
+
+        def frame():
+            return pd.DataFrame({
+                "conv_id": pd.Series(out["conv_id"], dtype="object"),
+                "turn_idx": pd.Series(out["turn_idx"], dtype="int32"),
+                "kind": pd.Series(out["kind"], dtype="object"),
+                "start": pd.array(out["start"], dtype="Int32"),
+                "end": pd.array(out["end"], dtype="Int32"),
+                "label": pd.Series(out["label"], dtype="object"),
+                "score": pd.array(out["score"], dtype="Float64"),
+                "s1": pd.array(out["s1"], dtype="Int32"),
+                "e1": pd.array(out["e1"], dtype="Int32"),
+                "s2": pd.array(out["s2"], dtype="Int32"),
+                "e2": pd.array(out["e2"], dtype="Int32"),
+                "pred": pd.Series(out["pred"], dtype="object"),
+                "m1_ner": pd.Series(out["m1_ner"], dtype="object"),
+                "m2_ner": pd.Series(out["m2_ner"], dtype="object"),
+            })
+
+        if pdf.empty:
+            return frame()
+        pdf, idx = _conv_index_from_rows(pdf)
+        cid = pdf["conv_id"].iloc[0]
+        turn_ids = pdf["turn_idx"].to_numpy()
+
+        # ---- NER half (== ner.spanpack_decode_ner) ----------------------
+        words_c, first_c, last_c = conv_word_index(idx.subwords, family)
+        matches = conv_gazetteer_matches(words_c, first_c, last_c)
+        by_turn: dict[int, list[tuple[int, int, str]]] = {}
+        if matches:
+            for n in range(len(pdf)):
+                nw = int(idx.sent_word_bounds[n + 1] - idx.sent_word_bounds[n])
+                if nw == 0:
+                    continue
+                sent_off = int(idx.sent_subword_bounds[n])
+                word_off = int(idx.sent_word_bounds[n])
+                los, his, wds, wde = reconstruct_spans(
+                    first_c, last_c, sent_off, nw, word_off, maxlen)
+                if len(los) == 0:
+                    continue
+                kept, surfaces = [], []
+                for j in range(len(los)):
+                    s = matches.get((int(los[j]), int(his[j])))
+                    if s is not None:
+                        kept.append(j)
+                        surfaces.append(s)
+                if not kept:
+                    continue
+                kept = np.asarray(kept, dtype=np.int64)
+                probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
+                s_k = wds[kept]
+                e_k = wde[kept]
+                order = np.lexsort((e_k, s_k, -probs))
+                ks: list[int] = []
+                ke: list[int] = []
+                kl: list[int] = []
+                tid = int(turn_ids[n])
+                for o in order:
+                    si = int(s_k[o]); ei = int(e_k[o]); li = int(preds[o])
+                    clash = False
+                    for j in range(len(ks)):
+                        if si <= ke[j] and ks[j] <= ei and (
+                                overlap_any or li == kl[j]):
+                            clash = True
+                            break
+                    if clash:
+                        continue
+                    ks.append(si); ke.append(ei); kl.append(li)
+                    lab = NER_LABELS[li]
+                    out["conv_id"].append(cid)
+                    out["turn_idx"].append(tid)
+                    out["kind"].append("m")
+                    out["start"].append(si)
+                    out["end"].append(ei)
+                    out["label"].append(lab)
+                    out["score"].append(float(probs[o]))
+                    for c in ("s1", "e1", "s2", "e2", "pred",
+                              "m1_ner", "m2_ner"):
+                        out[c].append(None)
+                    by_turn.setdefault(tid, []).append((si, ei, lab))
+
+        # ---- RE half (== repack.repack_decode_re) -----------------------
+        tid_to_ord = {int(t): n for n, t in enumerate(turn_ids)}
+        for tid, ments in sorted(by_turn.items()):
+            ments.sort()
+            n = tid_to_ord[tid]
+            win = context_window(idx, n, budget_re, truncate=True,
+                                 materialize=False)
+            for s1, e1, s2, e2, pred, score, n1, n2 in _decode_turn(
+                idx, n, win, ments, cfg, transform, False, use_ner
+            ):
+                out["conv_id"].append(cid)
+                out["turn_idx"].append(tid)
+                out["kind"].append("t")
+                out["start"].append(None)
+                out["end"].append(None)
+                out["label"].append(None)
+                out["score"].append(float(score))
+                out["s1"].append(s1)
+                out["e1"].append(e1)
+                out["s2"].append(s2)
+                out["e2"].append(e2)
+                out["pred"].append(REL_LABELS[pred])
+                out["m1_ner"].append(n1)
+                out["m2_ner"].append(n2)
+        return frame()
+
+    pruned = turns_tok.select(
+        "conv_id", "turn_idx", "words", "subwords", "sw_counts")
+    return pruned.groupBy("conv_id").applyInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def split_extract(ext: DataFrame):
+    """union table -> (mentions, triples_raw) views; the ``kind`` predicate
+    pushes down to the parquet scan."""
+    from pyspark.sql import functions as F
+
+    mentions = ext.filter(F.col("kind") == "m").select(*MENTION_COLS)
+    triples_raw = ext.filter(F.col("kind") == "t").select(
+        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
+        "score", "m1_ner", "m2_ner")
+    return mentions, triples_raw

@@ -59,7 +59,7 @@ def run_extraction(
       both refine_types outputs."""
     fine = granularity == "fine"
     coarse_parquet = {"packed_ner", "mentions", "triples", "turns_tok",
-                      "pair_scores"}
+                      "pair_scores", "extract"}
     coarse_mem = {"triples_raw"}
 
     def ck(name: str, build, always: bool = False,
@@ -94,7 +94,23 @@ def run_extraction(
         and cfg.segment_turns == 0
         and not (cfg.shuffle or cfg.group_sort or cfg.group_edge)
     )
-    if ner_fused:
+    re_grouped = (cfg.re_decode == "grouped" and not cfg.eval_unidirect
+                  and not cfg.levitated_pairs)
+    single_pass = ner_fused and re_grouped
+    if single_pass:
+        # terminal fusion of the production profile: mentions AND triples
+        # from ONE pass over the (bucketed) corpus — each conversation's
+        # mentions feed its RE decode in-process, so extraction reads the
+        # token arrays exactly once and writes exactly one table
+        # (extract_fused.extract_single_pass; equality-tested against the
+        # staged chains in test_variants)
+        from .extract_fused import extract_single_pass, split_extract
+
+        packed_ner = span_scores = None
+        ext = ck("extract", lambda: extract_single_pass(turns_tok, cfg),
+                 always=True)
+        mentions, triples_raw = split_extract(ext)
+    elif ner_fused:
         from .ner import spanpack_decode_ner
 
         packed_ner = span_scores = None
@@ -143,6 +159,8 @@ def run_extraction(
                            always=True)
         pair_scores = ck("pair_scores", lambda: decode_levitated(packed_re, cfg))
         decoded = pair_scores
+    elif single_pass:
+        packed_re = pair_scores = None   # triples_raw already split above
     elif cfg.re_decode == "grouped" and not cfg.eval_unidirect:
         # production profile: packing + scoring + fusion + suppression in
         # one conversation-local cogroup — the scored-pair table never
