@@ -22,7 +22,6 @@ surrogate head, unsegmented, no packing-reorder knobs, grouped RE decode.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -53,13 +52,8 @@ def extract_single_pass(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
     transform = _score_transform(cfg)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..kernels import context_window, reconstruct_spans
-        from ..surrogate import (
-            conv_gazetteer_matches,
-            conv_word_index,
-            ner_decode,
-            ner_logits_for_surfaces,
-        )
+        from ..kernels import context_window
+        from .ner import iter_fused_ner_conv
         from .repack import _decode_turn
         from .spanpack import _conv_index_from_rows
 
@@ -94,61 +88,24 @@ def extract_single_pass(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
         cid = pdf["conv_id"].iloc[0]
         turn_ids = pdf["turn_idx"].to_numpy()
 
-        # ---- NER half (== ner.spanpack_decode_ner) ----------------------
-        words_c, first_c, last_c = conv_word_index(idx.subwords, family)
-        matches = conv_gazetteer_matches(words_c, first_c, last_c)
+        # ---- NER half: the SHARED fused kernel (ner.iter_fused_ner_conv),
+        # the same generator spanpack_decode_ner drains — the two routes
+        # cannot diverge (round-3 ADVICE item #1) -----------------------
         by_turn: dict[int, list[tuple[int, int, str]]] = {}
-        if matches:
-            for n in range(len(pdf)):
-                nw = int(idx.sent_word_bounds[n + 1] - idx.sent_word_bounds[n])
-                if nw == 0:
-                    continue
-                sent_off = int(idx.sent_subword_bounds[n])
-                word_off = int(idx.sent_word_bounds[n])
-                los, his, wds, wde = reconstruct_spans(
-                    first_c, last_c, sent_off, nw, word_off, maxlen)
-                if len(los) == 0:
-                    continue
-                kept, surfaces = [], []
-                for j in range(len(los)):
-                    s = matches.get((int(los[j]), int(his[j])))
-                    if s is not None:
-                        kept.append(j)
-                        surfaces.append(s)
-                if not kept:
-                    continue
-                kept = np.asarray(kept, dtype=np.int64)
-                probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
-                s_k = wds[kept]
-                e_k = wde[kept]
-                order = np.lexsort((e_k, s_k, -probs))
-                ks: list[int] = []
-                ke: list[int] = []
-                kl: list[int] = []
-                tid = int(turn_ids[n])
-                for o in order:
-                    si = int(s_k[o]); ei = int(e_k[o]); li = int(preds[o])
-                    clash = False
-                    for j in range(len(ks)):
-                        if si <= ke[j] and ks[j] <= ei and (
-                                overlap_any or li == kl[j]):
-                            clash = True
-                            break
-                    if clash:
-                        continue
-                    ks.append(si); ke.append(ei); kl.append(li)
-                    lab = NER_LABELS[li]
-                    out["conv_id"].append(cid)
-                    out["turn_idx"].append(tid)
-                    out["kind"].append("m")
-                    out["start"].append(si)
-                    out["end"].append(ei)
-                    out["label"].append(lab)
-                    out["score"].append(float(probs[o]))
-                    for c in ("s1", "e1", "s2", "e2", "pred",
-                              "m1_ner", "m2_ner"):
-                        out[c].append(None)
-                    by_turn.setdefault(tid, []).append((si, ei, lab))
+        for _n, tid, si, ei, li, prob in iter_fused_ner_conv(
+                idx, turn_ids, family, maxlen, overlap_any):
+            lab = NER_LABELS[li]
+            out["conv_id"].append(cid)
+            out["turn_idx"].append(tid)
+            out["kind"].append("m")
+            out["start"].append(si)
+            out["end"].append(ei)
+            out["label"].append(lab)
+            out["score"].append(prob)
+            for c in ("s1", "e1", "s2", "e2", "pred",
+                      "m1_ner", "m2_ner"):
+                out[c].append(None)
+            by_turn.setdefault(tid, []).append((si, ei, lab))
 
         # ---- RE half (== repack.repack_decode_re) -----------------------
         tid_to_ord = {int(t): n for n, t in enumerate(turn_ids)}

@@ -144,6 +144,79 @@ def infer_ner(packed_ner: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return packed_ner.mapInPandas(make_infer_fn(cfg), schema=SPAN_SCORES_SCHEMA)
 
 
+def iter_fused_ner_conv(idx, turn_ids, family: str, maxlen: int,
+                        overlap_any: bool):
+    """The fused-NER conversation kernel, shared verbatim by
+    ``spanpack_decode_ner`` (staged-free NER profile) and
+    ``extract_fused.extract_single_pass`` (single-pass extraction) so the
+    two routes cannot diverge (round-3 ADVICE item #1).
+
+    One conversation-level word scan + one gazetteer match pass
+    (surrogate.conv_word_index / conv_gazetteer_matches) replace the
+    ~9×-overlapping per-window scans of the staged path; windows are never
+    assembled — C1 spans are per-sentence and the surrogate scores
+    surfaces, never context. Per turn: C1 reconstruction, surrogate
+    scoring (O1 NIL filter via the gazetteer), then O3 greedy suppression
+    in the (score desc, start asc, end asc) total order — order-equivalent
+    to suppress_mentions because a span enumerates once per turn, so
+    scores are tie-free within a turn.
+
+    Yields ``(sent_ord, turn_idx, start, end, label_idx, prob)`` in final
+    suppressed order per turn.
+    """
+    from ..kernels import reconstruct_spans
+    from ..surrogate import (
+        conv_gazetteer_matches,
+        conv_word_index,
+        ner_decode,
+        ner_logits_for_surfaces,
+    )
+
+    words_c, first_c, last_c = conv_word_index(idx.subwords, family)
+    matches = conv_gazetteer_matches(words_c, first_c, last_c)
+    if not matches:
+        return
+    for n in range(len(turn_ids)):
+        nw = int(idx.sent_word_bounds[n + 1] - idx.sent_word_bounds[n])
+        if nw == 0:
+            continue
+        sent_off = int(idx.sent_subword_bounds[n])
+        word_off = int(idx.sent_word_bounds[n])
+        los, his, wds, wde = reconstruct_spans(
+            first_c, last_c, sent_off, nw, word_off, maxlen)
+        if len(los) == 0:
+            continue
+        kept, surfaces = [], []
+        for j in range(len(los)):
+            s = matches.get((int(los[j]), int(his[j])))
+            if s is not None:
+                kept.append(j)
+                surfaces.append(s)
+        if not kept:
+            continue
+        kept = np.asarray(kept, dtype=np.int64)
+        probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
+        s_k = wds[kept]
+        e_k = wde[kept]
+        order = np.lexsort((e_k, s_k, -probs))
+        ks: list[int] = []
+        ke: list[int] = []
+        kl: list[int] = []
+        tid = int(turn_ids[n])
+        for o in order:
+            si = int(s_k[o]); ei = int(e_k[o]); li = int(preds[o])
+            clash = False
+            for j in range(len(ks)):
+                if si <= ke[j] and ks[j] <= ei and (
+                        overlap_any or li == kl[j]):
+                    clash = True
+                    break
+            if clash:
+                continue
+            ks.append(si); ke.append(ei); kl.append(li)
+            yield n, tid, si, ei, li, float(probs[o])
+
+
 def spanpack_decode_ner(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Fused NER production profile (``ner_decode="fused"``): C1
     enumeration + surrogate scoring (O1 NIL filter) + O3 per-turn
@@ -168,13 +241,6 @@ def spanpack_decode_ner(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
     overlap_any = cfg.overlap_any
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..kernels import reconstruct_spans
-        from ..surrogate import (
-            conv_gazetteer_matches,
-            conv_word_index,
-            ner_decode,
-            ner_logits_for_surfaces,
-        )
         from .spanpack import _conv_index_from_rows
 
         cols = {
@@ -190,63 +256,16 @@ def spanpack_decode_ner(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
         pdf, idx = _conv_index_from_rows(pdf)
         cid = pdf["conv_id"].iloc[0]
         turn_ids = pdf["turn_idx"].to_numpy()
-        # one conversation-level word scan + one gazetteer match pass
-        # replace the ~9×-overlapping per-window scans; windows themselves
-        # are not needed — C1 spans are per-sentence and the surrogate
-        # scores surfaces, never context. Lookups happen in conversation
-        # subword coordinates throughout.
-        words_c, first_c, last_c = conv_word_index(idx.subwords, family)
-        matches = conv_gazetteer_matches(words_c, first_c, last_c)
         out_conv, out_turn = [], []
         out_s, out_e, out_lab, out_score = [], [], [], []
-        if not matches:
-            return pd.DataFrame(cols)
-        for n in range(len(pdf)):
-            nw = int(idx.sent_word_bounds[n + 1] - idx.sent_word_bounds[n])
-            if nw == 0:
-                continue
-            sent_off = int(idx.sent_subword_bounds[n])
-            word_off = int(idx.sent_word_bounds[n])
-            los, his, wds, wde = reconstruct_spans(
-                first_c, last_c, sent_off, nw, word_off, maxlen)
-            if len(los) == 0:
-                continue
-            kept, surfaces = [], []
-            for j in range(len(los)):
-                s = matches.get((int(los[j]), int(his[j])))
-                if s is not None:
-                    kept.append(j)
-                    surfaces.append(s)
-            if not kept:
-                continue
-            kept = np.asarray(kept, dtype=np.int64)
-            probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
-            # O3 greedy suppression, same total order as suppress_mentions:
-            # (score desc, start asc, end asc) — unique per turn because a
-            # span enumerates once, so the orders coincide exactly
-            s_k = wds[kept]
-            e_k = wde[kept]
-            order = np.lexsort((e_k, s_k, -probs))
-            ks: list[int] = []
-            ke: list[int] = []
-            kl: list[int] = []
-            for o in order:
-                si = int(s_k[o]); ei = int(e_k[o]); li = int(preds[o])
-                clash = False
-                for j in range(len(ks)):
-                    if si <= ke[j] and ks[j] <= ei and (
-                            overlap_any or li == kl[j]):
-                        clash = True
-                        break
-                if clash:
-                    continue
-                ks.append(si); ke.append(ei); kl.append(li)
-                out_conv.append(cid)
-                out_turn.append(int(turn_ids[n]))
-                out_s.append(si)
-                out_e.append(ei)
-                out_lab.append(NER_LABELS[li])
-                out_score.append(float(probs[o]))
+        for _n, tid, si, ei, li, prob in iter_fused_ner_conv(
+                idx, turn_ids, family, maxlen, overlap_any):
+            out_conv.append(cid)
+            out_turn.append(tid)
+            out_s.append(si)
+            out_e.append(ei)
+            out_lab.append(NER_LABELS[li])
+            out_score.append(prob)
         return pd.DataFrame(
             {
                 "conv_id": pd.Series(out_conv, dtype="object"),

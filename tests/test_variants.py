@@ -51,6 +51,25 @@ def test_fused_ner_decode_matches_staged(spark):
     assert _triple_set(staged["triples"]) == _triple_set(fused["triples"])
 
 
+def test_fused_ner_relational_re_matches_staged(spark):
+    """ner_decode="fused" + re_decode="relational" — the CLI-default
+    combination routes through ner.spanpack_decode_ner (NOT the
+    single-pass extractor), so this gates the spanpack_decode_ner
+    consumer of the shared iter_fused_ner_conv kernel directly
+    (round-3 ADVICE item #1: both drains of the shared generator are
+    equality-tested)."""
+    t = synth.transcripts_df(spark, N)
+    staged = run_extraction(spark, t, DEFAULT_CONFIG)
+    fused_rel = run_extraction(spark, t, replace(DEFAULT_CONFIG,
+                                                 ner_decode="fused"))
+    m = lambda df: {
+        (r.conv_id, r.turn_idx, r.start, r.end, r.label, round(r.score, 9))
+        for r in df.collect()
+    }
+    assert m(staged["mentions"]) == m(fused_rel["mentions"])
+    assert _triple_set(staged["triples"]) == _triple_set(fused_rel["triples"])
+
+
 def test_randomized_packing_is_result_invariant(spark):
     """The reference's seeded shuffle + group_sort train-time packing
     knobs (run_acener.py:266-292) also change batching only: the mention
