@@ -4,14 +4,14 @@ hyperplane-LSH one (`textops.embedding_neardup_pairs`) and the
 brute-force baseline (`queries_catalog.q_ann_cosine_topk`).
 
 Shape (the one that survives 100 TB):
-  1. coarse train: K seed VECTORS (deterministic: vec_id < K — prod
-     would use a sampled k-means++ sweep with more Lloyd rounds; one
-     deterministic round keeps the DuckDB twin exact) are broadcast,
-     every vector is assigned to its nearest seed in one narrow pass,
-     and ONE distributed Lloyd step re-centers each cell — per-(cell,
-     dim) component means via posexplode + groupBy, i.e. a 64·K-cell
-     map-side-combinable aggregation, never a driver-side kmeans over
-     collected vectors;
+  1. coarse train: K init VECTORS are broadcast, every vector is
+     assigned to its nearest centroid in one narrow pass, and each
+     Lloyd round re-centers cells — per-(cell, dim) component means via
+     posexplode + groupBy, i.e. a 64·K-cell map-side-combinable
+     aggregation, never a driver-side kmeans over collected vectors.
+     K / nprobe / lloyd_rounds / init are config knobs of ``ivf_topk``
+     (round-3 VERDICT item #7); the pinned driver-gate profile (seed
+     init, one round, nprobe=2) keeps the DuckDB twin exact;
   2. the K×64 centroid table is broadcast everywhere it is joined
      (tiny by construction — this is the IVF contract: the quantizer
      fits in memory, the inverted lists do not);
@@ -24,9 +24,18 @@ Shape (the one that survives 100 TB):
 
 Measured recall@10 vs the brute-force baseline on the synthetic
 embeddings (near-uniform directions — no planted cluster structure, the
-hard case for IVF): 0.82 / 0.84 / 1.0 at sf0.001 / 0.01 / 0.1. The
-naive cell init (vec_id % K) collapses every centroid toward the global
-mean and was measured at 0.18-0.34 — seed-vector init is load-bearing.
+hard case for IVF): pinned profile 0.82 / 0.84 / 1.0 at
+sf0.001 / 0.01 / 0.1; quality profiles at sf0.01 — k=8 nprobe=4
+rounds=2 → 0.96, k=16 nprobe=8 rounds=2 → 0.92 (the recall-floor test
+gates the first). The naive cell init (vec_id % K) collapses every
+centroid toward the global mean and was measured at 0.18-0.34 —
+seed-vector init is load-bearing. Init comparison (measured, round 4):
+on THIS clusterless corpus the principled inits LOSE to seed init —
+greedy k-center 0.52 and sampled k-means++ 0.52-0.66 vs seed 0.84 at
+k=16 nprobe=4 — because both push centroids toward extreme directions
+while near-uniform data wants bulk coverage; ``init="kmeanspp"`` stays
+exposed for corpora with real cluster structure, documented as
+measured-worse here.
 
 Floating-point twin discipline: every cross-engine comparison key is
 ROUNDED to 6 decimals before ranking (seed sims, centroid components,
@@ -62,50 +71,106 @@ def _unit(col):
     return F.transform(col, lambda x: x / n)
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k cosine search: seed-vector init (vec_id < K) + one
-    distributed Lloyd step, nprobe=2, exact cosine within probed cells."""
+def _kmeanspp_init(e: DataFrame, k_cells: int, sample_factor: int = 32,
+                   seed: int = 41):
+    """Seeded k-means++ (D² sampling) init over a BOUNDED hash-ordered
+    sample — the quality init behind the twin-exact seed default. The
+    collect is capped at ``sample_factor * k_cells`` rows (the MLlib
+    pattern: init on a bounded sample, never the corpus), so driver work
+    is O(k·sample·dim) regardless of N. Deterministic given ``seed``.
+
+    Measured note: greedy farthest-point (k-center) init was tried first
+    and scored WORSE than seed init here (recall@10 0.52 vs 0.84 at
+    nprobe=4) — on near-uniform directions it elects outliers as
+    centroids; D² sampling keeps the probability mass on the bulk."""
+    import numpy as np
+
+    rows = (
+        e.select("vec_id", "uv",
+                 F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(sample_factor * k_cells)
+        .collect()
+    )
+    sample = np.asarray([r.uv for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    chosen = [int(rng.integers(len(sample)))]
+    d2 = (1.0 - sample @ sample[chosen[0]]) ** 2
+    for _ in range(1, min(k_cells, len(sample))):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        nxt = int(rng.choice(len(sample), p=p))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, (1.0 - sample @ sample[nxt]) ** 2)
+    return [[float(x) for x in sample[i]] for i in chosen]
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
+             nprobe: int = NPROBE, lloyd_rounds: int = 1,
+             init: str = "seed", top_k: int = TOP_K,
+             n_queries: int = N_QUERIES) -> DataFrame:
+    """IVF top-k cosine search with config-exposed knobs (round-3 VERDICT
+    item #7). Defaults are the pinned DuckDB-twin profile (seed init, one
+    Lloyd round, nprobe=2) so the driver gate stays exact; quality
+    deployments raise ``nprobe``/``lloyd_rounds`` and switch
+    ``init="kmeanspp"`` (seeded D²-sampled k-means++ over a bounded
+    sample — recall-floor-tested in tests/test_ann_ivf.py)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         _unit(F.transform("embedding", lambda x: x.cast("double"))).alias("uv"),
     )
-    # --- init: nearest of K broadcast seed vectors ----------------------
-    seeds = e.filter(F.col("vec_id") < K_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("uv").alias("sv")
-    )
-    s0 = e.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "uv", "cell",
-        F.round(_dot(F.col("uv"), F.col("sv")), 6).alias("ssim"),
-    )
-    w0 = Window.partitionBy("vec_id").orderBy(F.desc("ssim"), "cell")
-    a0 = (
-        s0.withColumn("rk", F.row_number().over(w0))
-        .filter(F.col("rk") == 1).select("vec_id", "uv", "cell")
-    )
-    # --- 1 distributed Lloyd step: component means per (cell, dim) ------
-    cent = (
-        a0.select("cell", F.posexplode("uv").alias("pos", "x"))
-        .groupBy("cell", "pos").agg(F.avg("x").alias("cx"))
-        .groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
-                lambda s: F.round(s["cx"], 6),
-            ).alias("c")
+    # --- init centroids (unit vectors; cn=1 exactly, so the round-0
+    # assignment reproduces the original seed-path rounding bit-for-bit) --
+    if init == "seed":
+        cent = e.filter(F.col("vec_id") < k_cells).select(
+            F.col("vec_id").alias("cell"), F.col("uv").alias("c"),
+            F.lit(1.0).alias("cn"),
         )
-        .withColumn("cn", F.sqrt(_dot(F.col("c"), F.col("c"))))
-    )
-    # --- cell sims: one narrow pass against the broadcast quantizer -----
-    sims = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "uv", "cell",
-        F.round(_dot(F.col("uv"), F.col("c")) / F.col("cn"), 6).alias("csim"),
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cell")
-    ranked = sims.withColumn("crk", F.row_number().over(wv))
+    elif init == "kmeanspp":
+        cvecs = _kmeanspp_init(e, k_cells)
+        cent = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cvecs)], "cell long, c array<double>"
+        ).withColumn("cn", F.lit(1.0))
+    else:
+        raise ValueError(f"ivf_topk: unknown init {init!r}")
+
+    def rank_vs(cent_df):
+        """One narrow pass against the broadcast quantizer + per-vector
+        cell ranking."""
+        sims = e.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id", "uv", "cell",
+            F.round(_dot(F.col("uv"), F.col("c")) / F.col("cn"), 6)
+            .alias("csim"),
+        )
+        wv = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cell")
+        return sims.withColumn("crk", F.row_number().over(wv))
+
+    # --- Lloyd rounds: argmax-assign, then per-(cell, dim) component
+    # means via posexplode — a map-side-combinable aggregation, never a
+    # driver kmeans over collected vectors ------------------------------
+    for _ in range(lloyd_rounds):
+        a_r = rank_vs(cent).filter(F.col("crk") == 1).select(
+            "vec_id", "uv", "cell")
+        cent = (
+            a_r.select("cell", F.posexplode("uv").alias("pos", "x"))
+            .groupBy("cell", "pos").agg(F.avg("x").alias("cx"))
+            .groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                    lambda s: F.round(s["cx"], 6),
+                ).alias("c")
+            )
+            .withColumn("cn", F.sqrt(_dot(F.col("c"), F.col("c"))))
+        )
+        # multi-round plans re-broadcast a recomputed quantizer each round;
+        # keep the lineage shallow so AQE re-plans each stage independently
+        if lloyd_rounds > 1:
+            cent = cent.localCheckpoint()
+    ranked = rank_vs(cent)
     # assignment (argmax cell) — ids only; uv re-joins where needed
     asn = ranked.filter(F.col("crk") == 1).select("vec_id", "cell")
-    # query probes: NPROBE nearest cells for the pinned query set
+    # query probes: nprobe nearest cells for the pinned query set
     probes = ranked.filter(
-        (F.col("crk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+        (F.col("crk") <= nprobe) & (F.col("vec_id") < n_queries)
     ).select(F.col("vec_id").alias("q_id"), F.col("uv").alias("qv"), "cell")
     # --- scan only the probed inverted lists ----------------------------
     cand = probes.join(asn, "cell").filter(F.col("q_id") != F.col("vec_id"))
@@ -115,9 +180,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
     return (
         scored.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= top_k)
         .select("q_id", "vec_id", "sim", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k cosine search: seed-vector init (vec_id < K) + one
+    distributed Lloyd step, nprobe=2, exact cosine within probed cells —
+    the pinned DuckDB-twin profile of ``ivf_topk``."""
+    return ivf_topk(spark, sf_dir)
 
 
 SQL_ANN_IVF = f"""

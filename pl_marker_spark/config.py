@@ -73,7 +73,25 @@ class PipelineConfig:
     model: str = "surrogate"             # "surrogate" (gazetteer heads) |
                                          # "packed_linear" (seeded linear heads
                                          # consuming the K5 assembled tensors,
-                                         # models.py)
+                                         # models.py) | "hf" (real checkpoint
+                                         # weights loaded torch-free from
+                                         # checkpoint_dir via the stdlib
+                                         # safetensors reader + NumpyBertEncoder)
+    checkpoint_dir: str | None = None    # model="hf": base dir holding ner/
+                                         # and re/ checkpoint subdirs
+                                         # (reference layout,
+                                         # run_acener.py:430-456)
+    att_left: bool = False               # K6 group-attention variants
+    att_right: bool = False              # (run_re.py:420-424): start/end
+                                         # marker blocks attend within the
+                                         # packed group — the reference's
+                                         # packing-dependence ablation
+    use_full_layer: int = -1             # switch the encoder to the 1-D full
+                                         # attention mask at this layer
+                                         # (modeling_bert.py:386-412;
+                                         # run_acener.py:394-400); -1 = packed
+                                         # 2D mask at every layer. Tensor
+                                         # models only.
     ner_feature: str = "marker_text4"    # I3 head ablations (packed_linear
                                          # only; run_acener.py:75-87):
                                          # "marker_text4" (BertForSpanMarkerNER)

@@ -202,7 +202,7 @@ def pack_groups(spans: list, cfg: PipelineConfig, seed: int | None = None) -> li
     deterministic ascending sort is byte-identical to previous rounds."""
     dL = cfg.max_pair_length_ner
     rng = None
-    if cfg.shuffle or cfg.group_sort or (cfg.group_edge and cfg.group_axis == -1):
+    if cfg.shuffle or cfg.group_sort or cfg.group_edge:
         rng = np.random.RandomState((seed or 0) & 0x7FFFFFFF)
     if rng is not None and cfg.shuffle:
         spans = list(spans)
@@ -214,10 +214,14 @@ def pack_groups(spans: list, cfg: PipelineConfig, seed: int | None = None) -> li
             spans = sorted(spans, key=lambda x: (x[ax], x[1 - ax]), reverse=rev)
         return [spans[i : i + dL] for i in range(0, len(spans), dL)]
     ax = cfg.group_axis
-    rev = False
     if ax == -1:
         ax = int(rng.randint(2))
-        rev = bool(rng.randint(2))
+    # edge mode draws the sort direction UNCONDITIONALLY (run_acener.py:291
+    # `sort_dir = bool(np.random.randint(2))` sits outside the axis==-1
+    # branch) — fixed-axis edge mode is still randomly-directed (round-3
+    # ADVICE: the previous code kept rev=False there and the docstring
+    # overclaimed fidelity)
+    rev = bool(rng.randint(2))
     ordered = sorted(spans, key=lambda x: (x[ax], x[1 - ax]), reverse=rev)
     groups = []
     start = 0
@@ -403,10 +407,15 @@ def assemble_re_tensors_batch(
     objects_list: list[list[tuple[int, int]]],
     max_seq: int,
     max_pairs: int,
+    att_left: bool = False,
+    att_right: bool = False,
 ):
     """Batched RE-variant K5 assembly (see assemble_ner_tensors_batch).
     Returns (input_ids, position_ids, attention, sub_positions (B,2),
-    widths)."""
+    widths). ``att_left``/``att_right`` are the K6 group-attention knobs
+    (run_re.py:420-424): all start markers (resp. all end markers) of a
+    packed group additionally attend to each other — breaking packing
+    independence by design (the reference's ablation)."""
     B = len(tokens_list)
     Ps = [min(len(o), max_pairs) for o in objects_list]
     widths = np.array([max_seq + 2 * p for p in Ps], dtype=np.int64)
@@ -437,6 +446,11 @@ def assemble_re_tensors_batch(
         attention[b, m1, :L] = attention[b, m2, :L] = 1
         attention[b, m1, m1] = attention[b, m1, m2] = 1
         attention[b, m2, m1] = attention[b, m2, m2] = 1
+        if att_left:     # K6: start-marker block attends to itself
+            attention[b, max_seq : max_seq + P, max_seq : max_seq + P] = 1
+        if att_right:    # K6: end-marker block attends to itself
+            attention[b, max_seq + P : max_seq + 2 * P,
+                      max_seq + P : max_seq + 2 * P] = 1
     return input_ids, position_ids, attention, sub_positions, widths
 
 
@@ -446,11 +460,17 @@ def assemble_re_tensors(
     objects: list[tuple[int, int]],
     max_seq: int,
     max_pairs: int,
+    att_left: bool = False,
+    att_right: bool = False,
 ):
     """K5, RE variant (reference run_re.py:362-438): the subject's solid
     markers are already spliced into the token stream; each object gets a
     levitated marker pair whose position ids copy the object's (CLS-shifted,
     marker-adjusted) span, attending to the text block and its partner.
+    ``att_left``/``att_right``: K6 group-attention variants
+    (run_re.py:420-424) — the start-marker (resp. end-marker) block of the
+    group also attends to itself, so pair logits become packing-dependent
+    (single-pair groups are invariant: the extra cell is already 1).
     Returns (input_ids, position_ids, attention, sub_positions)."""
     L = len(tokens_with_markers)
     P = min(len(objects), max_pairs)
@@ -471,5 +491,10 @@ def assemble_re_tensors(
         attention[m1, :L] = attention[m2, :L] = 1
         attention[m1, m1] = attention[m1, m2] = 1
         attention[m2, m1] = attention[m2, m2] = 1
+    if att_left:
+        attention[max_seq : max_seq + P, max_seq : max_seq + P] = 1
+    if att_right:
+        attention[max_seq + P : max_seq + 2 * P,
+                  max_seq + P : max_seq + 2 * P] = 1
     sub_positions = np.array(sub_win, dtype=np.int64)
     return input_ids, position_ids, attention, sub_positions

@@ -91,13 +91,22 @@ def oracle_ner(conv_turns: dict[str, list[str]], cfg: PipelineConfig):
                     spans.append((lo, hi, ws, we))
             if not spans:
                 continue
-            if cfg.model == "packed_linear":
+            if cfg.model in ("packed_linear", "hf"):
                 # tensor-consuming head: chunked like the pipeline's K1
                 # packing (group membership provably cannot change logits —
-                # the 2D mask isolates marker pairs; tests/test_models.py)
+                # the 2D mask isolates marker pairs; tests/test_models.py).
+                # For "hf" the adapter's heads are shared with the pipeline
+                # by design (heads *define* the model, like surrogate.py);
+                # windowing/packing/suppression stay independently derived.
                 from .kernels import assemble_ner_tensors
-                from .models import ner_head_logits
+                from .models import get_hf_adapter, ner_head_logits
 
+                if cfg.model == "hf":
+                    head = get_hf_adapter(cfg.checkpoint_dir, "ner",
+                                          cfg.use_full_layer).ner_head_logits
+                else:
+                    def head(*a, _f=cfg.use_full_layer == 0, **k):
+                        return ner_head_logits(*a, full_mask=_f, **k)
                 dL = cfg.max_pair_length_ner
                 probs_l, preds_l = [], []
                 for i in range(0, len(spans), dL):
@@ -105,9 +114,9 @@ def oracle_ner(conv_turns: dict[str, list[str]], cfg: PipelineConfig):
                     ii, pi, att = assemble_ner_tensors(
                         win, grp, cfg.max_seq_length_ner, dL)
                     p_, k_ = ner_decode(
-                        ner_head_logits(ii, pi, att, grp,
-                                        cfg.max_seq_length_ner,
-                                        cfg.ner_feature))
+                        head(ii, pi, att, grp,
+                             cfg.max_seq_length_ner,
+                             cfg.ner_feature))
                     probs_l.extend(p_.tolist())
                     preds_l.extend(k_.tolist())
                 probs, preds = probs_l, preds_l
@@ -248,7 +257,7 @@ def oracle_re(conv_turns: dict[str, list[str]], mentions, cfg: PipelineConfig):
                     if right >= max_seq - 1:
                         continue
                     objs.append((left, right, obj))
-                if cfg.model == "packed_linear":
+                if cfg.model in ("packed_linear", "hf"):
                     from .kernels import assemble_re_tensors
                     from .tokenizer import SUB_L, SUB_R
 
@@ -263,15 +272,24 @@ def oracle_re(conv_turns: dict[str, list[str]], mentions, cfg: PipelineConfig):
                         win[:sub_s] + [l_m] + win[sub_s : sub_e0 + 1]
                         + [r_m] + win[sub_e0 + 1 :]
                     )
-                    from .models import re_head_logits
+                    from .models import get_hf_adapter, re_head_logits
+
+                    if cfg.model == "hf":
+                        re_head = get_hf_adapter(
+                            cfg.checkpoint_dir, "re",
+                            cfg.use_full_layer).re_head_logits
+                    else:
+                        def re_head(*a, _f=cfg.use_full_layer == 0, **k):
+                            return re_head_logits(*a, full_mask=_f, **k)
 
                     dL = cfg.max_pair_length_re
                     for i in range(0, len(objs), dL):
                         chunk = objs[i : i + dL]
                         ii, pi, att, subpos = assemble_re_tensors(
                             tokens, (sub_s, sub_e), [(l, r) for l, r, _ in chunk],
-                            max_seq, dL)
-                        mat, aux = re_head_logits(ii, pi, att, subpos, len(chunk), max_seq)
+                            max_seq, dL,
+                            att_left=cfg.att_left, att_right=cfg.att_right)
+                        mat, aux = re_head(ii, pi, att, subpos, len(chunk), max_seq)
                         for k, (_l, _r, obj) in enumerate(chunk):
                             if cfg.use_ner_results:
                                 ner_lab = obj[2]

@@ -89,10 +89,18 @@ def variant_configs():
     the oracle renders below so both sides bind identical configs."""
     from dataclasses import replace
 
+    from .models import ensure_reference_checkpoint
+
     return {
         "levpair": replace(DEFAULT_CONFIG, levitated_pairs=True),
         "roberta": replace(DEFAULT_CONFIG, tokenizer_family="roberta"),
         "unidirect": replace(DEFAULT_CONFIG, eval_unidirect=True),
+        # real checkpoint weights through the torch-free loader: both sides
+        # (Spark pipeline and this oracle) load byte-identical safetensors
+        # from the idempotently-generated reference checkpoint and run the
+        # full NumpyBertEncoder forward (round-3 VERDICT item #1)
+        "hf": replace(DEFAULT_CONFIG, model="hf",
+                      checkpoint_dir=ensure_reference_checkpoint()),
     }
 
 
@@ -120,6 +128,15 @@ def variant_oracle_sqls() -> dict[str, str]:
         sqls["kg_triples_unidirect"] = _values_sql(
             [(c, t, s1, e1, s2, e2, p, round_half_up(sc, 6), n1, n2)
              for c, t, s1, e1, s2, e2, p, sc, n1, n2 in o_uni["triples"]],
+            _T_COLS, _T_TYPES)
+        o_hf = run_oracle(turns, cfgs["hf"])
+        sqls["kg_mentions_hf"] = _values_sql(
+            [(c, t, s, e, l, round_half_up(p, 6))
+             for c, t, s, e, l, p in o_hf["mentions"]],
+            _M_COLS, _M_TYPES)
+        sqls["kg_triples_hf"] = _values_sql(
+            [(c, t, s1, e1, s2, e2, p, round_half_up(sc, 6), n1, n2)
+             for c, t, s1, e1, s2, e2, p, sc, n1, n2 in o_hf["triples"]],
             _T_COLS, _T_TYPES)
         _CACHE["variants"] = sqls
     return _CACHE["variants"]

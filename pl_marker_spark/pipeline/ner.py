@@ -31,7 +31,7 @@ MENTIONS_SCHEMA = SPAN_SCORES_SCHEMA
 
 
 def make_infer_fn(cfg: PipelineConfig):
-    tensor_head = cfg.model == "packed_linear"
+    tensor_head = cfg.model in ("packed_linear", "hf")
     family = cfg.tokenizer_family
     maxlen = cfg.max_mention_ori_length
     dL = cfg.max_pair_length_ner
@@ -95,12 +95,16 @@ def make_infer_fn(cfg: PipelineConfig):
                 out_lab.extend(NER_LABELS[p] for p in preds)
                 out_score.extend(probs.tolist())
             if windows and tensor_head:
-                from ..models import ner_logits_grouped
+                from ..models import get_hf_adapter, ner_logits_grouped
                 from ..surrogate import ner_decode
 
+                adapter = (get_hf_adapter(cfg.checkpoint_dir, "ner",
+                                          cfg.use_full_layer)
+                           if cfg.model == "hf" else None)
                 logit_list = ner_logits_grouped(
                     windows, spans_list, cfg.max_seq_length_ner,
-                    cfg.max_pair_length_ner, cfg.ner_feature)
+                    cfg.max_pair_length_ner, cfg.ner_feature,
+                    adapter=adapter, use_full_layer=cfg.use_full_layer)
                 for (r, wds, wde), logits in zip(word_coords, logit_list):
                     probs, preds = ner_decode(logits)
                     kept = np.flatnonzero(preds != 0)  # O1 NIL filter at emit

@@ -57,7 +57,7 @@ def _score_transform(cfg: PipelineConfig):
 def make_pair_infer_fn(cfg: PipelineConfig):
     use_ner = cfg.use_ner_results
     transform = _score_transform(cfg)
-    tensor_head = cfg.model == "packed_linear"
+    tensor_head = cfg.model in ("packed_linear", "hf")
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -91,8 +91,11 @@ def make_pair_infer_fn(cfg: PipelineConfig):
                 # tensors (solid subject markers in the stream, levitated
                 # object markers) — ONE chunked batch assembly + head call
                 # per Arrow batch (run_re.py:362-438 semantics).
-                from ..models import re_logits_grouped
+                from ..models import get_hf_adapter, re_logits_grouped
 
+                adapter = (get_hf_adapter(cfg.checkpoint_dir, "re",
+                                          cfg.use_full_layer)
+                           if cfg.model == "hf" else None)
                 res = re_logits_grouped(
                     [list(w) for w in pdf["window"].to_numpy()],
                     list(zip(pdf["sub_win_s"].to_numpy(),
@@ -100,6 +103,9 @@ def make_pair_infer_fn(cfg: PipelineConfig):
                     [list(zip((int(x) for x in l), (int(x) for x in r)))
                      for l, r in zip(c_ol, pdf["o_right"].to_numpy())],
                     cfg.max_seq_length_re, cfg.max_pair_length_re,
+                    adapter=adapter, att_left=cfg.att_left,
+                    att_right=cfg.att_right,
+                    use_full_layer=cfg.use_full_layer,
                 )
                 logit_rows = [v for mat, _aux in res for v in mat.tolist()]
                 aux_flat = [NER_LABELS[int(j)] for mat, aux in res

@@ -108,13 +108,24 @@ def _decode_turn(idx, n: int, win, ments, cfg: PipelineConfig, transform,
     for inst in subject_instances(idx, n, win, ments, cfg):
         if tensor_head:
             from ..kernels import assemble_re_tensors
-            from ..models import re_head_logits
+
+            if cfg.model == "hf":
+                from ..models import get_hf_adapter
+
+                head = get_hf_adapter(cfg.checkpoint_dir, "re",
+                                      cfg.use_full_layer).re_head_logits
+            else:
+                from ..models import re_head_logits
+
+                def head(*a, _f=cfg.use_full_layer == 0, **k):
+                    return re_head_logits(*a, full_mask=_f, **k)
 
             ii, pi, att, subpos = assemble_re_tensors(
                 inst.tokens, inst.sub_win,
                 [(o[0], o[1]) for o in inst.objects],
-                cfg.max_seq_length_re, cfg.max_pair_length_re)
-            mat, aux = re_head_logits(
+                cfg.max_seq_length_re, cfg.max_pair_length_re,
+                att_left=cfg.att_left, att_right=cfg.att_right)
+            mat, aux = head(
                 ii, pi, att, subpos, len(inst.objects),
                 cfg.max_seq_length_re)
         else:
@@ -165,7 +176,7 @@ def repack_decode_re(turns_tok: DataFrame, mentions: DataFrame,
     budget = cfg.budget_re()
     use_ner = cfg.use_ner_results
     transform = _score_transform(cfg)
-    tensor_head = cfg.model == "packed_linear"
+    tensor_head = cfg.model in ("packed_linear", "hf")
     need_tokens = cfg.needs_spliced_tokens()
 
     def run(key, turns_pdf: pd.DataFrame, mentions_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -219,7 +230,7 @@ def repack_decode_re_segmented(
     budget = cfg.budget_re()
     use_ner = cfg.use_ner_results
     transform = _score_transform(cfg)
-    tensor_head = cfg.model == "packed_linear"
+    tensor_head = cfg.model in ("packed_linear", "hf")
     need_tokens = cfg.needs_spliced_tokens()
     assigned, m_seg = _segmented_repack_inputs(turns_tok, mentions, budget,
                                                seg_turns)

@@ -640,6 +640,31 @@ def q_kg_triples_unidirect(spark, sf_dir):
     )
 
 
+def q_kg_mentions_hf(spark, sf_dir):
+    """NER mentions under REAL checkpoint weights: safetensors bytes →
+    stdlib loader → NumpyBertEncoder forward → marker_text4 head, no torch
+    anywhere (models.HFMarkerAdapter.from_checkpoint). The oracle side
+    loads the byte-identical checkpoint; windowing/packing/suppression
+    stay independently derived (reference MODEL_CLASSES dispatch,
+    run_acener.py:75-87; checkpoint layout run_acener.py:430-456)."""
+    m = _variant_outputs(spark, "hf")["mentions"]
+    return m.select(
+        "conv_id", "turn_idx", "start", "end", "label",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_kg_triples_hf(spark, sf_dir):
+    """RE triples under real checkpoint weights: the two-tower
+    re_classifier_m1/m2 broadcast-add head over NumpyBertEncoder states
+    (modeling_bert.py:2223-2297), O4-O7 downstream unchanged."""
+    t = _variant_outputs(spark, "hf")["triples"]
+    return t.select(
+        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
+        F.round("score", 6).alias("score"), "subj_type", "obj_type",
+    )
+
+
 def q_multimodal_phash(spark, sf_dir):
     """Real multimodal decode→feature kernel: pure-numpy BMP decode +
     64-bit average-hash over the pinned synthetic media corpus (round-2
@@ -879,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_levpair": q_kg_triples_levpair,
         "kg_mentions_roberta": q_kg_mentions_roberta,
         "kg_triples_unidirect": q_kg_triples_unidirect,
+        "kg_mentions_hf": q_kg_mentions_hf,
+        "kg_triples_hf": q_kg_triples_hf,
         "multimodal_phash": q_multimodal_phash,
         "multimodal_audiofp": q_multimodal_audiofp,
         "ann_ivf_topk": _q_ann_ivf,

@@ -201,13 +201,18 @@ def _simhash_n_bands(k: int) -> int:
     pigeonhole needs ≥ k+1 bands (k flips leave one band untouched), and
     the band width must divide SIMHASH_BITS. More bands = more candidate
     buckets per doc, so pick the minimum that stays exact."""
-    for nb in (SIMHASH_BANDS, 8, 16, SIMHASH_BITS):
+    for nb in (SIMHASH_BANDS, 8, 16):
         if nb >= k + 1:
             return nb
+    # k ≥ 16 would need ≥ 17 bands → 32 one-bit bands, where every bucket
+    # holds ~half the corpus and the band self-join goes quadratic — the
+    # silent-degradation class this guard exists to prevent (round-3
+    # ADVICE: recall would stay exact but cost explodes). Refuse loudly.
     raise ValueError(
-        f"simhash_hamming_pairs: k={k} ≥ SIMHASH_BITS ({SIMHASH_BITS}) — "
-        "every fingerprint pair would qualify; a Hamming radius that wide "
-        "is not a near-dup search")
+        f"simhash_hamming_pairs: k={k} exceeds the supported exact-recall "
+        f"band matrix (4/8/16 bands for k≤3/7/15 over {SIMHASH_BITS} bits); "
+        "one-bit bands would degenerate to an all-pairs join — use a wider "
+        "fingerprint or MinHash for radii this loose")
 
 
 def simhash_hamming_pairs(fps: DataFrame, k: int = 3) -> DataFrame:

@@ -159,8 +159,12 @@ def test_simhash_hamming_band_selection(spark):
 
     assert [_simhash_n_bands(k) for k in (0, 3, 4, 7, 8, 15)] == \
         [4, 4, 8, 8, 16, 16]
-    with pytest.raises(ValueError, match="near-dup"):
-        _simhash_n_bands(SIMHASH_BITS)
+    # k=16..31 previously fell through to 32 one-bit bands (every bucket ~
+    # half the corpus → quadratic band join); now refused loudly alongside
+    # the full-width radius (round-3 ADVICE)
+    for bad_k in (16, 20, 31, SIMHASH_BITS):
+        with pytest.raises(ValueError, match="band matrix"):
+            _simhash_n_bands(bad_k)
     # k=4 (first beyond the old guard): exact vs brute force on a planted set
     rows = [(i, i) for i in range(40)] + [(100, 0b11110), (101, 0)]
     fps = spark.createDataFrame(rows, "doc_id long, simhash long")
@@ -294,3 +298,76 @@ def test_png_roundtrip_all_filters():
            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)))
     with pytest.raises(NotImplementedError, match="8-bit RGB"):
         decode_png(bad)
+
+
+def test_png_decode_vectorized_filters_large():
+    """Round-4 filter-path rework (Sub = per-channel cumsum; Average/Paeth
+    = per-pixel channel-unrolled scan): a 96x96 image whose rows cycle all
+    five filter types decodes exactly, built by an independent vectorized
+    encoder (not the module's filter-0 encoder)."""
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+    from pl_marker_spark.multimodal import _png_chunk, decode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(96, 96, 3), dtype=np.uint8)
+    h, w, _ = img.shape
+    stride = 3 * w
+    flat = img.reshape(h, stride).astype(np.int32)
+    rows, prev = [], np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        a = np.zeros(stride, dtype=np.int32); a[3:] = cur[:-3]
+        c = np.zeros(stride, dtype=np.int32); c[3:] = prev[:-3]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - a) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - ((a + prev) >> 1)) & 0xFF
+        else:
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, prev, c))
+            enc = (cur - pred) & 0xFF
+        rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    raw = b"".join(rows)
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+               + _png_chunk(b"IEND", b""))
+    t0 = time.time()
+    dec = decode_png(payload)
+    assert np.array_equal(dec, img)
+    assert time.time() - t0 < 2.0   # soft bound; measured ~5 ms
+
+
+def test_media_rejects_accounting(spark):
+    """Undecodable media rows are ROUTED, not dropped: null payloads and
+    unknown-magic payloads land in media_rejects with a reason, and
+    decoded + rejected reconciles with the input count (round-3 ADVICE)."""
+    from pl_marker_spark.multimodal import (
+        fingerprint_audio, media_rejects, phash_media, synthetic_media,
+    )
+
+    media = synthetic_media(spark, 8)
+    junk = spark.createDataFrame(
+        [(9001, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg")),
+         (9002, "audio", None)],
+        "media_id long, kind string, payload binary")
+    allm = media.unionByName(junk, allowMissingColumns=True)
+    rej = media_rejects(allm).collect()
+    reasons = {r.media_id: r.reason for r in rej}
+    assert reasons[9001] == "unsupported_magic"
+    assert reasons[9002] == "null_payload"
+    n_img = phash_media(allm).count()
+    n_aud = fingerprint_audio(allm).count()
+    assert n_img + n_aud + len(rej) == allm.count()
