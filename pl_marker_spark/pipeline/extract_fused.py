@@ -52,38 +52,45 @@ def extract_single_pass(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
     transform = _score_transform(cfg)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         from ..kernels import context_window
         from .ner import iter_fused_ner_conv
         from .repack import _decode_turn
         from .spanpack import _conv_index_from_rows
 
-        out = {
-            "conv_id": [], "turn_idx": [], "kind": [],
-            "start": [], "end": [], "label": [], "score": [],
-            "s1": [], "e1": [], "s2": [], "e2": [], "pred": [],
-            "m1_ner": [], "m2_ner": [],
-        }
-
-        def frame():
+        def frame(ment_rows, trip_rows, cid=None):
+            """Column-array emit (rel.py flat-emit discipline, round-3
+            VERDICT item #9): the mention block then the triple block,
+            each column built once — no per-row dict appends."""
+            nm, nt = len(ment_rows), len(trip_rows)
+            mt = list(zip(*ment_rows)) if nm else [[]] * 5
+            tt = list(zip(*trip_rows)) if nt else [[]] * 9
+            i32 = lambda m_vals, t_vals: pd.array(
+                list(m_vals) + list(t_vals), dtype="Int32")
+            nulls_m = [None] * nm
+            nulls_t = [None] * nt
             return pd.DataFrame({
-                "conv_id": pd.Series(out["conv_id"], dtype="object"),
-                "turn_idx": pd.Series(out["turn_idx"], dtype="int32"),
-                "kind": pd.Series(out["kind"], dtype="object"),
-                "start": pd.array(out["start"], dtype="Int32"),
-                "end": pd.array(out["end"], dtype="Int32"),
-                "label": pd.Series(out["label"], dtype="object"),
-                "score": pd.array(out["score"], dtype="Float64"),
-                "s1": pd.array(out["s1"], dtype="Int32"),
-                "e1": pd.array(out["e1"], dtype="Int32"),
-                "s2": pd.array(out["s2"], dtype="Int32"),
-                "e2": pd.array(out["e2"], dtype="Int32"),
-                "pred": pd.Series(out["pred"], dtype="object"),
-                "m1_ner": pd.Series(out["m1_ner"], dtype="object"),
-                "m2_ner": pd.Series(out["m2_ner"], dtype="object"),
+                "conv_id": pd.Series([cid] * (nm + nt), dtype="object"),
+                "turn_idx": pd.Series(
+                    np.fromiter(mt[0], dtype=np.int32, count=nm).tolist()
+                    + list(tt[0]), dtype="int32"),
+                "kind": pd.Series(["m"] * nm + ["t"] * nt, dtype="object"),
+                "start": i32(mt[1], nulls_t),
+                "end": i32(mt[2], nulls_t),
+                "label": pd.Series(list(mt[3]) + nulls_t, dtype="object"),
+                "score": pd.array(list(mt[4]) + list(tt[6]), dtype="Float64"),
+                "s1": i32(nulls_m, tt[1]),
+                "e1": i32(nulls_m, tt[2]),
+                "s2": i32(nulls_m, tt[3]),
+                "e2": i32(nulls_m, tt[4]),
+                "pred": pd.Series(nulls_m + list(tt[5]), dtype="object"),
+                "m1_ner": pd.Series(nulls_m + list(tt[7]), dtype="object"),
+                "m2_ner": pd.Series(nulls_m + list(tt[8]), dtype="object"),
             })
 
         if pdf.empty:
-            return frame()
+            return frame([], [])
         pdf, idx = _conv_index_from_rows(pdf)
         cid = pdf["conv_id"].iloc[0]
         turn_ids = pdf["turn_idx"].to_numpy()
@@ -91,47 +98,27 @@ def extract_single_pass(turns_tok: DataFrame, cfg: PipelineConfig) -> DataFrame:
         # ---- NER half: the SHARED fused kernel (ner.iter_fused_ner_conv),
         # the same generator spanpack_decode_ner drains — the two routes
         # cannot diverge (round-3 ADVICE item #1) -----------------------
+        ment_rows: list[tuple] = []          # (tid, si, ei, lab, prob)
         by_turn: dict[int, list[tuple[int, int, str]]] = {}
         for _n, tid, si, ei, li, prob in iter_fused_ner_conv(
                 idx, turn_ids, family, maxlen, overlap_any):
             lab = NER_LABELS[li]
-            out["conv_id"].append(cid)
-            out["turn_idx"].append(tid)
-            out["kind"].append("m")
-            out["start"].append(si)
-            out["end"].append(ei)
-            out["label"].append(lab)
-            out["score"].append(prob)
-            for c in ("s1", "e1", "s2", "e2", "pred",
-                      "m1_ner", "m2_ner"):
-                out[c].append(None)
+            ment_rows.append((tid, si, ei, lab, prob))
             by_turn.setdefault(tid, []).append((si, ei, lab))
 
         # ---- RE half (== repack.repack_decode_re) -----------------------
+        trip_rows: list[tuple] = []  # (tid, s1, e1, s2, e2, pred, score, n1, n2)
         tid_to_ord = {int(t): n for n, t in enumerate(turn_ids)}
         for tid, ments in sorted(by_turn.items()):
             ments.sort()
             n = tid_to_ord[tid]
             win = context_window(idx, n, budget_re, truncate=True,
                                  materialize=False)
-            for s1, e1, s2, e2, pred, score, n1, n2 in _decode_turn(
-                idx, n, win, ments, cfg, transform, False, use_ner
-            ):
-                out["conv_id"].append(cid)
-                out["turn_idx"].append(tid)
-                out["kind"].append("t")
-                out["start"].append(None)
-                out["end"].append(None)
-                out["label"].append(None)
-                out["score"].append(float(score))
-                out["s1"].append(s1)
-                out["e1"].append(e1)
-                out["s2"].append(s2)
-                out["e2"].append(e2)
-                out["pred"].append(REL_LABELS[pred])
-                out["m1_ner"].append(n1)
-                out["m2_ner"].append(n2)
-        return frame()
+            trip_rows.extend(
+                (tid, s1, e1, s2, e2, REL_LABELS[pred], float(score), n1, n2)
+                for s1, e1, s2, e2, pred, score, n1, n2 in _decode_turn(
+                    idx, n, win, ments, cfg, transform, False, use_ner))
+        return frame(ment_rows, trip_rows, cid)
 
     pruned = turns_tok.select(
         "conv_id", "turn_idx", "words", "subwords", "sw_counts")

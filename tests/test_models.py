@@ -256,8 +256,9 @@ def test_hf_adapter_re_wiring():
 
 
 def test_hf_adapter_checkpoint_gate():
-    """from_checkpoint is env-gated: without torch it raises the documented
-    RuntimeError instead of failing deep in a load."""
+    """from_checkpoint prefers the torch-free safetensors path (round 4);
+    only a checkpoint with NEITHER model.safetensors NOR torch for
+    pytorch_model.bin raises, and the error names both options."""
     import pytest
     from pl_marker_spark.models import (
         HFMarkerAdapter,
@@ -266,7 +267,7 @@ def test_hf_adapter_checkpoint_gate():
 
     if packed_linear_torch_available():
         pytest.skip("torch present; gate not exercised")
-    with pytest.raises(RuntimeError, match="requires torch"):
+    with pytest.raises(RuntimeError, match="safetensors"):
         HFMarkerAdapter.from_checkpoint("/nonexistent")
 
 
