@@ -86,11 +86,19 @@ def main(argv: list[str]) -> int:
         ner_decode=args.ner_decode,
     )
     if args.input:
-        transcripts = (
-            spark.read.table(args.input)
-            if "." in args.input and "/" not in args.input
-            else spark.read.parquet(args.input)
-        )
+        if args.input.endswith((".json", ".jsonl")):
+            # S1: the reference's jsonline doc format ingests directly
+            # (sources.read_reference_jsonl) — point this at an existing
+            # SciERC/ACE prep file
+            from pl_marker_spark.sources import read_reference_jsonl
+
+            transcripts = read_reference_jsonl(spark, args.input)
+        else:
+            transcripts = (
+                spark.read.table(args.input)
+                if "." in args.input and "/" not in args.input
+                else spark.read.parquet(args.input)
+            )
     else:
         transcripts = synth.transcripts_df(spark, args.synthetic_convs)
 

@@ -44,3 +44,58 @@ def test_eval_logsoftmax_matches_oracle(spark):
         for r in run_extraction(spark, synth.transcripts_df(spark, 8), cfg)["triples"].collect()
     }
     assert got == want and len(got) > 5
+
+
+def test_reference_jsonl_source(spark, tmp_path):
+    """S1: the reference's jsonline doc shape (doc_key / sentences / ner /
+    relations — run_acener.py:171-199) ingests directly into the
+    transcript + gold tables, coordinates unchanged (document-level token
+    indices ARE conversation-level word indices), and the extraction
+    pipeline runs end-to-end on it."""
+    import json
+
+    from pl_marker_spark.config import DEFAULT_CONFIG
+    from pl_marker_spark.pipeline.runner import run_extraction
+    from pl_marker_spark.sources import (
+        read_reference_jsonl,
+        read_reference_jsonl_gold,
+    )
+
+    docs = [
+        {
+            "doc_key": "doc0",
+            "sentences": [["orion", "probe", "reached", "ganymede", "."],
+                          ["the", "probe", "-LRB-", "active", "-RRB-", "sent", "data", "."]],
+            "ner": [[[0, 1, "VEH"], [3, 3, "LOC"]], [[6, 6, "VEH"]]],
+            "relations": [[[0, 1, 3, 3, "PHYS"]], []],
+        },
+        {
+            "doc_key": "doc1",
+            "sentences": [["nova", "station", "hosts", "dr", "vega", "."]],
+            "ner": [[[0, 1, "FAC"], [3, 4, "PER"]]],
+            "relations": [[[3, 4, 0, 1, "PHYS"]]],
+        },
+    ]
+    p = tmp_path / "ref.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in docs))
+
+    t = read_reference_jsonl(spark, str(p))
+    rows = {(r.conv_id, r.turn_idx): r.text for r in t.collect()}
+    assert rows[("doc0", 0)] == "orion probe reached ganymede ."
+    # P1: -LRB- stays in the raw text; the word split unescapes it
+    assert "-LRB-" in rows[("doc0", 1)]
+    assert t.schema["ts"].dataType.typeName() == "timestamp"
+
+    gm, gr = read_reference_jsonl_gold(spark, str(p))
+    ments = {(r.conv_id, r.turn_idx, r.start, r.end, r.label)
+             for r in gm.collect()}
+    assert ("doc0", 0, 0, 1, "VEH") in ments
+    assert ("doc0", 1, 6, 6, "VEH") in ments      # doc-level index kept
+    rels = {(r.conv_id, r.s1, r.e1, r.s2, r.e2, r.label)
+            for r in gr.collect()}
+    assert ("doc1", 3, 4, 0, 1, "PHYS") in rels
+
+    out = run_extraction(spark, t, DEFAULT_CONFIG)
+    assert out["mentions"].count() >= 0   # pipeline runs on the ingested shape
+    assert out["mentions"].schema.simpleString().startswith(
+        "struct<conv_id:string,turn_idx:int")
