@@ -133,13 +133,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
     else:
         raise ValueError(f"ivf_topk: unknown init {init!r}")
 
-    def rank_vs(cent_df):
+    def rank_vs(cent_df, unit=False):
         """One narrow pass against the broadcast quantizer + per-vector
-        cell ranking."""
+        cell ranking. ``unit``: init centroids are unit vectors, so the
+        /cn normalization is skipped (IEEE-identical to dividing by the
+        literal 1.0, one fewer expression per row)."""
+        sim = _dot(F.col("uv"), F.col("c"))
+        if not unit:
+            sim = sim / F.col("cn")
         sims = e.crossJoin(F.broadcast(cent_df)).select(
-            "vec_id", "uv", "cell",
-            F.round(_dot(F.col("uv"), F.col("c")) / F.col("cn"), 6)
-            .alias("csim"),
+            "vec_id", "uv", "cell", F.round(sim, 6).alias("csim"),
         )
         wv = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cell")
         return sims.withColumn("crk", F.row_number().over(wv))
@@ -147,9 +150,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
     # --- Lloyd rounds: argmax-assign, then per-(cell, dim) component
     # means via posexplode — a map-side-combinable aggregation, never a
     # driver kmeans over collected vectors ------------------------------
+    unit_round = True                    # init centroids are unit vectors
     for _ in range(lloyd_rounds):
-        a_r = rank_vs(cent).filter(F.col("crk") == 1).select(
+        a_r = rank_vs(cent, unit=unit_round).filter(F.col("crk") == 1).select(
             "vec_id", "uv", "cell")
+        unit_round = False
         cent = (
             a_r.select("cell", F.posexplode("uv").alias("pos", "x"))
             .groupBy("cell", "pos").agg(F.avg("x").alias("cx"))

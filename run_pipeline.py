@@ -40,10 +40,25 @@ def main(argv: list[str]) -> int:
                     help="ablation: decode raw forward logits, no fusion")
     ap.add_argument("--use-typemarker", action="store_true",
                     help="typed solid subject markers")
-    ap.add_argument("--model", choices=("surrogate", "packed_linear"),
+    ap.add_argument("--model", choices=("surrogate", "packed_linear", "hf"),
                     default="surrogate",
-                    help="registered head: gazetteer surrogate or the "
-                         "tensor-consuming packed linear head (models.py)")
+                    help="registered head: gazetteer surrogate, the "
+                         "tensor-consuming packed linear head, or real "
+                         "checkpoint weights via the torch-free safetensors "
+                         "loader + NumpyBertEncoder (models.py)")
+    ap.add_argument("--checkpoint-dir",
+                    help="model=hf: base dir holding ner/ and re/ checkpoint "
+                         "subdirs (model.safetensors + config.json each); "
+                         "omit to use the generated reference checkpoint")
+    ap.add_argument("--att-left", action="store_true",
+                    help="K6 ablation: start markers of a packed RE group "
+                         "attend to each other (run_re.py:420-424)")
+    ap.add_argument("--att-right", action="store_true",
+                    help="K6 ablation: end markers attend to each other")
+    ap.add_argument("--use-full-layer", type=int, default=-1,
+                    help="switch the encoder to the 1-D full attention mask "
+                         "at this layer (tensor models; -1 = packed 2D mask "
+                         "throughout)")
     ap.add_argument("--re-decode", choices=("grouped", "relational"),
                     default="grouped",
                     help="RE fusion path: conversation-local grouped decode "
@@ -84,7 +99,19 @@ def main(argv: list[str]) -> int:
         model=args.model,
         re_decode=args.re_decode,
         ner_decode=args.ner_decode,
+        att_left=args.att_left,
+        att_right=args.att_right,
+        use_full_layer=args.use_full_layer,
     )
+    if args.model == "hf":
+        ckdir = args.checkpoint_dir
+        if not ckdir:
+            from pl_marker_spark.models import ensure_reference_checkpoint
+
+            ckdir = ensure_reference_checkpoint()
+        from dataclasses import replace as _r
+
+        cfg = _r(cfg, checkpoint_dir=ckdir)
     if args.input:
         if args.input.endswith((".json", ".jsonl")):
             # S1: the reference's jsonline doc format ingests directly
