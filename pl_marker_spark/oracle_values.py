@@ -101,6 +101,12 @@ def variant_configs():
         # full NumpyBertEncoder forward (round-3 VERDICT item #1)
         "hf": replace(DEFAULT_CONFIG, model="hf",
                       checkpoint_dir=ensure_reference_checkpoint()),
+        # K6 + use_full_layer under the hard driver gate: att_left extends
+        # the packed mask (run_re.py:420-424) and the encoder switches to
+        # the 1-D full mask at layer 1 of 2 (modeling_bert.py:397-412)
+        "hf_attleft": replace(DEFAULT_CONFIG, model="hf",
+                              checkpoint_dir=ensure_reference_checkpoint(),
+                              att_left=True, use_full_layer=1),
     }
 
 
@@ -137,6 +143,11 @@ def variant_oracle_sqls() -> dict[str, str]:
         sqls["kg_triples_hf"] = _values_sql(
             [(c, t, s1, e1, s2, e2, p, round_half_up(sc, 6), n1, n2)
              for c, t, s1, e1, s2, e2, p, sc, n1, n2 in o_hf["triples"]],
+            _T_COLS, _T_TYPES)
+        o_att = run_oracle(turns, cfgs["hf_attleft"])
+        sqls["kg_triples_hf_attleft"] = _values_sql(
+            [(c, t, s1, e1, s2, e2, p, round_half_up(sc, 6), n1, n2)
+             for c, t, s1, e1, s2, e2, p, sc, n1, n2 in o_att["triples"]],
             _T_COLS, _T_TYPES)
         _CACHE["variants"] = sqls
     return _CACHE["variants"]

@@ -665,6 +665,19 @@ def q_kg_triples_hf(spark, sf_dir):
     )
 
 
+def q_kg_triples_hf_attleft(spark, sf_dir):
+    """K6 att_left + use_full_layer=1 under real weights: start markers of
+    each packed RE group attend to each other (run_re.py:420-424) and the
+    NumpyBertEncoder switches to the 1-D full mask at layer 1
+    (modeling_bert.py:397-412) — the attention-variant pair that round 3
+    flagged as unimplemented, now rows+schema+hash gated."""
+    t = _variant_outputs(spark, "hf_attleft")["triples"]
+    return t.select(
+        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
+        F.round("score", 6).alias("score"), "subj_type", "obj_type",
+    )
+
+
 def q_multimodal_phash(spark, sf_dir):
     """Real multimodal decode→feature kernel: pure-numpy BMP decode +
     64-bit average-hash over the pinned synthetic media corpus (round-2
@@ -906,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_unidirect": q_kg_triples_unidirect,
         "kg_mentions_hf": q_kg_mentions_hf,
         "kg_triples_hf": q_kg_triples_hf,
+        "kg_triples_hf_attleft": q_kg_triples_hf_attleft,
         "multimodal_phash": q_multimodal_phash,
         "multimodal_audiofp": q_multimodal_audiofp,
         "ann_ivf_topk": _q_ann_ivf,

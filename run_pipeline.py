@@ -46,7 +46,7 @@ def main(argv: list[str]) -> int:
                          "tensor-consuming packed linear head, or real "
                          "checkpoint weights via the torch-free safetensors "
                          "loader + NumpyBertEncoder (models.py)")
-    ap.add_argument("--checkpoint-dir",
+    ap.add_argument("--model-checkpoint",
                     help="model=hf: base dir holding ner/ and re/ checkpoint "
                          "subdirs (model.safetensors + config.json each); "
                          "omit to use the generated reference checkpoint")
@@ -104,7 +104,7 @@ def main(argv: list[str]) -> int:
         use_full_layer=args.use_full_layer,
     )
     if args.model == "hf":
-        ckdir = args.checkpoint_dir
+        ckdir = args.model_checkpoint
         if not ckdir:
             from pl_marker_spark.models import ensure_reference_checkpoint
 
