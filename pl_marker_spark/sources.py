@@ -105,3 +105,102 @@ def read_reference_jsonl_gold(spark: SparkSession, path: str):
         )
     )
     return mentions, relations
+
+
+def read_conll03(spark: SparkSession, path: str):
+    """S2 — CoNLL03 token-per-line source (reference reader
+    run_ner_BIO.py:106-139): space-separated columns with the word first
+    and the BIO tag last, blank line = sentence boundary, ``-DOCSTART`` =
+    document boundary. Returns ``(transcripts, gold_mentions)``:
+    transcripts rows per (document, sentence) in the engine shape, and
+    gold spans from the BIO runs (P8 scan, pipeline/bio.bio_to_spans) in
+    document-level token coordinates — the same coordinate contract as
+    ``read_reference_jsonl_gold``.
+
+    Parallelism unit = FILE (``spark.read.text(wholetext=True)``; CoNLL
+    corpora ship as per-split files, exactly how the reference consumes
+    them) — the stateful line scan is document-local and runs inside one
+    Arrow batch per file. ``conv_id`` is ``<file stem>#<doc ordinal>``."""
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    raw = spark.read.text(path, wholetext=True).withColumn(
+        "file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+
+    # two outputs from one parse would need a union like extract_fused;
+    # CoNLL inputs are small enough that two passes are the simpler call
+    def parse_kind(kind: str):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .pipeline.bio import bio_to_spans
+
+            for pdf in batches:
+                t_rows, g_rows = [], []
+                for file, blob in zip(pdf["file"], pdf["value"]):
+                    stem = os.path.splitext(str(file))[0]
+                    doc_i = 0
+                    words, tags, bounds = [], [], [0]
+
+                    def flush():
+                        if not words:
+                            return
+                        cid = f"{stem}#{doc_i}"
+                        if bounds[-1] != len(words):
+                            bounds.append(len(words))
+                        for s_i in range(len(bounds) - 1):
+                            t_rows.append(
+                                (cid, s_i,
+                                 " ".join(words[bounds[s_i]:bounds[s_i + 1]])))
+                        for s, e, lab in bio_to_spans(tags):
+                            s_i = 0
+                            while bounds[s_i + 1] <= s:
+                                s_i += 1
+                            g_rows.append((cid, s_i, s, e, lab))
+
+                    for line in str(blob).splitlines():
+                        line = line.rstrip()
+                        if line.startswith("-DOCSTART"):
+                            flush()
+                            if words:
+                                doc_i += 1
+                            words, tags, bounds = [], [], [0]
+                            continue
+                        if not line:
+                            if words and bounds[-1] != len(words):
+                                bounds.append(len(words))
+                            continue
+                        parts = line.split(" ")
+                        words.append(parts[0])
+                        tags.append(parts[-1])
+                    flush()
+                if kind == "transcripts":
+                    yield pd.DataFrame({
+                        "conv_id": pd.Series([r[0] for r in t_rows], dtype="object"),
+                        "turn_idx": pd.Series([r[1] for r in t_rows], dtype="int32"),
+                        "text": pd.Series([r[2] for r in t_rows], dtype="object"),
+                    })
+                else:
+                    yield pd.DataFrame({
+                        "conv_id": pd.Series([r[0] for r in g_rows], dtype="object"),
+                        "turn_idx": pd.Series([r[1] for r in g_rows], dtype="int32"),
+                        "start": pd.Series([r[2] for r in g_rows], dtype="int32"),
+                        "end": pd.Series([r[3] for r in g_rows], dtype="int32"),
+                        "label": pd.Series([r[4] for r in g_rows], dtype="object"),
+                    })
+        return run
+
+    transcripts = raw.mapInPandas(
+        parse_kind("transcripts"),
+        "conv_id string, turn_idx int, text string",
+    ).select(
+        "conv_id", "turn_idx", F.lit("doc").alias("role"), "text",
+        F.lit(None).cast("string").alias("tool"),
+        (F.to_timestamp(F.lit(_EPOCH))
+         + F.make_interval(mins=F.col("turn_idx"))).alias("ts"),
+    )
+    gold = raw.mapInPandas(
+        parse_kind("gold"),
+        "conv_id string, turn_idx int, start int, end int, label string",
+    )
+    return transcripts, gold

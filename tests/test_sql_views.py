@@ -99,3 +99,48 @@ def test_reference_jsonl_source(spark, tmp_path):
     assert out["mentions"].count() >= 0   # pipeline runs on the ingested shape
     assert out["mentions"].schema.simpleString().startswith(
         "struct<conv_id:string,turn_idx:int")
+
+
+def test_conll03_source(spark, tmp_path):
+    """S2: CoNLL03 token-per-line files (word ... BIO-tag, blank-line
+    sentence boundaries, -DOCSTART doc boundaries — run_ner_BIO.py:106-139)
+    ingest into (transcripts, gold) with document-level token coords."""
+    from pl_marker_spark.sources import read_conll03
+
+    conll = "\n".join([
+        "-DOCSTART- -X- -X- O",
+        "",
+        "orion NNP I-NP B-VEH",
+        "probe NN I-NP I-VEH",
+        "reached VBD I-VP O",
+        "ganymede NNP I-NP B-LOC",
+        ". . O O",
+        "",
+        "it PRP I-NP O",
+        "sent VBD I-VP O",
+        "data NN I-NP O",
+        "",
+        "-DOCSTART- -X- -X- O",
+        "",
+        "dr NNP I-NP B-PER",
+        "vega NNP I-NP I-PER",
+        "works VBZ I-VP O",
+        "",
+    ])
+    p = tmp_path / "eng.testb"
+    p.write_text(conll)
+    t, gold = read_conll03(spark, str(p))
+    rows = {(r.conv_id, r.turn_idx): r.text for r in t.collect()}
+    assert rows[("eng#0", 0)] == "orion probe reached ganymede ."
+    assert rows[("eng#0", 1)] == "it sent data"
+    assert rows[("eng#1", 0)] == "dr vega works"
+    g = {(r.conv_id, r.turn_idx, r.start, r.end, r.label)
+         for r in gold.collect()}
+    assert g == {("eng#0", 0, 0, 1, "VEH"), ("eng#0", 0, 3, 3, "LOC"),
+                 ("eng#1", 0, 0, 1, "PER")}
+    # the ingested transcripts run through the extraction pipeline
+    from pl_marker_spark.config import DEFAULT_CONFIG
+    from pl_marker_spark.pipeline.runner import run_extraction
+
+    out = run_extraction(spark, t, DEFAULT_CONFIG)
+    assert out["mentions"].count() >= 0
