@@ -360,7 +360,7 @@ def test_media_rejects_accounting(spark):
 
     media = synthetic_media(spark, 8)
     junk = spark.createDataFrame(
-        [(9001, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg")),
+        [(9001, "image", bytearray(b"GIF89a fake gif payload")),
          (9002, "audio", None)],
         "media_id long, kind string, payload binary")
     allm = media.unionByName(junk, allowMissingColumns=True)
@@ -371,3 +371,68 @@ def test_media_rejects_accounting(spark):
     n_img = phash_media(allm).count()
     n_aud = fingerprint_audio(allm).count()
     assert n_img + n_aud + len(rej) == allm.count()
+
+
+def test_jpeg_roundtrip_and_guards():
+    """Baseline JPEG codec (pure-numpy DCT + stdlib Annex-K Huffman):
+    encode→decode is a faithful lossy roundtrip (tight error on smooth
+    content, bounded error on the noisy synthetic fixtures), deterministic,
+    and the decoder refuses progressive/subsampled/restart streams loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+    from pl_marker_spark.multimodal import (
+        _decode_image, decode_jpeg, encode_jpeg, synthetic_pixels,
+    )
+
+    # smooth gradient: near-exact at high quality
+    g = np.zeros((24, 40, 3), dtype=np.uint8)
+    g[:, :, 0] = np.linspace(0, 200, 40, dtype=np.uint8)[None, :]
+    g[:, :, 1] = np.linspace(30, 120, 24, dtype=np.uint8)[:, None]
+    g[:, :, 2] = 77
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == g.shape
+    err = np.abs(dec.astype(int) - g.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 12
+
+    # noisy fixture: bounded error, non-8-multiple dims crop correctly
+    px = synthetic_pixels(5)[:30, :27]
+    enc = encode_jpeg(px, quality=90)
+    dec = decode_jpeg(enc)
+    assert dec.shape == px.shape
+    assert np.abs(dec.astype(int) - px.astype(int)).mean() < 8.0
+    # deterministic bytes + dispatch by magic
+    assert enc == encode_jpeg(px, quality=90)
+    assert np.array_equal(_decode_image(enc), dec)
+    # lower quality -> smaller stream
+    assert len(encode_jpeg(px, quality=30)) < len(enc)
+
+    # guards: progressive (SOF2), restart interval (DRI), truncation
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(prog)
+    dri = enc[:2] + struct.pack(">HHH", 0xFFDD, 4, 8) + enc[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(dri)
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:40])
+
+
+def test_jpeg_flows_through_media_kernels(spark):
+    """JPEG payloads flow the same phash/feature path as BMP/PNG rows and
+    are no longer rejected by media_rejects."""
+    import numpy as np
+    from pl_marker_spark.multimodal import (
+        encode_jpeg, extract_features, media_rejects, phash_media,
+        synthetic_pixels,
+    )
+
+    rows = [(7001, "image", bytearray(encode_jpeg(synthetic_pixels(3), 90)))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    ph = phash_media(media).collect()
+    assert len(ph) == 1 and ph[0].width == 32 and ph[0].height == 32
+    feats = extract_features(media).collect()
+    assert len(feats) == 1 and len(feats[0].feature) == 8
+    assert media_rejects(media).count() == 0
