@@ -674,9 +674,11 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                grayscale: bool = False) -> bytes:
     """(H, W, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, Annex-K Huffman
-    tables, quality-scaled Annex-K quant tables)."""
+    tables, quality-scaled Annex-K quant tables). ``grayscale``: emit a
+    1-component (luma-only) stream."""
     h, w, _ = pixels.shape
     p = pixels.astype(np.float64)
     y = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
@@ -684,7 +686,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     cr = 128.0 + 0.5 * p[:, :, 0] - 0.418688 * p[:, :, 1] - 0.081312 * p[:, :, 2]
     H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
     comps = []
-    for plane in (y, cb, cr):
+    for plane in ((y,) if grayscale else (y, cb, cr)):
         pad = np.pad(plane, ((0, H8 - h), (0, W8 - w)), mode="edge")
         comps.append(pad - 128.0)
     ql, qc = _scale_q(_JPEG_QL, quality), _scale_q(_JPEG_QC, quality)
@@ -699,11 +701,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     dc_l, dc_c = _huff_codes(_DC_L), _huff_codes(_DC_C)
     ac_l, ac_c = _huff_codes(_AC_L), _huff_codes(_AC_C)
     bw = _BitWriter()
-    pred = [0, 0, 0]
+    nc = len(comps)
+    pred = [0] * nc
     n_blocks = coefs[0].shape[0]
     zz = _ZIGZAG
     for b in range(n_blocks):
-        for ci in range(3):
+        for ci in range(nc):
             dct_t, act_t = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
             blk = coefs[ci][b]
             dc = int(blk[0, 0])
@@ -750,10 +753,17 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits)
                    + bytes(values))
 
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if grayscale:
+        sof = seg(0xFFC0, bytes([8]) + struct.pack(">HH", h, w)
+                  + bytes([1, 1, 0x11, 0]))
+        sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        return (b"\xff\xd8" + app0 + dqt(0, ql)
+                + dht(0, 0, _DC_L) + dht(1, 0, _AC_L)
+                + sof + sos + bytes(bw.out) + b"\xff\xd9")
     sof = seg(0xFFC0, bytes([8]) + struct.pack(">HH", h, w) + bytes(
         [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     return (b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc)
             + dht(0, 0, _DC_L) + dht(1, 0, _AC_L)
             + dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
@@ -808,9 +818,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec = body[0]
             h, w = struct.unpack_from(">HH", body, 1)
             nc = body[5]
-            if prec != 8 or nc != 3:
-                raise NotImplementedError("only 8-bit 3-component baseline")
-            for c in range(3):
+            if prec != 8 or nc not in (1, 3):
+                raise NotImplementedError(
+                    "only 8-bit grayscale or 3-component baseline")
+            for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 if hv != 0x11:
                     raise NotImplementedError("chroma subsampling")
@@ -846,9 +857,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         data.append(b)
         i += 1
+    nc = len(comp_q)
     nbx, nby = -(-w // 8), -(-h // 8)
     n_blocks = nbx * nby
-    coefs = [np.zeros((n_blocks, 8, 8), dtype=np.int64) for _ in range(3)]
+    coefs = [np.zeros((n_blocks, 8, 8), dtype=np.int64) for _ in range(nc)]
     bitpos = 0
     total_bits = len(data) * 8
 
@@ -879,10 +891,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     def extend(v: int, cat: int) -> int:
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
-    pred = [0, 0, 0]
+    pred = [0] * nc
     zz = _ZIGZAG
     for b in range(n_blocks):
-        for ci in range(3):
+        for ci in range(nc):
             dct = huff[(0, comp_ht[ci][0])]
             act = huff[(1, comp_ht[ci][1])]
             cat = read_symbol(dct)
@@ -906,13 +918,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 blk[r, c] = extend(read_bits(cat), cat)
                 k += 1
     planes = []
-    for ci in range(3):
+    for ci in range(nc):
         q = qt[comp_q[ci]]
         d = coefs[ci] * q
         px = _DCT.T @ d.astype(np.float64) @ _DCT + 128.0
         plane = (px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
                  .reshape(nby * 8, nbx * 8))
         planes.append(plane[:h, :w])
+    if nc == 1:                               # grayscale: Y replicated
+        y = np.clip(planes[0], 0, 255).round().astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -436,3 +436,31 @@ def test_jpeg_flows_through_media_kernels(spark):
     feats = extract_features(media).collect()
     assert len(feats) == 1 and len(feats[0].feature) == 8
     assert media_rejects(media).count() == 0
+
+
+def test_jpeg_grayscale_and_property_roundtrip():
+    """1-component (grayscale) baseline JPEG decodes (Y replicated to
+    RGB); hypothesis-style sweep: random sizes/content roundtrip within
+    the lossy bound on both color and grayscale paths."""
+    import numpy as np
+    from pl_marker_spark.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        h = int(rng.integers(8, 41))
+        w = int(rng.integers(8, 41))
+        if trial < 3:   # smooth content
+            base = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+            px = np.stack([base, base * 0.7, base * 0.4], axis=2) \
+                .astype(np.uint8)
+        else:           # noisy content
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(px, quality=92))
+        assert dec.shape == px.shape
+        assert np.abs(dec.astype(int) - px.astype(int)).mean() < 8.0
+        dg = decode_jpeg(encode_jpeg(px, quality=92, grayscale=True))
+        assert dg.shape == px.shape
+        assert np.array_equal(dg[:, :, 0], dg[:, :, 1])
+        luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                + 0.114 * px[:, :, 2])
+        assert np.abs(dg[:, :, 0].astype(float) - luma).mean() < 6.0
