@@ -45,6 +45,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    def spin_probe() -> float:
+        """Single-thread ambient probe: seconds for a fixed 5M-iteration
+        loop. The host shares CPUs with invisible neighbors (loadavg can
+        read 8-12 with an empty process table); recording the probe before
+        and after the flagship run lets a reader tell a plan regression
+        from a neighbor burst (BENCH.md round-4 'ambient-load confound')."""
+        t0 = time.time()
+        x = 0
+        for i in range(5_000_000):
+            x += i * i
+        return round(time.time() - t0, 3)
+
+    extras["ambient_spin_before"] = spin_probe()
+    extras["ambient_load_before"] = round(os.getloadavg()[0], 2)
+
     # --- flagship: end-to-end KG pipeline over a transcripts table ---------
     # input materialization is untimed (the pipeline's job starts at an
     # existing table, like the reference's eval over a fixed file); the
@@ -80,6 +95,8 @@ def main() -> None:
         extras["n_convs"] = n_convs
         extras["triples_per_sec"] = round(n_triples / dt, 2)
         extras["turns_per_sec"] = round(n_turns / dt, 2)
+        extras["ambient_spin_after_e2e"] = spin_probe()
+        extras["ambient_load_after_e2e"] = round(os.getloadavg()[0], 2)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
