@@ -211,6 +211,100 @@ FROM r WHERE tag != 'O' GROUP BY doc_id, run_id
 """
 
 
+def _bio_spans(d, b_len: int, i_len: int):
+    """Relational BIO→span (the P8 machinery) for a deterministic
+    length-threshold tagging — parameterized so two rules give two
+    independent chunkings of the same corpus."""
+    x = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "w"))
+    tag = (
+        F.when(F.length("w") >= b_len, F.lit("B"))
+        .when(F.length("w") >= i_len, F.lit("I"))
+        .otherwise(F.lit("O"))
+    )
+    t = x.withColumn("tag", tag)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev = F.lag("tag", 1).over(w)
+    is_start = (F.col("tag") != "O") & (
+        (F.col("tag") == "B") | prev.isNull() | (prev == "O")
+    )
+    runs = t.withColumn(
+        "run_id", F.sum(is_start.cast("int")).over(w)
+    ).filter(F.col("tag") != "O")
+    return runs.groupBy("doc_id", "run_id").agg(
+        F.min("i").alias("start"), F.max("i").alias("end"))
+
+
+def q_o12_chunk_f1(spark, sf_dir):
+    """O12 seqeval-style chunk F1 (conll.py / seqeval semantics the
+    reference reports for flat NER): chunks are extracted from BIO
+    taggings by the P8 run scan and scored by EXACT (start, end) set
+    match — not token overlap. Two deterministic taggings of the
+    documents table (the P8 rule as "pred", a shifted-threshold rule as
+    "gold") stand in for pred/gold sequences; micro P/R/F1 with the O11
+    zero guards."""
+    d = _doc(spark, sf_dir, "documents")
+    pred = _bio_spans(d, 8, 5)
+    gold = _bio_spans(d, 7, 4)
+    tp = pred.join(gold, ["doc_id", "start", "end"], "inner").count()
+    np_, ng = pred.count(), gold.count()
+    p = tp / np_ if np_ else 0.0
+    r = tp / ng if ng else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return spark.createDataFrame(
+        [(int(tp), int(np_), int(ng), round(p, 6), round(r, 6),
+          round(f1, 6))],
+        "tp long, n_pred long, n_gold long, precision double, "
+        "recall double, f1 double")
+
+
+def _sql_p8_chunks(alias: str, b_len: int, i_len: int) -> str:
+    return f"""
+{alias}_t AS (SELECT doc_id, i,
+             CASE WHEN length(w) >= {b_len} THEN 'B'
+                  WHEN length(w) >= {i_len} THEN 'I' ELSE 'O' END AS tag
+      FROM x),
+{alias}_m AS (SELECT doc_id, i, tag,
+             CASE WHEN tag != 'O' AND (tag = 'B'
+                  OR lag(tag) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                  OR lag(tag) OVER (PARTITION BY doc_id ORDER BY i) = 'O')
+             THEN 1 ELSE 0 END AS is_start
+      FROM {alias}_t),
+{alias}_r AS (SELECT doc_id, i, tag,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM {alias}_m),
+{alias} AS (SELECT doc_id, min(i) AS start, max(i) AS "end"
+      FROM {alias}_r WHERE tag != 'O' GROUP BY doc_id, run_id)"""
+
+
+SQL_O12 = ("""
+WITH x AS (SELECT doc_id,
+                  UNNEST(string_split(text,' ')) AS w,
+                  UNNEST(range(len(string_split(text,' ')))) AS i
+           FROM documents),"""
+           + _sql_p8_chunks("pred", 8, 5) + ","
+           + _sql_p8_chunks("gold", 7, 4) + """,
+c AS (SELECT
+        (SELECT count(*) FROM pred p JOIN gold g
+           ON p.doc_id = g.doc_id AND p.start = g.start
+          AND p."end" = g."end") AS tp,
+        (SELECT count(*) FROM pred) AS n_pred,
+        (SELECT count(*) FROM gold) AS n_gold)
+SELECT tp::BIGINT AS tp, n_pred::BIGINT AS n_pred, n_gold::BIGINT AS n_gold,
+       round(CASE WHEN n_pred = 0 THEN 0 ELSE tp / n_pred END, 6) AS precision,
+       round(CASE WHEN n_gold = 0 THEN 0 ELSE tp / n_gold END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN n_pred = 0 THEN 0 ELSE tp / n_pred END)
+                  + (CASE WHEN n_gold = 0 THEN 0 ELSE tp / n_gold END) = 0
+             THEN 0
+             ELSE 2 * (CASE WHEN n_pred = 0 THEN 0 ELSE tp / n_pred END)
+                    * (CASE WHEN n_gold = 0 THEN 0 ELSE tp / n_gold END)
+                  / ((CASE WHEN n_pred = 0 THEN 0 ELSE tp / n_pred END)
+                     + (CASE WHEN n_gold = 0 THEN 0 ELSE tp / n_gold END))
+             END, 6) AS f1
+FROM c
+""")
+
+
 def q_o14_sorted_words(spark, sf_dir):
     """O14: per-row array_sort of output items (run_acener.py:776-778)."""
     d = _doc(spark, sf_dir, "documents")
@@ -893,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_prefix_sum": q_p4_prefix_sum,
         "o13_topk": q_o13_topk,
         "p8_bio_spans": q_p8_bio_spans,
+        "o12_chunk_f1": q_o12_chunk_f1,
         "o14_sorted_words": q_o14_sorted_words,
         "sessionize": q_sessionize,
         "o11_micro_prf": q_o11_micro_prf,
@@ -933,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "p4_prefix_sum": SQL_P4,
         "o13_topk": SQL_O13,
         "p8_bio_spans": SQL_P8,
+        "o12_chunk_f1": SQL_O12,
         "o14_sorted_words": SQL_O14,
         "sessionize": SQL_SESSIONIZE,
         "o11_micro_prf": SQL_O11,
