@@ -204,3 +204,109 @@ def read_conll03(spark: SparkSession, path: str):
         "conv_id string, turn_idx int, start int, end int, label string",
     )
     return transcripts, gold
+
+
+def read_ontonotes_conll(spark: SparkSession, path: str):
+    """S3 — OntoNotes ``*.v4_gold_conll`` converter as a table source
+    (reference preprocess_ontonotes.py:27-105): ``#begin document (id);
+    part N`` blocks, whitespace-split token lines with the word in column
+    3 and the bracketed NER column in column 10 (``(TYPE*`` opens, ``*)``
+    closes, ``(TYPE)`` is a singleton), blank line = sentence boundary.
+    Returns ``(transcripts, gold_mentions)`` under the same coordinate
+    contract as the other sources (NER spans use the document-level word
+    index the reference's converter emits — ``word_idx`` never resets at
+    sentence boundaries). Reference quirks preserved: ``doc_key =
+    f"{id}_{int(part)}"`` (conll.py:14-15), PTB bracket unescape +
+    ``/.``→``.`` normalization at read (:6-25), and ``pt/`` (Bible)
+    documents skipped (:86-92). Per-file parallelism like read_conll03."""
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    raw = spark.read.text(path, wholetext=True)
+    _ESC = {"-LRB-": "(", "-RRB-": ")", "-LSB-": "[", "-RSB-": "]",
+            "-LCB-": "{", "-RCB-": "}"}
+
+    def parse_kind(kind: str):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                t_rows, g_rows = [], []
+                for blob in pdf["value"]:
+                    doc_key = None
+                    sent_i = 0
+                    sent: list[str] = []
+                    word_idx = 0
+                    open_start, open_type = -1, None
+                    skip = False
+                    for line in str(blob).splitlines():
+                        m = line.strip()
+                        if m.startswith("#begin document"):
+                            import re
+
+                            g = re.match(
+                                r"#begin document \((.*)\); part (\d+)", m)
+                            doc_key = f"{g.group(1)}_{int(g.group(2))}"
+                            skip = doc_key.startswith("pt/")
+                            sent_i = 0
+                            sent = []
+                            word_idx = 0
+                            open_start, open_type = -1, None
+                            continue
+                        if m.startswith("#end document") or doc_key is None:
+                            continue
+                        cols = m.split()
+                        if not cols:
+                            if sent and not skip:
+                                t_rows.append((doc_key, sent_i,
+                                               " ".join(sent)))
+                                sent_i += 1
+                            sent = []
+                            continue
+                        word = _ESC.get(cols[3], cols[3])
+                        if word in ("/.", "/?"):      # normalize_word
+                            word = word[1:]
+                        label = cols[10]
+                        if label != "*" and not skip:
+                            if label.startswith("("):
+                                open_type = label.strip("()*")
+                                if label.endswith(")"):
+                                    g_rows.append((doc_key, sent_i, word_idx,
+                                                   word_idx, open_type))
+                                else:
+                                    open_start = word_idx
+                            elif label == "*)":
+                                g_rows.append((doc_key, sent_i, open_start,
+                                               word_idx, open_type))
+                                open_start = -1
+                        sent.append(word)
+                        word_idx += 1
+                if kind == "transcripts":
+                    yield pd.DataFrame({
+                        "conv_id": pd.Series([r[0] for r in t_rows], dtype="object"),
+                        "turn_idx": pd.Series([r[1] for r in t_rows], dtype="int32"),
+                        "text": pd.Series([r[2] for r in t_rows], dtype="object"),
+                    })
+                else:
+                    yield pd.DataFrame({
+                        "conv_id": pd.Series([r[0] for r in g_rows], dtype="object"),
+                        "turn_idx": pd.Series([r[1] for r in g_rows], dtype="int32"),
+                        "start": pd.Series([r[2] for r in g_rows], dtype="int32"),
+                        "end": pd.Series([r[3] for r in g_rows], dtype="int32"),
+                        "label": pd.Series([r[4] for r in g_rows], dtype="object"),
+                    })
+        return run
+
+    transcripts = raw.mapInPandas(
+        parse_kind("transcripts"), "conv_id string, turn_idx int, text string",
+    ).select(
+        "conv_id", "turn_idx", F.lit("doc").alias("role"), "text",
+        F.lit(None).cast("string").alias("tool"),
+        (F.to_timestamp(F.lit(_EPOCH))
+         + F.make_interval(mins=F.col("turn_idx"))).alias("ts"),
+    )
+    gold = raw.mapInPandas(
+        parse_kind("gold"),
+        "conv_id string, turn_idx int, start int, end int, label string",
+    )
+    return transcripts, gold

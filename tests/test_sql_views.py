@@ -144,3 +144,55 @@ def test_conll03_source(spark, tmp_path):
 
     out = run_extraction(spark, t, DEFAULT_CONFIG)
     assert out["mentions"].count() >= 0
+
+
+def test_ontonotes_conll_source(spark, tmp_path):
+    """S3: OntoNotes v4_gold_conll blocks (bracketed NER column, doc
+    parts, PTB escapes, pt/ skip — preprocess_ontonotes.py:27-105) ingest
+    into (transcripts, gold) with the reference's doc_key and
+    document-level word indices."""
+    from pl_marker_spark.sources import read_ontonotes_conll
+
+    def tok(i, word, ner):
+        return f"nw/wsj 0 {i} {word} NNP * - - - - {ner}"
+
+    lines = [
+        "#begin document (nw/wsj/01/wsj_0101); part 000",
+        tok(0, "orion", "(VEH*"),
+        tok(1, "probe", "*)"),
+        tok(2, "reached", "*"),
+        tok(3, "ganymede", "(LOC)"),
+        tok(4, "/.", "*"),
+        "",
+        tok(0, "-LRB-", "*"),
+        tok(1, "it", "*"),
+        tok(2, "works", "*"),
+        tok(3, "-RRB-", "*"),
+        "",
+        "#end document",
+        "#begin document (pt/nt/40/nt_4001); part 001",
+        tok(0, "verily", "*"),
+        "",
+        "#end document",
+        "#begin document (bn/abc/00/abc_0010); part 002",
+        tok(0, "dr", "(PER*"),
+        tok(1, "vega", "*)"),
+        "",
+        "#end document",
+    ]
+    p = tmp_path / "dev.english.v4_gold_conll"
+    p.write_text("\n".join(lines) + "\n")
+    t, gold = read_ontonotes_conll(spark, str(p))
+    rows = {(r.conv_id, r.turn_idx): r.text for r in t.collect()}
+    # PTB unescape + /. normalization applied at read, like the reference
+    assert rows[("nw/wsj/01/wsj_0101_0", 0)] == "orion probe reached ganymede ."
+    assert rows[("nw/wsj/01/wsj_0101_0", 1)] == "( it works )"
+    assert rows[("bn/abc/00/abc_0010_2", 0)] == "dr vega"
+    # pt/ documents are skipped entirely
+    assert not any(cid.startswith("pt/") for cid, _ in rows)
+    g = {(r.conv_id, r.turn_idx, r.start, r.end, r.label)
+         for r in gold.collect()}
+    # doc-level word indices: sentence 2's tokens continue the doc counter
+    assert g == {("nw/wsj/01/wsj_0101_0", 0, 0, 1, "VEH"),
+                 ("nw/wsj/01/wsj_0101_0", 0, 3, 3, "LOC"),
+                 ("bn/abc/00/abc_0010_2", 0, 0, 1, "PER")}
