@@ -325,3 +325,72 @@ def kg_oracle_sqls() -> dict[str, str]:
             ["BIGINT", "BIGINT", "VARCHAR", "BIGINT", "DOUBLE"],
         ),
     }
+
+
+def coref_oracle_sqls() -> dict[str, str]:
+    """VALUES oracles for the O17 coref surface: the bracket column from
+    the reference-shaped single-process writer (oracle_coref.coref_column_py
+    over the oracle pipeline's entity clusters) and the native
+    muc/bcub/ceafe metrics from the Fraction-exact loop implementation
+    (oracle_coref.coref_metrics_py, pure-python assignment solver)."""
+    if "coref" not in _CACHE:
+        from . import synth
+        from .oracle_coref import (
+            clusters_from_mentions,
+            coref_column_py,
+            coref_metrics_py,
+        )
+        from .oracle_graph import _normalize, mention_surfaces_py
+
+        out = _oracle_outputs()
+        o, g = out["oracle"], out["graph"]
+        turns, gm, _gr = synth.local_corpus(N_KG_CONVS)
+        turn_words = {(r[0], r[1]): split_words(r[3]) for r in turns}
+
+        # predicted clusters: oracle mentions -> entity ids via the graph
+        # oracle's (label, surface) assignment
+        surfaces = mention_surfaces_py(o["refined"], turn_words)
+        ent_of = {(v["label"], v["surface"]): v["entity_id"] for v in g["vocab"]}
+        pred_rows = [
+            (c, s, e, ent_of[(label, surface)])
+            for c, _t, s, e, label, surface in surfaces
+        ]
+        pred_by_doc = clusters_from_mentions(pred_rows)
+
+        # document word text for the writer rows
+        doc_words: dict[str, list[str]] = {}
+        by_conv = defaultdict(list)
+        for (c, t), ws in turn_words.items():
+            by_conv[c].append((t, ws))
+        for c, pairs in by_conv.items():
+            doc_words[c] = [w for _t, ws in sorted(pairs) for w in ws]
+
+        conll_rows = [
+            (doc, w, doc_words[doc][w], coref)
+            for doc, w, coref in coref_column_py(pred_by_doc)
+        ]
+
+        # gold clusters: (label, normalized surface) entity identity
+        gold_surf = mention_surfaces_py(
+            [(c, t, s, e, label) for c, t, s, e, label in gm], turn_words
+        )
+        gold_rows = [
+            (c, s, e, (label, _normalize(surface)))
+            for c, _t, s, e, label, surface in gold_surf
+        ]
+        gold_by_doc = clusters_from_mentions(gold_rows)
+        metric_rows = coref_metrics_py(gold_by_doc, pred_by_doc)
+
+        _CACHE["coref"] = {
+            "o17_coref_conll": _values_sql(
+                conll_rows,
+                ["conv_id", "word_idx", "word", "coref"],
+                ["VARCHAR", "INTEGER", "VARCHAR", "VARCHAR"],
+            ),
+            "o17_coref_metrics": _values_sql(
+                metric_rows,
+                ["metric", "recall", "precision", "f1"],
+                ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE"],
+            ),
+        }
+    return _CACHE["coref"]

@@ -645,7 +645,8 @@ def _pipeline_outputs(spark, sf_dir: str) -> dict:
         out = run_full_pipeline(spark, t, DEFAULT_CONFIG)
         _PIPE_CACHE[key] = {
             name: out[name].localCheckpoint()
-            for name in ("mentions", "triples", "nodes", "edges")
+            for name in ("mentions", "triples", "nodes", "edges",
+                         "mention_entity", "turns_tok")
         }
     return _PIPE_CACHE[key]
 
@@ -770,6 +771,41 @@ def q_kg_triples_hf_attleft(spark, sf_dir):
         "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
         F.round("score", 6).alias("score"), "subj_type", "obj_type",
     )
+
+
+def q_o17_coref_conll(spark, sf_dir):
+    """O17 coref CoNLL writer (conll.py:17-70): the pipeline's entity
+    clusters rendered as the CoNLL-2012 bracket-notation coref column
+    (bracket-bearing words only; the reference's start-DESC/end-DESC
+    ordering quirks preserved). Oracle = the reference-shaped
+    single-process writer (oracle_coref.coref_column_py) over the oracle
+    pipeline's clusters, rendered as VALUES."""
+    from .pipeline.conll_writer import coref_conll
+
+    out = _pipeline_outputs(spark, sf_dir)
+    return coref_conll(out["turns_tok"], out["mention_entity"])
+
+
+def q_o17_coref_metrics(spark, sf_dir):
+    """O17 native coref metrics (replaces conll.py:72-98's scorer.pl
+    shell-out): corpus-level MUC / B-cubed / CEAF-e of the pipeline's
+    entity clusters against the planted gold entity chains — relational
+    aggregations plus a per-document optimal-assignment kernel (CEAF-e,
+    numpy Kuhn-Munkres). Oracle = Fraction-exact loop implementation with
+    an independently written pure-python solver (oracle_coref)."""
+    from . import synth
+    from .oracle_values import N_KG_CONVS
+    from .pipeline.conll_writer import (
+        coref_clusters,
+        coref_metrics,
+        gold_coref_clusters,
+    )
+
+    out = _pipeline_outputs(spark, sf_dir)
+    gold = gold_coref_clusters(
+        synth.gold_mentions_df(spark, N_KG_CONVS), out["turns_tok"]
+    )
+    return coref_metrics(gold, coref_clusters(out["mention_entity"]))
 
 
 def q_multimodal_phash(spark, sf_dir):
@@ -1018,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash": q_multimodal_phash,
         "multimodal_audiofp": q_multimodal_audiofp,
         "ann_ivf_topk": _q_ann_ivf,
+        "o17_coref_conll": q_o17_coref_conll,
+        "o17_coref_metrics": q_o17_coref_metrics,
     }
 
 
@@ -1052,10 +1090,11 @@ def oracle_sql() -> dict[str, str]:
 
 def _kg_sqls() -> dict[str, str]:
     from .oracle_values import (
+        coref_oracle_sqls,
         kg_oracle_sqls,
         multimodal_oracle_sqls,
         variant_oracle_sqls,
     )
 
     return {**kg_oracle_sqls(), **variant_oracle_sqls(),
-            **multimodal_oracle_sqls()}
+            **multimodal_oracle_sqls(), **coref_oracle_sqls()}
