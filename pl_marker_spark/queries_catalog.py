@@ -563,6 +563,168 @@ SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
 """
 
 
+def q_dedup_cluster(spark, sf_dir):
+    """Near-dup clustering + canonical selection (textops.dedup_cluster):
+    the jaccard pair table becomes an undirected similarity graph, connected
+    components (the same size-gated CC kernel as entity canonicalization)
+    labels each doc with its cluster's min doc id, keep=1 marks the one
+    retained representative. Captures transitivity the pair threshold
+    cannot: A~B, B~C cluster together even when jaccard(A,C) < 0.5. The
+    DuckDB twin re-derives components independently via a recursive-CTE
+    transitive closure (min-over-reachable-set), so the driver gate checks
+    the CC labels themselves, not just the pair set."""
+    from .textops import dedup_cluster
+
+    return dedup_cluster(q_jaccard_neardup(spark, sf_dir))
+
+
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE jp AS (SELECT * FROM ({SQL_JACCARD}) j),
+e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION SELECT doc_b, doc_a FROM jp),
+reach(u, v) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+lbl AS (SELECT u AS doc_id, min(v) AS canonical_id FROM reach GROUP BY u),
+sz AS (SELECT canonical_id, count(*) AS cluster_size FROM lbl
+       GROUP BY canonical_id)
+SELECT doc_id::BIGINT AS doc_id, canonical_id::BIGINT AS canonical_id,
+       cluster_size::BIGINT AS cluster_size,
+       (CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM lbl JOIN sz USING (canonical_id)
+"""
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Rule-based document filter in the style of the published Gopher
+    quality rules (Rae et al. 2021 §A1.1): word-count bounds, mean-word-
+    length bounds, a minimum stop-word count, and a repetition bound (mass
+    of the single most frequent word). Each rule is emitted as its own 0/1
+    column plus the conjunctive keep flag, so downstream ablation can
+    attribute removals per rule. Everything except the repetition rule is a
+    per-row JVM expression; repetition is one explode + two groupBys on
+    (doc_id, word) — ids+word shuffle only. Ratio comparisons apply to the
+    same rounded-6 value both engines emit (float-twin discipline)."""
+    d = _doc(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_words = F.size(ws)
+    mwl = F.round((F.length("text") - n_words + 1) / n_words, 6)
+    stop = ("the", "and", "of", "a", "to", "in", "is")
+    stop_hits = F.size(F.filter(ws, lambda w: w.isin(*stop)))
+    base = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    top = (
+        d.select("doc_id", F.explode(ws).alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_c"))
+    )
+    j = base.join(top, "doc_id").withColumn(
+        "top_word_ratio", F.round(F.col("top_c") / F.col("n_words"), 6)
+    )
+    r_len = (F.col("n_words") >= 20) & (F.col("n_words") <= 80)
+    r_mwl = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 6.0)
+    r_stop = F.col("stop_hits") >= 2
+    r_rep = F.col("top_word_ratio") <= 0.2
+    return j.select(
+        "doc_id", "n_words", "mean_word_len", "stop_hits", "top_word_ratio",
+        r_len.cast("long").alias("r_len"),
+        r_mwl.cast("long").alias("r_mwl"),
+        r_stop.cast("long").alias("r_stop"),
+        r_rep.cast("long").alias("r_rep"),
+        (r_len & r_mwl & r_stop & r_rep).cast("long").alias("keep"),
+    )
+
+
+SQL_GOPHER = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws, length(text) AS nc
+           FROM documents),
+b AS (SELECT doc_id, len(ws) AS n_words,
+             round((nc - len(ws) + 1) / len(ws), 6) AS mean_word_len,
+             len(list_filter(ws,
+                 x -> x IN ('the','and','of','a','to','in','is'))) AS stop_hits
+      FROM w),
+t AS (SELECT doc_id, max(c) AS top_c
+      FROM (SELECT doc_id, word, count(*) AS c
+            FROM (SELECT doc_id, UNNEST(ws) AS word FROM w) e
+            GROUP BY doc_id, word) g
+      GROUP BY doc_id),
+j AS (SELECT b.*, round(t.top_c / b.n_words, 6) AS top_word_ratio
+      FROM b JOIN t USING (doc_id))
+SELECT doc_id, n_words::BIGINT AS n_words, mean_word_len,
+       stop_hits::BIGINT AS stop_hits, top_word_ratio,
+       (CASE WHEN n_words BETWEEN 20 AND 80 THEN 1 ELSE 0 END)::BIGINT AS r_len,
+       (CASE WHEN mean_word_len BETWEEN 3.0 AND 6.0 THEN 1 ELSE 0 END)::BIGINT AS r_mwl,
+       (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS r_stop,
+       (CASE WHEN top_word_ratio <= 0.2 THEN 1 ELSE 0 END)::BIGINT AS r_rep,
+       (CASE WHEN n_words BETWEEN 20 AND 80 AND mean_word_len BETWEEN 3.0 AND 6.0
+             AND stop_hits >= 2 AND top_word_ratio <= 0.2
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM j
+"""
+
+
+def q_substr_dedup(spark, sf_dir):
+    """Exact-substring span dedup in the style of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"): document
+    pairs sharing at least one exact 8-word n-gram, with the shared-span
+    count per pair. Relationally: enumerate position n-grams per document
+    (JVM transform/sequence/slice — no Python), hash each gram to a 64-bit
+    key so the candidate shuffle carries (doc_id, hash) ids only (the
+    gram *strings* never shuffle; xxhash64 collisions at ~n²/2^64 are
+    negligible and would only surface as a driver-gate mismatch), drop
+    grams appearing in >50 documents (hot-shingle guard — the same silent-
+    degradation class the simhash band guard covers, here an explicit
+    documented cap), then a per-gram self-join restricted to distinct doc
+    pairs. The DuckDB twin joins on the literal gram strings, so the gate
+    also validates the hashed-join shortcut."""
+    d = (
+        _doc(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 8)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws)-8),"
+                " i -> xxhash64(array_join(slice(ws, i+1, 8), ' ')))"
+            )
+        ).alias("gh"),
+    ).distinct()
+    freq = grams.groupBy("gh").agg(F.count("*").alias("nd")).filter(
+        (F.col("nd") >= 2) & (F.col("nd") <= 50)
+    )
+    cand = grams.join(freq.select("gh"), "gh")
+    a = cand.alias("a")
+    b = cand.select(F.col("gh").alias("b_gh"), F.col("doc_id").alias("b_id"))
+    return (
+        a.join(b, (F.col("a.gh") == F.col("b_gh"))
+               & (F.col("a.doc_id") < F.col("b_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+    )
+
+
+SQL_SUBSTR_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+           WHERE len(string_split(text,' ')) >= 8),
+g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws)-6)) AS i FROM w) x),
+f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+c AS (SELECT g.doc_id, g.gram FROM g JOIN f USING (gram))
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       count(*)::BIGINT AS n_shared_ngrams
+FROM c a JOIN c b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k similarity search over the embedding column
     (baseline ANN; the LSH-bucketed variant is `minhash_neardup`)."""
@@ -1034,6 +1196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "jaccard_neardup": q_jaccard_neardup,
+        "dedup_cluster": q_dedup_cluster,
+        "gopher_rules": q_gopher_rules,
+        "substr_dedup": q_substr_dedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
@@ -1077,6 +1242,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "fingerprint": SQL_FINGERPRINT,
         "jaccard_neardup": SQL_JACCARD,
+        "dedup_cluster": SQL_DEDUP_CLUSTER,
+        "gopher_rules": SQL_GOPHER,
+        "substr_dedup": SQL_SUBSTR_DEDUP,
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf_topk": _sql_ann_ivf(),
         "minhash_neardup": _sql_minhash(),

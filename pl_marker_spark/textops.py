@@ -319,3 +319,39 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_cluster(pairs: DataFrame, a_col: str = "doc_a",
+                  b_col: str = "doc_b") -> DataFrame:
+    """Near-duplicate CLUSTERING + canonical-document selection: the dedup
+    *decision* layer the pair generators feed at scale. Any near-dup pair
+    table (minhash / simhash / jaccard / embedding) becomes an undirected
+    similarity graph; connected components (pipeline.cc — size-gated driver
+    union-find / alternating-star at scale, the same kernel the entity
+    canonicalization uses) labels every document with the minimum doc id of
+    its duplicate cluster, and ``keep = 1`` marks the one representative
+    per cluster a training-data pipeline would retain.
+
+    Output: (doc_id, canonical_id, cluster_size, keep) — one row per
+    document that appears in at least one near-dup pair (singletons are
+    trivially kept and never enter the graph, so the table stays
+    O(duplicates), not O(corpus)).
+
+    100 TB story: pairs are post-LSH (a vanishing fraction of the corpus),
+    the CC kernel shuffles (src, dst) ids only, and transitivity is exactly
+    what pairwise thresholding cannot express — A~B and B~C land in one
+    cluster even when A and C themselves fall below the pair threshold.
+    """
+    from .pipeline.cc import connected_components
+
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    assign = connected_components(edges)
+    sizes = assign.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return assign.join(sizes, "component").select(
+        F.col("sid").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("canonical_id"),
+        "cluster_size",
+        (F.col("sid") == F.col("component")).cast("long").alias("keep"),
+    )

@@ -464,3 +464,19 @@ def test_jpeg_grayscale_and_property_roundtrip():
         luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
                 + 0.114 * px[:, :, 2])
         assert np.abs(dg[:, :, 0].astype(float) - luma).mean() < 6.0
+
+
+def test_dedup_cluster_transitivity(spark):
+    # chain A~B, B~C, and a separate pair D~E: transitive closure must put
+    # A,B,C in ONE cluster (canonical = min id) even with no A~C pair
+    from pl_marker_spark.textops import dedup_cluster
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: (r.canonical_id, r.cluster_size, r.keep)
+           for r in dedup_cluster(pairs).collect()}
+    assert got == {
+        10: (10, 3, 1), 20: (10, 3, 0), 30: (10, 3, 0),
+        40: (40, 2, 1), 50: (40, 2, 0),
+    }
