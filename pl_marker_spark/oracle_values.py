@@ -394,3 +394,56 @@ def coref_oracle_sqls() -> dict[str, str]:
             ),
         }
     return _CACHE["coref"]
+
+
+def o8_oracle_sqls() -> dict[str, str]:
+    """O8 inverse-label gold augmentation (run_re.py:265-281) as a twin
+    that RE-DERIVES the rule relationally in DuckDB over the gold VALUES
+    (the dedup_cluster discipline — independent SQL derivation, not a
+    Python-precomputed literal): forward pairs keep their label id,
+    reversed pairs get the same id when the label is symmetric (the
+    reference's annotated `# bug` branch) or id + NUM_REL - NUM_SYM when
+    not, and a reversed pair already present as a forward gold pair is
+    dropped (the `if w not in pos2label` guard). Ordered-key duplicates
+    take max(lab_id) on BOTH sides — the synthetic gold has none, so the
+    tie rule never fires; it exists to keep the twin deterministic."""
+    if "o8" not in _CACHE:
+        from . import synth
+        from .world import NUM_REL, NUM_SYM, REL_LABELS, SYM_LABELS
+
+        _turns, _gm, gr = synth.local_corpus(N_KG_CONVS)
+        gold_values = ",\n".join(
+            f"('{c}', {t}, {s1}, {e1}, {s2}, {e2}, '{lab}')"
+            for c, t, s1, e1, s2, e2, lab in gr
+        )
+        lab_values = ", ".join(
+            f"({i}, '{l}', {str(l in SYM_LABELS[1:]).upper()})"
+            for i, l in enumerate(REL_LABELS)
+        )
+        _CACHE["o8"] = {"o8_inverse_gold": f"""
+WITH gold(conv_id, turn_idx, s1, e1, s2, e2, label) AS (VALUES
+{gold_values}
+),
+lab(lab_id, label, is_sym) AS (VALUES {lab_values}),
+g AS (SELECT conv_id, turn_idx, s1, e1, s2, e2, lab_id, is_sym
+      FROM gold JOIN lab USING (label)),
+fwd AS (SELECT conv_id, turn_idx, s1, e1, s2, e2, max(lab_id) AS lab_id
+        FROM g GROUP BY conv_id, turn_idx, s1, e1, s2, e2),
+inv0 AS (SELECT conv_id, turn_idx, s2 AS s1, e2 AS e1, s1 AS s2, e1 AS e2,
+                CASE WHEN is_sym THEN lab_id
+                     ELSE lab_id + {NUM_REL} - {NUM_SYM} END AS lab_id
+         FROM g),
+invd AS (SELECT conv_id, turn_idx, s1, e1, s2, e2, max(lab_id) AS lab_id
+         FROM inv0 GROUP BY conv_id, turn_idx, s1, e1, s2, e2),
+inv AS (SELECT i.* FROM invd i
+        LEFT JOIN fwd f USING (conv_id, turn_idx, s1, e1, s2, e2)
+        WHERE f.lab_id IS NULL)
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, s1::BIGINT AS s1,
+       e1::BIGINT AS e1, s2::BIGINT AS s2, e2::BIGINT AS e2,
+       lab_id::BIGINT AS lab_id, 'fwd' AS src FROM fwd
+UNION ALL
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, s1::BIGINT AS s1,
+       e1::BIGINT AS e1, s2::BIGINT AS s2, e2::BIGINT AS e2,
+       lab_id::BIGINT AS lab_id, 'inv' AS src FROM inv
+"""}
+    return _CACHE["o8"]

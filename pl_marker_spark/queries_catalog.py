@@ -1178,8 +1178,64 @@ def q_kg_two_stage_mentions(spark, sf_dir):
     )
 
 
+def q_o8_inverse_gold(spark, sf_dir):
+    """O8 inverse-label gold augmentation (run_re.py:265-281), the
+    training-side pair-label table: every gold relation contributes its
+    forward ordered pair with its label id, plus the REVERSED pair with
+    the same id when the label is symmetric (the reference's annotated
+    `# bug` branch) or id + NUM_REL - NUM_SYM when not — unless the
+    reversed key already exists as a forward gold pair (`if w not in
+    pos2label`). Fully relational: a map-literal label lookup, two
+    projections, one grouped max (duplicate ordered keys — absent in this
+    corpus — resolve by max(lab_id), mirrored in the twin) and a
+    left-anti join on the forward keys. The DuckDB twin re-derives the
+    rule from the gold VALUES independently."""
+    from . import synth
+    from .oracle_values import N_KG_CONVS
+
+    return inverse_gold_augment(synth.gold_relations_df(spark, N_KG_CONVS))
+
+
+def inverse_gold_augment(g: DataFrame) -> DataFrame:
+    """The O8 rule over a gold-relations DataFrame (conv_id, turn_idx,
+    s1, e1, s2, e2, label) — see q_o8_inverse_gold for semantics."""
+    from itertools import chain
+
+    from .world import NUM_REL, NUM_SYM, REL_LABELS, SYM_LABELS
+
+    lab_map = F.create_map(*[
+        F.lit(x) for x in chain.from_iterable(
+            (l, i) for i, l in enumerate(REL_LABELS))
+    ])
+    sym = F.col("label").isin(*SYM_LABELS[1:])
+    base = g.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("s1").cast("long").alias("s1"), F.col("e1").cast("long").alias("e1"),
+        F.col("s2").cast("long").alias("s2"), F.col("e2").cast("long").alias("e2"),
+        lab_map[F.col("label")].cast("long").alias("lab_id"),
+        sym.alias("is_sym"),
+    )
+    key = ["conv_id", "turn_idx", "s1", "e1", "s2", "e2"]
+    fwd = base.groupBy(key).agg(F.max("lab_id").alias("lab_id"))
+    inv0 = base.select(
+        "conv_id", "turn_idx",
+        F.col("s2").alias("s1"), F.col("e2").alias("e1"),
+        F.col("s1").alias("s2"), F.col("e1").alias("e2"),
+        F.when(F.col("is_sym"), F.col("lab_id"))
+        .otherwise(F.col("lab_id") + NUM_REL - NUM_SYM).alias("lab_id"),
+    )
+    invd = inv0.groupBy(key).agg(F.max("lab_id").alias("lab_id"))
+    inv = invd.join(fwd.select(key), key, "left_anti")
+    return fwd.withColumn("src", F.lit("fwd")).unionByName(
+        inv.withColumn("src", F.lit("inv")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from .queries_dataops import DATAOPS_QUERIES
+
     return {
+        **DATAOPS_QUERIES,
+        "o8_inverse_gold": q_o8_inverse_gold,
         "c1_span_enum": q_c1_span_enum,
         "k1_pack_groups": q_k1_pack_groups,
         "p4_prefix_sum": q_p4_prefix_sum,
@@ -1225,7 +1281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .queries_dataops import DATAOPS_SQLS
+
     return {
+        **DATAOPS_SQLS,
         "c1_span_enum": SQL_C1,
         "k1_pack_groups": SQL_K1,
         "p4_prefix_sum": SQL_P4,
@@ -1261,8 +1320,10 @@ def _kg_sqls() -> dict[str, str]:
         coref_oracle_sqls,
         kg_oracle_sqls,
         multimodal_oracle_sqls,
+        o8_oracle_sqls,
         variant_oracle_sqls,
     )
 
     return {**kg_oracle_sqls(), **variant_oracle_sqls(),
-            **multimodal_oracle_sqls(), **coref_oracle_sqls()}
+            **multimodal_oracle_sqls(), **coref_oracle_sqls(),
+            **o8_oracle_sqls()}

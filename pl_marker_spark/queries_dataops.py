@@ -1,0 +1,485 @@
+"""Training-data pipeline operators, round-4 extension set: the published
+corpus-curation rules a 100-TB pretraining pipeline runs alongside dedup —
+Gopher repetition fractions, C4 line filters + corpus-level line dedup,
+PII scrubbing, benchmark decontamination, and deterministic stratified
+sampling. Every operator is a driver-gated catalog entry with a DuckDB
+twin over the same parquet tables.
+
+Scale conventions shared with queries_catalog.py:
+- n-gram shuffles carry xxhash64 ids (+ the few numeric columns the op
+  needs), never the gram strings; the DuckDB twins join on the *literal*
+  grams, so each gate also validates the hashed shortcut end-to-end.
+- cross-engine determinism: doubles rounded to 6dp, ties broken on
+  numeric columns only (never engine-dependent string order), md5 (which
+  both engines implement identically over UTF-8) for samplers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _doc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------- Gopher repetition rules (Rae et al. 2021, §A1.1 table A1) ------
+
+_TOP_NS = (2, 3, 4)           # "fraction of characters in the most common n-gram"
+_DUP_NS = (5, 6, 7)           # "fraction of characters in duplicate n-grams"
+_TOP_THRESH = {2: 0.20, 3: 0.18, 4: 0.16}   # the paper's published bounds
+_DUP_THRESH = {5: 0.15, 6: 0.14, 7: 0.13}
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher's n-gram repetition filters (Rae et al. 2021 §A1.1): for
+    n∈{2,3,4} the fraction of characters covered by the single most
+    frequent n-gram, for n∈{5,6,7} the fraction of characters in n-grams
+    occurring more than once (all occurrences counted, the common public
+    reading of the rule), each against the paper's thresholds, plus the
+    conjunctive keep flag.
+
+    Plan shape: ONE explode produces (doc_id, n, gram-hash, gram-chars)
+    for all six n simultaneously (JVM transform/sequence/slice — no
+    Python), the count groupBy shuffles (doc_id, n, hash) ids only, and
+    the per-(doc,n) reduction + final pivot are map-side-combinable aggs.
+    The most-frequent tie is broken on (count, char-length) — a numeric,
+    engine-independent rule; tied (c, l) pairs yield the same fraction
+    regardless of which gram wins. The DuckDB twin re-derives everything
+    from the literal gram strings, validating the hash shortcut."""
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("nc"), F.split("text", " ").alias("ws")
+    )
+    all_ns = sorted(_TOP_NS + _DUP_NS)
+    grams = (
+        d.select("doc_id", "nc", "ws",
+                 F.explode(F.array(*[F.lit(n) for n in all_ns])).alias("n"))
+        .filter(F.size("ws") >= F.col("n"))
+        .select(
+            "doc_id", "nc", "n",
+            F.explode(F.expr(
+                "transform(sequence(0, size(ws)-n), i -> struct("
+                " xxhash64(array_join(slice(ws, i+1, n), ' ')) AS gh,"
+                " length(array_join(slice(ws, i+1, n), ' ')) AS gl))"
+            )).alias("g"),
+        )
+        .select("doc_id", "nc", "n", F.col("g.gh").alias("gh"),
+                F.col("g.gl").alias("gl"))
+    )
+    counts = grams.groupBy("doc_id", "nc", "n", "gh", "gl").agg(
+        F.count("*").alias("c")
+    )
+    per_n = counts.groupBy("doc_id", "nc", "n").agg(
+        F.max(F.struct("c", "gl")).alias("top"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("gl"))).alias("dup_chars"),
+    ).select(
+        "doc_id", "n",
+        F.round(F.col("top.c") * F.col("top.gl") / F.col("nc"), 6).alias("topf"),
+        F.round(F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("nc"), 6).alias("dupf"),
+    )
+    agg = [
+        F.coalesce(F.max(F.when(F.col("n") == n, F.col("topf"))), F.lit(0.0))
+        .alias(f"top_ngram_frac_{n}") for n in _TOP_NS
+    ] + [
+        F.coalesce(F.max(F.when(F.col("n") == n, F.col("dupf"))), F.lit(0.0))
+        .alias(f"dup_ngram_frac_{n}") for n in _DUP_NS
+    ]
+    wide = per_n.groupBy("doc_id").agg(*agg)
+    keep = None
+    for n in _TOP_NS:
+        r = F.col(f"top_ngram_frac_{n}") <= _TOP_THRESH[n]
+        keep = r if keep is None else (keep & r)
+    for n in _DUP_NS:
+        keep = keep & (F.col(f"dup_ngram_frac_{n}") <= _DUP_THRESH[n])
+    return wide.select("doc_id", *[f"top_ngram_frac_{n}" for n in _TOP_NS],
+                       *[f"dup_ngram_frac_{n}" for n in _DUP_NS],
+                       keep.cast("long").alias("keep"))
+
+
+SQL_GOPHER_REPETITION = """
+WITH d AS (SELECT doc_id, length(text) AS nc, string_split(text,' ') AS ws
+           FROM documents),
+ns AS (SELECT UNNEST([2,3,4,5,6,7]) AS n),
+g AS (SELECT doc_id, nc, n, array_to_string(ws[i:i+n-1], ' ') AS gram
+      FROM (SELECT d.doc_id, d.nc, ns.n, d.ws,
+                   UNNEST(range(1, len(d.ws) - ns.n + 2)) AS i
+            FROM d CROSS JOIN ns WHERE len(d.ws) >= ns.n) x),
+c AS (SELECT doc_id, nc, n, gram, length(gram) AS gl, count(*) AS c
+      FROM g GROUP BY doc_id, nc, n, gram),
+r AS (SELECT doc_id, nc, n, c, gl,
+             row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY c DESC, gl DESC) AS rk
+      FROM c),
+topf AS (SELECT doc_id, n, round(c * gl / nc, 6) AS topf FROM r WHERE rk = 1),
+dupf AS (SELECT doc_id, n,
+                round(coalesce(sum(CASE WHEN c >= 2 THEN c * gl END), 0) / any_value(nc), 6) AS dupf
+         FROM c GROUP BY doc_id, n),
+p AS (SELECT t.doc_id, t.n, t.topf, d2.dupf
+      FROM topf t JOIN dupf d2 ON t.doc_id = d2.doc_id AND t.n = d2.n),
+w AS (SELECT doc_id,
+        coalesce(max(CASE WHEN n=2 THEN topf END), 0.0) AS top_ngram_frac_2,
+        coalesce(max(CASE WHEN n=3 THEN topf END), 0.0) AS top_ngram_frac_3,
+        coalesce(max(CASE WHEN n=4 THEN topf END), 0.0) AS top_ngram_frac_4,
+        coalesce(max(CASE WHEN n=5 THEN dupf END), 0.0) AS dup_ngram_frac_5,
+        coalesce(max(CASE WHEN n=6 THEN dupf END), 0.0) AS dup_ngram_frac_6,
+        coalesce(max(CASE WHEN n=7 THEN dupf END), 0.0) AS dup_ngram_frac_7
+      FROM p GROUP BY doc_id)
+SELECT doc_id, top_ngram_frac_2, top_ngram_frac_3, top_ngram_frac_4,
+       dup_ngram_frac_5, dup_ngram_frac_6, dup_ngram_frac_7,
+       (CASE WHEN top_ngram_frac_2 <= 0.20 AND top_ngram_frac_3 <= 0.18
+              AND top_ngram_frac_4 <= 0.16 AND dup_ngram_frac_5 <= 0.15
+              AND dup_ngram_frac_6 <= 0.14 AND dup_ngram_frac_7 <= 0.13
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM w
+"""
+
+
+# ---------- C4 line-level filters (Raffel et al. 2020, §2.2) ---------------
+#
+# The corpus text is single-line word soup, so "lines" are defined as
+# aligned 12-word chunks and the C4 boilerplate markers are PLANTED
+# deterministically (the _planted_embeddings precedent): doc_id%7==0 gets
+# a trailing "javascript must be enabled" line, doc_id%11==0 "lorem ipsum
+# dolor", doc_id%13==0 a "{" token. Both engines derive the identical
+# augmented text, so the gate checks the filter logic, not the planting.
+
+_C4_LINE_WORDS = 12
+
+
+def _c4_text_expr_spark():
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(t, F.lit(" javascript must be enabled"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 11 == 0,
+               F.concat(t, F.lit(" lorem ipsum dolor"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 13 == 0,
+               F.concat(t, F.lit(" open { close"))).otherwise(t)
+    return t
+
+
+_C4_TEXT_SQL = """
+  (text
+   || CASE WHEN doc_id % 7  = 0 THEN ' javascript must be enabled' ELSE '' END
+   || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum dolor' ELSE '' END
+   || CASE WHEN doc_id % 13 = 0 THEN ' open { close' ELSE '' END)
+"""
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4's cleaning rules (Raffel et al. 2020 §2.2) re-expressed over the
+    chunked corpus: lines (12-word aligned chunks) are dropped when under
+    5 words or containing the word "javascript"; whole documents are
+    dropped on "lorem ipsum", a curly brace, or fewer than 3 surviving
+    lines. Emits per-rule columns + the conjunctive keep so removals are
+    attributable per rule (same discipline as gopher_rules). All line
+    logic is JVM transform/filter inside the row — zero shuffle beyond
+    the scan."""
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", _c4_text_expr_spark().alias("t2")
+    ).select(
+        "doc_id", "t2", F.split("t2", " ").alias("ws")
+    )
+    lw = _C4_LINE_WORDS
+    lines = F.expr(
+        f"transform(sequence(0, cast(ceil(size(ws)/{lw}.0) as int) - 1),"
+        f" i -> array_join(slice(ws, i*{lw}+1, {lw}), ' '))"
+    )
+    kept = F.filter(
+        lines,
+        lambda ln: (F.size(F.split(ln, " ")) >= 5)
+        & ~ln.contains("javascript"),
+    )
+    out = d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        (~F.col("t2").contains("lorem ipsum")).cast("long").alias("r_lorem"),
+        (~F.col("t2").contains("{")).cast("long").alias("r_brace"),
+    ).withColumn(
+        "r_minlines", (F.col("kept_lines") >= 3).cast("long")
+    )
+    return out.select(
+        "doc_id", "n_lines", "kept_lines", "r_lorem", "r_brace", "r_minlines",
+        ((F.col("r_lorem") == 1) & (F.col("r_brace") == 1)
+         & (F.col("r_minlines") == 1)).cast("long").alias("keep"),
+    )
+
+
+SQL_C4_FILTERS = f"""
+WITH d AS (SELECT doc_id, {_C4_TEXT_SQL} AS t2 FROM documents),
+w AS (SELECT doc_id, t2, string_split(t2, ' ') AS ws FROM d),
+l AS (SELECT doc_id, t2, len(ws) AS nw,
+             cast(ceil(len(ws) / {_C4_LINE_WORDS}.0) AS BIGINT) AS n_lines,
+             list_transform(range(cast(ceil(len(ws) / {_C4_LINE_WORDS}.0) AS BIGINT)),
+                 i -> array_to_string(ws[i*{_C4_LINE_WORDS}+1 : (i+1)*{_C4_LINE_WORDS}], ' ')) AS lines
+      FROM w),
+k AS (SELECT doc_id, t2, n_lines,
+             len(list_filter(lines,
+                 ln -> len(string_split(ln, ' ')) >= 5
+                       AND NOT contains(ln, 'javascript'))) AS kept_lines
+      FROM l)
+SELECT doc_id, n_lines, kept_lines::BIGINT AS kept_lines,
+       (CASE WHEN NOT contains(t2, 'lorem ipsum') THEN 1 ELSE 0 END)::BIGINT AS r_lorem,
+       (CASE WHEN NOT contains(t2, '{{') THEN 1 ELSE 0 END)::BIGINT AS r_brace,
+       (CASE WHEN kept_lines >= 3 THEN 1 ELSE 0 END)::BIGINT AS r_minlines,
+       (CASE WHEN NOT contains(t2, 'lorem ipsum') AND NOT contains(t2, '{{')
+              AND kept_lines >= 3 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM k
+"""
+
+
+# ---------- C4 corpus-level line dedup -------------------------------------
+
+_DEDUP_LINE_WORDS = 5
+
+
+def q_c4_line_dedup(spark, sf_dir):
+    """C4's corpus-level occurrence dedup ("any three-sentence span seen
+    more than once is removed, keeping one") over aligned 5-word lines:
+    the globally-first occurrence of each distinct line survives, ranked
+    by (doc_id, line_idx). Emits per-document surviving/removed counts.
+
+    Scale shape: the only shuffle is the rank window over
+    (line-hash → doc_id, line_idx) — ids + two ints, never line text; at
+    100 TB this is the canonical "first-writer-wins" dedup partitioned by
+    content hash. The DuckDB twin ranks the literal line strings."""
+    lw = _DEDUP_LINE_WORDS
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    lines = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, cast(ceil(size(ws)/{lw}.0) as int) - 1),"
+            f" i -> xxhash64(array_join(slice(ws, i*{lw}+1, {lw}), ' ')))"
+        )).alias("li", "lh"),
+    )
+    w = Window.partitionBy("lh").orderBy("doc_id", "li")
+    ranked = lines.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((F.col("rk") > 1).cast("long")).cast("long").alias("n_removed"),
+        F.round(F.sum((F.col("rk") > 1).cast("long")) / F.count("*"), 6)
+        .alias("removed_frac"),
+    )
+
+
+SQL_C4_LINE_DEDUP = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+l AS (SELECT doc_id, i AS li,
+             array_to_string(ws[i*{_DEDUP_LINE_WORDS}+1 : (i+1)*{_DEDUP_LINE_WORDS}], ' ') AS line
+      FROM (SELECT doc_id, ws,
+                   UNNEST(range(cast(ceil(len(ws) / {_DEDUP_LINE_WORDS}.0) AS BIGINT))) AS i
+            FROM d) x),
+r AS (SELECT doc_id, li,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, li) AS rk
+      FROM l)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       round(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) / count(*), 6) AS removed_frac
+FROM r GROUP BY doc_id
+"""
+
+
+# ---------- PII scrubbing --------------------------------------------------
+#
+# The corpus has no real PII, so deterministic contacts are PLANTED from
+# doc_id (identically in both engines) and the gate checks the scrubber:
+# regex detection counts + the scrubbed text's md5. Patterns are written
+# in the common Java-regex/RE2 subset so both engines compile them
+# identically.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing as a 100-TB pipeline runs it: detect + count + replace
+    emails / phone numbers / IPv4 addresses with typed placeholders in one
+    JVM-side pass (regexp_count + chained regexp_replace — no Python, no
+    shuffle). Deterministic planted contacts give every rule real
+    positives; docs with doc_id%3==0 carry a second email so counts vary.
+    The scrubbed text itself is compared via md5 (identical hex on both
+    engines), so the gate verifies the full replacement output, not just
+    the counts."""
+    d = _doc(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" cc admin"), F.col("doc_id").cast("string"),
+                        F.lit("@corp.example.org"))).otherwise(F.lit("")),
+        F.lit(" tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    t = d.select("doc_id", pii.alias("pt"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pt"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE), F.lit("<PHONE>")),
+        F.lit(_PII_IP), F.lit("<IP>"))
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("pt"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("pt"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("pt"), F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.length(scrubbed).cast("long").alias("clean_len"),
+        F.md5(scrubbed.cast("binary")).alias("clean_md5"),
+    )
+
+
+_PII_TEXT_SQL = """
+  (text || ' contact user' || doc_id::VARCHAR || '@example.com'
+   || CASE WHEN doc_id % 3 = 0
+           THEN ' cc admin' || doc_id::VARCHAR || '@corp.example.org'
+           ELSE '' END
+   || ' tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+   || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR)
+"""
+
+SQL_PII_SCRUB = f"""
+WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS pt FROM documents),
+s AS (SELECT doc_id, pt,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(pt, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '\\+1-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'),
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+               '<IP>', 'g') AS clean
+      FROM t)
+SELECT doc_id,
+       len(regexp_extract_all(pt, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(pt, '\\+1-[0-9]{{3}}-[0-9]{{4}}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(pt,
+           '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))::BIGINT AS n_ips,
+       length(clean)::BIGINT AS clean_len,
+       md5(clean) AS clean_md5
+FROM s
+"""
+
+
+# ---------- benchmark decontamination --------------------------------------
+
+_DECONTAM_N = 8
+_BENCH_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark set (~2%)
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/PaLM eval-overlap rule): flag
+    every training document sharing at least one exact 8-gram with the
+    held-out benchmark set (here the deterministic doc_id%50==0 slice).
+    Emits (doc_id, n_hits, contaminated) for every non-benchmark doc,
+    zero-hit rows included.
+
+    Scale shape: benchmark sets are tiny next to the corpus, so the
+    benchmark's distinct gram hashes are BROADCAST and the corpus side
+    streams map-side — no corpus-wide shuffle at all (the per-doc hit
+    count is a partial agg over the scan). Grams travel as xxhash64 ids;
+    the DuckDB twin joins literal grams, validating the shortcut."""
+    n = _DECONTAM_N
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    gram_expr = F.expr(
+        f"transform(sequence(0, size(ws)-{n}),"
+        f" i -> xxhash64(array_join(slice(ws, i+1, {n}), ' ')))"
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench_gh = (
+        d.filter(is_bench & (F.size("ws") >= n))
+        .select(F.explode(gram_expr).alias("gh")).distinct()
+    )
+    corp = d.filter(~is_bench)
+    corp_grams = corp.filter(F.size("ws") >= n).select(
+        "doc_id", F.explode(gram_expr).alias("gh")
+    )
+    hits = (
+        corp_grams.join(F.broadcast(bench_gh), "gh")
+        .groupBy("doc_id").agg(F.count("*").alias("h"))
+    )
+    return (
+        corp.select("doc_id").join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("h"), F.lit(0)) > 0).cast("long").alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAM = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+{_DECONTAM_N - 1}], ' ') AS gram
+      FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws) - {_DECONTAM_N} + 2)) AS i
+            FROM d WHERE len(ws) >= {_DECONTAM_N}) x),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+c AS (SELECT doc_id, gram FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+h AS (SELECT c.doc_id, count(*) AS h FROM c JOIN b USING (gram) GROUP BY c.doc_id)
+SELECT d.doc_id, coalesce(h.h, 0)::BIGINT AS n_hits,
+       (CASE WHEN coalesce(h.h, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+FROM (SELECT doc_id FROM d WHERE doc_id % {_BENCH_MOD} <> 0) d
+LEFT JOIN h USING (doc_id)
+"""
+
+
+# ---------- deterministic stratified sampling ------------------------------
+
+# per-language target rates as 4-hex-digit md5-prefix thresholds
+# (rate = threshold / 0x10000): en is downsampled to 1/16, everything
+# else kept at 1/4 — the "rebalance the dominant language" mixture step.
+_STRATA_THRESH = {"en": "1000"}
+_STRATA_DEFAULT = "4000"
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for corpus mixing: each language
+    stratum keeps a fixed fraction of documents, decided by comparing the
+    first 4 hex digits of md5(doc_id) against the stratum's threshold —
+    no RNG, no sort, reproducible on any cluster layout and stable under
+    re-partitioning (the property Bernoulli samplers lose the moment the
+    partitioning changes). Pure per-row JVM expressions; at 100 TB this
+    is a scan with a filter, nothing else. Both engines compute the same
+    md5 hex over the same UTF-8 string, so the twin is exact."""
+    d = _doc(spark, sf_dir, "documents")
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4)
+    thresh = F.when(
+        F.col("lang") == "en", F.lit(_STRATA_THRESH["en"])
+    ).otherwise(F.lit(_STRATA_DEFAULT))
+    return (
+        d.select("doc_id", "lang", h4.alias("h4"), thresh.alias("thresh"))
+        .filter(F.col("h4") < F.col("thresh"))
+        .select("doc_id", "lang", "h4")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 4) AS h4
+FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+      CASE WHEN lang = 'en' THEN '{_STRATA_THRESH["en"]}' ELSE '{_STRATA_DEFAULT}' END
+"""
+
+
+DATAOPS_QUERIES = {
+    "gopher_repetition": q_gopher_repetition,
+    "c4_filters": q_c4_filters,
+    "c4_line_dedup": q_c4_line_dedup,
+    "pii_scrub": q_pii_scrub,
+    "decontam": q_decontam,
+    "stratified_sample": q_stratified_sample,
+}
+
+DATAOPS_SQLS = {
+    "gopher_repetition": SQL_GOPHER_REPETITION,
+    "c4_filters": SQL_C4_FILTERS,
+    "c4_line_dedup": SQL_C4_LINE_DEDUP,
+    "pii_scrub": SQL_PII_SCRUB,
+    "decontam": SQL_DECONTAM,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+}
