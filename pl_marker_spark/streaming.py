@@ -178,6 +178,84 @@ def stream_extract_stateful(
     )
 
 
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession, in_dir: str, out_dir: str,
+    window: str = "1 minute", within: str = "2 minutes",
+):
+    """Event-time tumbling-window aggregation with late-data handling —
+    the canonical watermark + windowed-agg pattern over the events feed:
+    per (window, user) counts and value sums, where rows arriving late
+    but within the watermark horizon still land in their event-time
+    window, and rows later than the horizon are dropped by the engine.
+    Append mode emits each window exactly once, when the watermark passes
+    its end — the contract downstream sinks want (no in-place updates).
+    State is bounded by ``within`` regardless of stream length; at
+    production rates this is the engine-managed replacement for the batch
+    groupBy over event-time buckets."""
+    ev = read_event_stream(spark, in_dir)
+    agg = (
+        ev.withWatermark("ts", within)
+        .groupBy(F.window("ts", window), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("window.start").alias("win_start"), "user_id",
+                "n_events", "sum_value")
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", f"{out_dir}/windows")
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession, in_dir: str, out_dir: str,
+    gap: str = "30 minutes", within: str = "2 minutes",
+):
+    """Streaming twin of the batch ``sessionize`` driver query: gap-based
+    session windows per user via ``session_window`` — the engine merges
+    events closer than ``gap`` into one growing window and finalizes a
+    session once the watermark passes its end (last event + gap). Same
+    inactivity semantics as the batch lag/cumsum form; the streaming test
+    asserts the outputs agree on identical input. Session state is keyed
+    by (user, open session) and evicted at finalization, so memory tracks
+    the number of *open* sessions, not stream history."""
+    ev = read_event_stream(spark, in_dir)
+    agg = (
+        ev.withWatermark("ts", within)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.min("event_id").cast("long").alias("first_event"))
+        .select(F.col("session_window.start").alias("sess_start"), "user_id",
+                "n_events", "first_event")
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", f"{out_dir}/sessions")
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup_exact(
     spark: SparkSession, in_dir: str, out_dir: str, within: str = "1 hour",
 ):

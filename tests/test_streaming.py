@@ -161,3 +161,81 @@ def test_stream_dedup_exact(spark, tmp_path_factory):
     q.awaitTermination(300)
     out = spark.read.parquet(f"{outdir}/docs").collect()
     assert sorted(r.text for r in out) == sorted(f"text {i}" for i in range(6))
+
+
+def _write_event_files(indir, files):
+    """files: list of (name, mtime, rows); rows = (event_id, ts_s, user_id,
+    value). Modification times order the file-source micro-batches."""
+    os.makedirs(indir, exist_ok=True)
+    for name, mtime, rows in files:
+        pdf = pd.DataFrame(
+            [(e, pd.Timestamp(t, unit="s"), u, "click", v, None)
+             for e, t, u, v in rows],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        )
+        p = f"{indir}/{name}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(p, (mtime, mtime))
+
+
+# Four micro-batches (ordered by mtime): the base events; a
+# late-but-within-watermark row plus a far-future sentinel that advances
+# the watermark past every real window; a second sentinel batch (the
+# pre-aggregation late filter uses the START-of-batch watermark, one
+# batch behind the end-of-batch value that drives eviction — measured on
+# this engine build); then a too-late row the filter must drop.
+# 1-minute windows / 30-minute session gap / 2-minute watermark.
+_EVENT_FILES = [
+    ("f1", 1000, [(1, 0, 1, 1.0), (2, 10, 1, 2.0), (3, 20, 1, 3.0),
+                  (4, 5, 2, 4.0)]),
+    ("f2", 2000, [(5, 15, 1, 5.0),            # late, within watermark
+                  (99, 10000, 99, 0.0)]),     # sentinel: watermark -> 9880
+    ("f3", 3000, [(96, 10001, 99, 0.0)]),     # makes 9880 the filter watermark
+    ("f4", 4000, [(6, 30, 2, 6.0)]),          # too late: 30 << 9880
+]
+
+
+def test_stream_windowed_counts_watermark(spark, tmp_path_factory):
+    """The watermark+window contract: the in-horizon late row lands in its
+    event-time window, the finalized window emits exactly once, the
+    too-late row is dropped, and the never-finalized sentinel window does
+    not emit."""
+    from pl_marker_spark.streaming import stream_windowed_counts
+
+    indir = str(tmp_path_factory.mktemp("wstream_in"))
+    outdir = str(tmp_path_factory.mktemp("wstream_out"))
+    _write_event_files(indir, _EVENT_FILES)
+    q = stream_windowed_counts(spark, indir, outdir)
+    q.awaitTermination(300)
+    got = {
+        (r.win_start.timestamp(), r.user_id, r.n_events, r.sum_value)
+        for r in spark.read.parquet(f"{outdir}/windows").collect()
+    }
+    assert got == {
+        (0.0, 1, 4, 11.0),   # includes the late event_id=5 (t=15)
+        (0.0, 2, 1, 4.0),    # event_id=6 (t=30) was dropped as too late
+    }
+
+
+def test_stream_sessionize_matches_batch_gap_rule(spark, tmp_path_factory):
+    """Streaming session_window equals the batch lag/cumsum sessionization
+    on the surviving rows (sentinel's open session never finalizes)."""
+    from pl_marker_spark.streaming import stream_sessionize
+
+    indir = str(tmp_path_factory.mktemp("sessstream_in"))
+    outdir = str(tmp_path_factory.mktemp("sessstream_out"))
+    _write_event_files(indir, _EVENT_FILES)
+    q = stream_sessionize(spark, indir, outdir)
+    q.awaitTermination(300)
+    got = {
+        (r.sess_start.timestamp(), r.user_id, r.n_events, r.first_event)
+        for r in spark.read.parquet(f"{outdir}/sessions").collect()
+    }
+    # batch rule on the rows the stream kept (watermark dropped event 6,
+    # sentinel session still open): one 30-min-gap session per user
+    assert got == {
+        (0.0, 1, 4, 1),
+        (5.0, 2, 1, 4),
+    }
