@@ -466,6 +466,155 @@ WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
 """
 
 
+# ---------- lexical retrieval: BM25 top-k + tf-idf distinctive terms -------
+
+# Okapi BM25 with the Lucene idf variant ln(1 + (N-df+0.5)/(df+0.5)),
+# k1=1.2, b=0.75 (Robertson et al.; the default every search engine ships).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERIES = [
+    (0, ("spark", "window", "merge")),
+    (1, ("join", "filter", "scan")),
+    (2, ("stream", "batch", "hash")),
+]
+_BM25_TOPK = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-k retrieval over the documents corpus — the keyword
+    twin of `ann_cosine_topk`. Scale shape: document lengths and avgdl come
+    from a JVM-side ``size(split(...))`` with NO explode (a scan, then a
+    1-row aggregate that broadcasts); the token stream is semi-joined
+    against the broadcast query-term table BEFORE any aggregation, so the
+    only shuffle carries (q_id, term, doc_id) for MATCHING tokens — at
+    100 TB that is |queries|·|postings|, not the corpus. df per query term
+    falls out of the tf table (vocabulary-sized after map-side partial
+    agg) and broadcasts back. Ranking uses the 6dp-rounded score with a
+    doc_id tie-break so both engines order identically."""
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws"))
+    dls = d.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    stats = dls.agg(
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        F.count("*").cast("double").alias("n_docs"))
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in _BM25_QUERIES for t in ts],
+        "q_id int, term string")
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("q_id", "term", "doc_id")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("q_id", "term").agg(
+        F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tfn = (F.col("tf") * (_BM25_K1 + 1)
+           / (F.col("tf") + _BM25_K1
+              * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))))
+    scored = (
+        tf.join(F.broadcast(df_), ["q_id", "term"])
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum(idf * tfn), 6).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select(F.col("q_id").cast("long").alias("q_id"), "doc_id",
+                "score", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_BM25_QT_VALUES = ", ".join(
+    f"({q}, '{t}')" for q, ts in _BM25_QUERIES for t in ts)
+
+SQL_BM25_TOPK = f"""
+WITH qt(q_id, term) AS (VALUES {_BM25_QT_VALUES}),
+d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM d),
+st AS (SELECT sum(dl) / count(*) AS avgdl, count(*)::DOUBLE AS n_docs
+       FROM dl),
+tf AS (SELECT q_id, term, doc_id, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(ws) AS term FROM d) tok
+       JOIN qt USING (term) GROUP BY 1, 2, 3),
+df AS (SELECT q_id, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+sc AS (SELECT q_id, doc_id,
+              round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * ({_BM25_K1} + 1)
+                        / (tf + {_BM25_K1} * (1 - {_BM25_B}
+                           + {_BM25_B} * dl / avgdl))), 6) AS score
+       FROM tf JOIN df USING (q_id, term) JOIN dl USING (doc_id), st
+       GROUP BY 1, 2),
+r AS (SELECT q_id::BIGINT AS q_id, doc_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, doc_id)::BIGINT AS rk
+      FROM sc)
+SELECT q_id, doc_id, score, rk FROM r WHERE rk <= {_BM25_TOPK}
+"""
+
+
+_TFIDF_TOPK = 3
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Top-k distinctive terms per document by tf-idf — the "what is this
+    document about" fingerprint a curation pipeline uses for topic
+    bucketing. Corpus-wide df is inherent here (unlike BM25 there is no
+    query set to pre-filter on), so the plan embraces exactly one wide
+    shuffle: the (doc_id, term) tf aggregation, with map-side partial agg.
+    The df table collapses to vocabulary size and joins back as a
+    broadcast; doc length is a JVM ``size()`` with no explode. Per-doc
+    ranking is on the 6dp-rounded score with the (pure-ASCII) term as
+    tie-break — identical in both engines' binary collation."""
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws"))
+    dls = d.select("doc_id", F.size("ws").cast("double").alias("dl"))
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    sc = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term",
+                F.round(F.col("tf") / F.col("dl")
+                        * F.log(F.col("n_docs") / F.col("df")), 6)
+                .alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "tfidf",
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SQL_TFIDF_TERMS = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+dl AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM d),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(ws) AS term FROM d) tok GROUP BY 1, 2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (SELECT doc_id, term, round(tf / dl * ln(n_docs / df), 6) AS tfidf
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n),
+r AS (SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term)::BIGINT AS rk
+      FROM sc)
+SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= {_TFIDF_TOPK}
+"""
+
+
 DATAOPS_QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "c4_filters": q_c4_filters,
@@ -473,6 +622,8 @@ DATAOPS_QUERIES = {
     "pii_scrub": q_pii_scrub,
     "decontam": q_decontam,
     "stratified_sample": q_stratified_sample,
+    "bm25_topk": q_bm25_topk,
+    "tfidf_terms": q_tfidf_terms,
 }
 
 DATAOPS_SQLS = {
@@ -482,4 +633,6 @@ DATAOPS_SQLS = {
     "pii_scrub": SQL_PII_SCRUB,
     "decontam": SQL_DECONTAM,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "bm25_topk": SQL_BM25_TOPK,
+    "tfidf_terms": SQL_TFIDF_TERMS,
 }
