@@ -156,6 +156,127 @@ FROM s GROUP BY user_id
 """
 
 
+def _epoch_us(col: str):
+    """tz-safe microsecond epoch: the session pins UTC but the driver's
+    session may not, so queries only ever emit *differences* of this."""
+    return F.unix_micros(F.col(col).cast("timestamp_ltz"))
+
+
+def q_asof_join(spark, sf_dir):
+    """Point-in-time (as-of) join — the operator Spark lacks natively:
+    attribute each purchase to the same user's latest prior-or-equal
+    click. Scale shape: NOT a range join (which plans as a per-key
+    cartesian) — both sides union into one stream, ONE shuffle on
+    user_id, one sort, and `last(..., ignorenulls)` over the running
+    window carries the most recent click forward; at 100 TB this is a
+    single sort-merge pass, the same plan an ASOF JOIN engine builds.
+    The DuckDB twin uses the engine's native ASOF LEFT JOIN, so the gate
+    checks the window re-derivation against an independent native
+    implementation. Equal-ts ties are impossible in this corpus (asserted
+    in tests at every sf); output is tz-invariant (ids + µs gap)."""
+    e = _doc(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    is_click = F.col("event_type") == "click"
+    us = _epoch_us("ts")
+    return (
+        e.withColumn("click_id",
+                     F.last(F.when(is_click, F.col("event_id")),
+                            ignorenulls=True).over(w))
+        .withColumn("click_us",
+                    F.last(F.when(is_click, us), ignorenulls=True).over(w))
+        .filter(~is_click)
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+                F.coalesce(us - F.col("click_us"), F.lit(-1))
+                .alias("gap_us"))
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_id, p.user_id,
+       coalesce(c.event_id, -1) AS click_id,
+       coalesce(date_diff('microsecond', c.ts, p.ts), -1) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (signup → click → purchase) per user:
+    each step must occur STRICTLY after the previous step's chosen event,
+    and each step greedily takes the earliest qualifying event (which is
+    the unique optimal choice for reach-maximization). Spark plan: one
+    shuffle — collect the user's (µs, event_id, type) structs, array_sort,
+    and fold the state machine with `F.aggregate`, entirely JVM-side; at
+    100 TB this is a single grouped pass with no joins. The DuckDB twin
+    derives the same semantics relationally (three dependent min-CTEs),
+    an independent formulation. Outputs are tz-invariant step gaps."""
+    e = _doc(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_FUNNEL_STEPS))
+    evs = (
+        e.select("user_id",
+                 F.struct(_epoch_us("ts").alias("us"),
+                          F.col("event_id").alias("eid"),
+                          F.col("event_type").alias("et")).alias("ev"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
+    )
+    zero = F.struct(
+        F.lit(0).alias("step"),
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+        F.lit(None).cast("long").alias("t3"))
+
+    def _step(acc, ev):
+        return (
+            F.when((acc.step == 0) & (ev.et == _FUNNEL_STEPS[0]),
+                   F.struct(F.lit(1).alias("step"), ev.us.alias("t1"),
+                            acc.t2.alias("t2"), acc.t3.alias("t3")))
+            .when((acc.step == 1) & (ev.et == _FUNNEL_STEPS[1])
+                  & (ev.us > acc.t1),
+                  F.struct(F.lit(2).alias("step"), acc.t1.alias("t1"),
+                           ev.us.alias("t2"), acc.t3.alias("t3")))
+            .when((acc.step == 2) & (ev.et == _FUNNEL_STEPS[2])
+                  & (ev.us > acc.t2),
+                  F.struct(F.lit(3).alias("step"), acc.t1.alias("t1"),
+                           acc.t2.alias("t2"), ev.us.alias("t3")))
+            .otherwise(acc)
+        )
+
+    st = F.aggregate("evs", zero, _step)
+    return evs.select(
+        "user_id", st.step.cast("long").alias("step"),
+        F.coalesce(st.t2 - st.t1, F.lit(-1)).alias("gap12_us"),
+        F.coalesce(st.t3 - st.t2, F.lit(-1)).alias("gap23_us"))
+
+
+SQL_FUNNEL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')),
+t1 AS (SELECT user_id, min(us) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id,
+       (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS step,
+       coalesce(t2 - t1, -1) AS gap12_us, coalesce(t3 - t2, -1) AS gap23_us
+FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+       LEFT JOIN t3 USING (user_id)
+"""
+
+
 def q_p8_bio_spans(spark, sf_dir):
     """P8: BIO→span conversion expressed relationally (run_ner.py:193-219)
     — lag window marks run starts, running sum assigns run ids, groupBy
@@ -1244,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o12_chunk_f1": q_o12_chunk_f1,
         "o14_sorted_words": q_o14_sorted_words,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "funnel": q_funnel,
         "o11_micro_prf": q_o11_micro_prf,
         "o15_seed_stats": q_o15_seed_stats,
         "dedup_exact": q_dedup_exact,
@@ -1293,6 +1416,8 @@ def oracle_sql() -> dict[str, str]:
         "o12_chunk_f1": SQL_O12,
         "o14_sorted_words": SQL_O14,
         "sessionize": SQL_SESSIONIZE,
+        "asof_join": SQL_ASOF_JOIN,
+        "funnel": SQL_FUNNEL,
         "o11_micro_prf": SQL_O11,
         "o15_seed_stats": SQL_O15,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -38,6 +38,16 @@ def _canon(rows, cols):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def test_events_have_no_equal_timestamp_ties(ddb):
+    """q_asof_join's window form and DuckDB's native ASOF (ts >= ts) only
+    coincide when no user has two events at the same microsecond — assert
+    that precondition on the corpus the gate runs against."""
+    n = ddb.execute(
+        "SELECT count(*) FROM (SELECT user_id, ts FROM events "
+        "GROUP BY 1, 2 HAVING count(*) > 1)").fetchone()[0]
+    assert n == 0
+
+
 @pytest.mark.parametrize("name", sorted(queries_catalog.oracle_sql()))
 def test_query_matches_duckdb(spark, ddb, name):
     q = queries_catalog.queries()[name]
