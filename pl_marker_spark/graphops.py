@@ -1,0 +1,81 @@
+"""Distributed graph kernels over DataFrame edge lists.
+
+Complements the connected-components kernel (pipeline/cc.py): PageRank and
+triangle counting, both expressed as joins + map-side-combinable
+aggregations so they scale as a constant number of |E|-shuffles per pass.
+
+Semantics are pinned by tests against a pure-numpy reference
+(tests/test_analytics.py) and by the DuckDB chained-CTE twins in
+queries_analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, src: str = "src_id",
+               dst: str = "dst_id") -> DataFrame:
+    """Distinct undirected simple edges (a < b) from a directed multi-edge
+    list; self-loops dropped."""
+    return (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .distinct()
+    )
+
+
+def pagerank(nodes: DataFrame, und: DataFrame, iters: int = 5,
+             damp: float = 0.85) -> DataFrame:
+    """Fixed-iteration non-normalized PageRank over an undirected simple
+    graph: r'(v) = (1−d) + d·Σ_{(u,v)} r(u)/deg(u); isolated nodes settle
+    at (1−d).
+
+    `nodes`: one column ``node``; `und`: canonical pairs ``a < b``.
+    Plan: degrees attach to the adjacency ONCE before the loop; each
+    iteration is one src-keyed join plus one dst-keyed partial agg — a
+    single |E|-scale shuffle. At production scale, bucket the adjacency
+    by src so the per-iteration join reuses scan partitioning, and
+    checkpoint ranks every few iterations to cut lineage.
+    """
+    adj = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = adj.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    adj_deg = adj.join(deg, "src")
+    ranks = nodes.select("node", F.lit(1.0).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            adj_deg.join(ranks, adj_deg.src == ranks.node)
+            .groupBy("dst").agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.select("node")
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select("node",
+                    (F.lit(1 - damp)
+                     + F.lit(damp) * F.coalesce("c", F.lit(0.0))).alias("pr"))
+        )
+    return ranks
+
+
+def triangle_counts(edges: DataFrame, a: str = "doc_a",
+                    b: str = "doc_b") -> DataFrame:
+    """Per-node triangle participation counts over canonical (a < b)
+    undirected edges. Wedge join e1(a,b)⋈e2(b,c) + closing edge e3(a,c)
+    finds each triangle exactly once; per-node counts union the three
+    corners. At 100 TB, orient edges low→high *degree* instead of id to
+    bound the wedge fan-out at hub nodes (same plan, different order).
+    Returns (node, n_tri)."""
+    e1 = edges.select(F.col(a).alias("ta"), F.col(b).alias("tb"))
+    e2 = edges.select(F.col(a).alias("tb2"), F.col(b).alias("tc"))
+    e3 = edges.select(F.col(a).alias("ta3"), F.col(b).alias("tc3"))
+    tri = (
+        e1.join(e2, F.col("tb") == F.col("tb2"))
+        .join(e3, (F.col("ta") == F.col("ta3")) & (F.col("tc") == F.col("tc3")))
+        .select("ta", "tb", "tc")
+    )
+    corners = tri.select(F.col("ta").alias("node")).unionAll(
+        tri.select(F.col("tb").alias("node"))).unionAll(
+        tri.select(F.col("tc").alias("node")))
+    return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_tri"))

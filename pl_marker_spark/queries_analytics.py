@@ -1,0 +1,611 @@
+"""Analytics extension set (round 4, session 4): graph analytics over the
+extracted KG, deterministic cardinality/frequency sketches, OLAP rollup /
+exact-percentile / running-window operators, and a scale-safe binned range
+join. Every operator is a driver-gated catalog entry with a DuckDB twin.
+
+Families and their 100-TB shapes:
+- **Graph**: PageRank over the KG entity graph (per-iteration plan = one
+  src-keyed join + one dst-keyed partial agg; degrees attached once before
+  the loop), triangle counting and degree distribution over the near-dup
+  document graph (canonical id-ordered edges, two equi-self-joins — the
+  standard enumeration; at production scale orient edges low→high degree
+  to bound the join fan-out).
+- **Sketches**: HyperLogLog registers/estimate and a count-min sketch,
+  both built from md5 (identical hex on both engines) with *integer-only*
+  bucket/width math (`h % m`, `h DIV m`, bit-length via base-2 digit
+  count) so the register tables gate integer-exact; the estimates are the
+  only float outputs, rounded to 6dp. One pass + map-side-combinable
+  groupBy; sketch tables are O(m), not O(n).
+- **OLAP**: ROLLUP with GROUPING() flags, exact ("disc") group
+  percentiles via rank arithmetic, per-user running windows. All window
+  accumulations run in the same ORDER BY sequence on both engines, so
+  float results are bit-identical before rounding.
+- **Range join**: time-window join without an equi key, rewritten as a
+  1-minute-bin equi-join with ±1-bin explosion — the standard trick that
+  keeps Catalyst on a hash join instead of the per-key cartesian a raw
+  interval predicate plans (same discipline as the jaccard ±1 band).
+
+Cross-engine conventions follow queries_dataops.py: doubles rounded to
+6dp, null-free outputs (sentinels documented per query), ties broken on
+numeric columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _doc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Graph: PageRank over the extracted KG entity graph
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMP = 0.85
+
+
+def q_kg_entity_pagerank(spark, sf_dir):
+    """Entity salience: fixed-iteration PageRank over the KG entity graph
+    the pipeline extracts (the classic non-normalized formulation,
+    r'(v) = 0.15 + 0.85·Σ r(u)/deg(u) over the symmetrized simple graph;
+    isolated entities settle at 0.15). Plan shape per iteration: ranks
+    join the degree-annotated adjacency on src (one shuffle) and partial-
+    aggregate into dst (map-side combine), so an iteration costs exactly
+    one |E|-scale shuffle; degrees are attached ONCE before the loop. At
+    production scale the adjacency would be bucketed by src so the
+    per-iteration join reuses scan partitioning (the turns_tok pattern),
+    and ranks checkpointed every few iterations to cut lineage. The twin
+    re-derives the same 5 iterations as chained CTEs over the pinned
+    VALUES edge list (independently gated by kg_graph_edges)."""
+    from .graphops import pagerank, symmetrize
+    from .queries_catalog import _pipeline_outputs
+
+    out = _pipeline_outputs(spark, sf_dir)
+    nodes = out["nodes"].select(F.col("entity_id").alias("node"))
+    und = symmetrize(out["edges"])
+    ranks = pagerank(nodes, und, PAGERANK_ITERS, PAGERANK_DAMP)
+    return ranks.select(F.col("node").alias("entity_id"),
+                        F.round("pr", 6).alias("pr"))
+
+
+def sql_kg_entity_pagerank() -> str:
+    """Chained-CTE twin: r0..r5 unrolled (fixed iteration count needs no
+    recursion, and chained CTEs sidestep recursive-CTE aggregate limits)."""
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    steps = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        steps.append(f"""
+r{i} AS (
+  SELECT {prev}.node, {1 - PAGERANK_DAMP} + {PAGERANK_DAMP} * coalesce(c.s, 0) AS pr
+  FROM {prev} LEFT JOIN (
+    SELECT a.dst AS node, sum(rp.pr / d.deg) AS s
+    FROM {prev} rp JOIN adj a ON rp.node = a.src JOIN deg d ON d.src = a.src
+    GROUP BY a.dst) c USING (node))""")
+        prev = f"r{i}"
+    return f"""
+WITH edges AS ({kg["kg_graph_edges"]}),
+nodes AS ({kg["kg_graph_nodes"]}),
+und AS (SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+        FROM edges WHERE src_id <> dst_id),
+adj AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT src, count(*)::DOUBLE AS deg FROM adj GROUP BY src),
+r0 AS (SELECT entity_id AS node, 1.0::DOUBLE AS pr FROM nodes),
+{",".join(steps)}
+SELECT node AS entity_id, round(pr, 6) AS pr FROM {prev}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graph: degree distribution + triangles over the near-dup document graph
+# ---------------------------------------------------------------------------
+
+
+def _neardup_edges(spark, sf_dir):
+    from .queries_catalog import q_jaccard_neardup
+
+    return q_jaccard_neardup(spark, sf_dir).select("doc_a", "doc_b")
+
+
+def _sql_neardup_edges() -> str:
+    from .queries_catalog import SQL_JACCARD
+
+    return f"(SELECT doc_a, doc_b FROM ({SQL_JACCARD}) jp)"
+
+
+def q_graph_degree_dist(spark, sf_dir):
+    """Degree distribution of the near-dup graph (jaccard ≥ 0.5 pairs):
+    two-level aggregation — per-doc degree, then the histogram. Both
+    shuffles are map-side combinable; the output is O(max degree)."""
+    e = _neardup_edges(spark, sf_dir)
+    pts = e.select(F.col("doc_a").alias("doc")).unionAll(
+        e.select(F.col("doc_b").alias("doc")))
+    return (
+        pts.groupBy("doc").agg(F.count("*").alias("degree"))
+        .groupBy("degree").agg(F.count("*").cast("long").alias("n_docs"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_docs")
+    )
+
+
+def sql_graph_degree_dist() -> str:
+    return f"""
+WITH e AS (SELECT * FROM {_sql_neardup_edges()}),
+pts AS (SELECT doc_a AS doc FROM e UNION ALL SELECT doc_b FROM e),
+deg AS (SELECT doc, count(*) AS degree FROM pts GROUP BY doc)
+SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_docs
+FROM deg GROUP BY degree
+"""
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-document triangle participation counts in the near-dup graph.
+    Canonical enumeration: edges are id-ordered (a<b), so the wedge join
+    e1(a,b)⋈e2(b,c) plus the closing check e3(a,c) finds each triangle
+    exactly once; per-node counts union the three corners. Near-dup
+    clusters are cliques, so triangle density here is a cluster-quality
+    signal. At 100 TB, orient edges by degree instead of id to bound the
+    wedge fan-out at hub nodes (standard optimization; same plan)."""
+    from .graphops import triangle_counts
+
+    e = _neardup_edges(spark, sf_dir)
+    return triangle_counts(e).select(F.col("node").alias("doc_id"), "n_tri")
+
+
+def sql_graph_triangles() -> str:
+    return f"""
+WITH e AS (SELECT * FROM {_sql_neardup_edges()}),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM e e1
+  JOIN e e2 ON e1.doc_b = e2.doc_a
+  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+corners AS (SELECT a AS doc FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+SELECT doc AS doc_id, count(*)::BIGINT AS n_tri FROM corners GROUP BY doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sketches: HyperLogLog over document 3-gram shingles
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+_HLL_W = 60 - HLL_P            # md5-derived hash width beyond the bucket bits
+
+
+def _shingles(spark, sf_dir):
+    """Distinct-countable key stream: 3-word shingles (the dedup unit)."""
+    d = _doc(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select(F.explode(sh).alias("shingle"))
+    )
+
+
+_SQL_SHINGLES = """
+SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+FROM (SELECT string_split(text, ' ') AS ws FROM documents) d,
+     LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+WHERE len(ws) >= 3
+"""
+
+# 60-bit md5-derived hash (identical hex on both engines), split into an
+# 8-bit bucket and a 52-bit width by INTEGER ops only — `h DIV 256` /
+# `h // 256`, never float division (2^60 exceeds double precision).
+
+
+def _hll_registers_df(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15),
+               16, 10).cast("long")
+    # h named behind a projection boundary so md5 runs once (the CSE trap)
+    t = sh.select(h.alias("h")).select(
+        (F.col("h") % HLL_M).alias("bucket"), "h")
+    w = F.expr(f"h DIV {HLL_M}")
+    # exact integer bit-length: digits of the base-2 representation
+    rho = F.when(w == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.conv(w.cast("string"), 10, 2)))
+    return (
+        t.select("bucket", rho.cast("long").alias("rho"))
+        .groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+
+
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (p=8, m=256) over 3-gram shingles: one
+    pass, map-side-combined max per bucket, O(m) output — the sketch a
+    100-TB distinct-count runs instead of countDistinct's full shuffle.
+    Integer-exact gate: bucket = h % 256, width = h DIV 256 (integer
+    division — the hash exceeds double precision), rho = 53 − bitlen(w)
+    via base-2 digit count (Spark conv(w,10,2) length == DuckDB bin(w)
+    length; floats never touch the register math)."""
+    r = _hll_registers_df(spark, sf_dir)
+    return r.select(F.col("bucket").cast("long").alias("bucket"),
+                    F.col("rho").cast("long").alias("rho"))
+
+
+def _sql_hll_registers_core() -> str:
+    return f"""
+sh AS ({_SQL_SHINGLES}),
+hh AS (SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+reg AS (
+  SELECT h % {HLL_M} AS bucket,
+         max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_W + 1}
+             ELSE {_HLL_W + 1} - length(bin(h // {HLL_M})) END) AS rho
+  FROM hh GROUP BY h % {HLL_M})"""
+
+
+def sql_hll_registers() -> str:
+    return f"""
+WITH {_sql_hll_registers_core()}
+SELECT bucket::BIGINT AS bucket, rho::BIGINT AS rho FROM reg
+"""
+
+
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def q_hll_estimate(spark, sf_dir):
+    """Raw HLL estimate vs the exact distinct count (one row). The 256
+    registers join a generated bucket spine (empty registers contribute
+    2^0); the estimate is the only float, rounded to 6dp. Corrections
+    (linear counting below 2.5m, 64-bit high-range) are deliberately
+    omitted — this gates the raw estimator; the register table is the
+    mergeable artifact a production rollup would store."""
+    r = _hll_registers_df(spark, sf_dir)
+    spine = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    z = (
+        spine.join(r, "bucket", "left")
+        .select(F.pow(F.lit(2.0), -F.coalesce("rho", F.lit(0)).cast("double"))
+                .alias("t"))
+        .agg(F.sum("t").alias("z"))
+    )
+    exact = _shingles(spark, sf_dir).agg(
+        F.countDistinct("shingle").alias("exact_distinct"))
+    est = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("z")
+    return z.crossJoin(exact).select(
+        F.round(est, 6).alias("est_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.round((est - F.col("exact_distinct")) / F.col("exact_distinct"), 6)
+        .alias("rel_err"),
+    )
+
+
+def sql_hll_estimate() -> str:
+    return f"""
+WITH {_sql_hll_registers_core()},
+spine AS (SELECT range AS bucket FROM range({HLL_M})),
+z AS (SELECT sum(power(2.0, -coalesce(reg.rho, 0))) AS z
+      FROM spine LEFT JOIN reg USING (bucket)),
+exact AS (SELECT count(DISTINCT shingle) AS exact_distinct FROM sh)
+SELECT round({HLL_ALPHA * HLL_M * HLL_M!r}::DOUBLE / z, 6) AS est_distinct,
+       exact_distinct::BIGINT AS exact_distinct,
+       round(({HLL_ALPHA * HLL_M * HLL_M!r}::DOUBLE / z - exact_distinct)
+             / exact_distinct, 6) AS rel_err
+FROM z, exact
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sketches: count-min frequency estimation over document tokens
+# ---------------------------------------------------------------------------
+
+CMS_D = 4                      # hash rows
+CMS_W = 64                     # columns per row
+# probe terms fixed independent of the corpus (absent terms are valid
+# probes: exact = 0, estimate = the collision mass in their cells)
+CMS_PROBES = ("the", "data", "join", "merge", "zzz_absent")
+
+
+def q_cms_freq(spark, sf_dir):
+    """Count-min sketch (d=4 × w=64): build the cell table in one pass
+    (each token lands in 4 salted md5 cells; map-side-combined sum), then
+    answer point queries as the min over the probe's 4 cells, compared
+    with the exact count. The sketch is O(d·w) regardless of corpus size
+    and mergeable across partitions — the frequency oracle a 100-TB
+    pipeline keeps when exact per-token counts don't fit. Integer-exact
+    gate (counts only); overestimation (est ≥ exact) is property-tested."""
+    toks = _doc(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token"))
+
+    def cell(tok_col, r):
+        return F.conv(F.substring(F.md5(F.concat(F.lit(f"r{r}:"), tok_col)
+                                        .cast("binary")), 1, 15),
+                      16, 10).cast("long") % CMS_W
+
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), cell(F.col("token"), r).alias("c"))
+        for r in range(CMS_D)])).alias("rc")
+    cells = (
+        toks.select(rows)
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], ["token"])
+    probe_cells = probes.select(
+        "token", F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"), cell(F.col("token"), r).alias("c"))
+            for r in range(CMS_D)])).alias("rc"))
+    est = (
+        probe_cells.join(
+            cells,
+            (F.col("rc.r") == F.col("r")) & (F.col("rc.c") == F.col("c")),
+            "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact"))
+    return (
+        est.join(exact, "token", "left")
+        .select("token", F.col("est").cast("long").alias("est"),
+                F.coalesce("exact", F.lit(0)).cast("long").alias("exact"))
+    )
+
+
+def sql_cms_freq() -> str:
+    probes = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    salted = " UNION ALL ".join(
+        f"SELECT {r} AS r, ('0x' || substr(md5('r{r}:' || token), 1, 15))::BIGINT"
+        f" % {CMS_W} AS c, token FROM toks" for r in range(CMS_D))
+    probe_cells = " UNION ALL ".join(
+        f"SELECT token, {r} AS r,"
+        f" ('0x' || substr(md5('r{r}:' || token), 1, 15))::BIGINT % {CMS_W} AS c"
+        f" FROM probes" for r in range(CMS_D))
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+salted AS ({salted}),
+cells AS (SELECT r, c, count(*) AS cnt FROM salted GROUP BY r, c),
+probes(token) AS (VALUES {probes}),
+pc AS ({probe_cells}),
+est AS (SELECT pc.token, min(coalesce(cells.cnt, 0)) AS est
+        FROM pc LEFT JOIN cells ON pc.r = cells.r AND pc.c = cells.c
+        GROUP BY pc.token),
+exact AS (SELECT token, count(*) AS exact FROM toks GROUP BY token)
+SELECT est.token, est.est::BIGINT AS est,
+       coalesce(exact.exact, 0)::BIGINT AS exact
+FROM est LEFT JOIN exact ON est.token = exact.token
+"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact top-20 tokens (count DESC, token ASC tie-break): the
+    ground-truth companion to the CMS — one map-side-combined count, a
+    vocabulary-sized rank. At 100 TB the vocabulary agg is the only
+    shuffle and its cardinality is bounded by the vocabulary, not the
+    corpus. The top-k itself is orderBy+limit, which Catalyst compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort, no
+    single-partition window); only the 20 survivors see a rank window."""
+    toks = _doc(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = cnt.orderBy(F.desc("cnt"), "token").limit(20)
+    w = Window.orderBy(F.desc("cnt"), "token")
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("token", F.col("cnt").cast("long").alias("cnt"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SQL_HEAVY_HITTERS = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+SELECT token, cnt::BIGINT AS cnt, rk::BIGINT AS rk
+FROM (SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rk FROM cnt)
+WHERE rk <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# OLAP: rollup, exact percentiles, running windows
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical totals via ROLLUP(event_type, k-bucket): Catalyst
+    expands grouping sets in ONE aggregation pass (map-side combine at
+    the finest level; subtotal rows re-aggregate the combined partials) —
+    never the 3-scan UNION a naive implementation runs. GROUPING() flags
+    disambiguate subtotal rows from real null keys; the second dimension
+    is the numeric `k` prop decile, regex-extracted so neither engine
+    needs a JSON extension. Output keys are null-free ('ALL' / -1
+    sentinels, flags carry the truth)."""
+    e = _doc(spark, sf_dir, "events")
+    kb = F.expr("CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) DIV 10")
+    base = e.select("event_type", kb.alias("kb"), "value")
+    g = base.rollup("event_type", "kb").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("total"),
+        F.grouping("event_type").cast("long").alias("g_et"),
+        F.grouping("kb").cast("long").alias("g_kb"),
+    )
+    return g.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce("kb", F.lit(-1)).cast("long").alias("kb"),
+        "n", "total", "g_et", "g_kb")
+
+
+SQL_ROLLUP_REVENUE = """
+WITH base AS (
+  SELECT event_type,
+         (regexp_extract(props, '([0-9]+)', 1)::BIGINT // 10) AS kb, value
+  FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(kb, -1)::BIGINT AS kb,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS total,
+       grouping(event_type)::BIGINT AS g_et, grouping(kb)::BIGINT AS g_kb
+FROM base GROUP BY ROLLUP(event_type, kb)
+"""
+
+_PCTS = (0.5, 0.9, 0.99)
+
+
+def q_percentile_groups(spark, sf_dir):
+    """Exact discrete percentiles (p50/p90/p99) per event type: the value
+    at row ceil(p·n) under a total (value, event_id) order — rank
+    arithmetic, not approx_percentile, so the result is engine-exact and
+    gateable. One shuffle (the per-group sort); each row then emits the
+    percentile labels it satisfies. At 100 TB you'd swap in a t-digest or
+    the same rank arithmetic over pre-sorted buckets; this is the exact
+    definition those approximations are audited against."""
+    e = _doc(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cw).alias("n"))
+    p = F.explode(F.array(*[F.lit(x) for x in _PCTS])).alias("p")
+    return (
+        ranked.select("event_type", "value", "rn", "n", p)
+        .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")))
+        .select("event_type", F.col("p").cast("double").alias("p"),
+                F.round("value", 6).alias("val"))
+    )
+
+
+SQL_PERCENTILE_GROUPS = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+ps AS (SELECT unnest([{", ".join(str(x) for x in _PCTS)}]) AS p)
+SELECT event_type, p::DOUBLE AS p, round(value, 6) AS val
+FROM ranked, ps
+WHERE rn = ceil(p * n)
+"""
+
+
+def q_window_running(spark, sf_dir):
+    """Per-user running analytics in one window pass: cumulative sum,
+    5-row moving average, and the step delta vs the previous event. Both
+    engines accumulate in the identical (ts, event_id) sequence, so the
+    float outputs are bit-identical before rounding. First-row delta is
+    coalesced to 0 (null-free outputs; `rn` disambiguates). One shuffle
+    on user_id serves all three functions — Catalyst shares the window
+    frame sort."""
+    e = _doc(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wavg = w.rowsBetween(-4, Window.currentRow)
+    return e.select(
+        "event_id", "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(F.sum("value").over(wsum), 6).alias("run_sum"),
+        F.round(F.avg("value").over(wavg), 6).alias("mov5"),
+        F.round(F.coalesce(F.col("value") - F.lag("value", 1).over(w),
+                           F.lit(0.0)), 6).alias("delta"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT event_id, user_id,
+       row_number() OVER w::BIGINT AS rn,
+       round(sum(value) OVER (w ROWS UNBOUNDED PRECEDING), 6) AS run_sum,
+       round(avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+           AS mov5,
+       round(coalesce(value - lag(value) OVER w, 0.0), 6) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range join: time-window join via 1-minute bin explosion
+# ---------------------------------------------------------------------------
+
+_RJ_BIN_US = 60_000_000  # 60 s
+
+
+def q_range_join_counts(spark, sf_dir):
+    """For every purchase, how many clicks (any user) landed within ±60 s
+    — a join on a pure range predicate, which Catalyst would otherwise
+    plan as a nested-loop per key. Scale-safe rewrite: both sides bin to
+    60 s, purchases explode to {b−1, b, b+1}, the join is an EQUI-join on
+    the bin, and the exact ±60 s predicate filters after the match (each
+    candidate matches exactly one exploded key, so no dedup is needed).
+    Shuffle volume = 3× purchases + clicks, never |P|×|C|. The twin runs
+    the naive inequality join, so the gate proves the bin rewrite loses
+    nothing. Outputs are tz-invariant counts."""
+    e = _doc(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        us.alias("c_us"), F.expr(f"unix_micros(cast(ts as timestamp_ltz))"
+                                 f" DIV {_RJ_BIN_US}").alias("bin"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), us.alias("p_us"))
+    pb = purchases.select(
+        "purchase_id", "p_us",
+        F.explode(F.array(*[
+            F.expr(f"p_us DIV {_RJ_BIN_US}") + d for d in (-1, 0, 1)]))
+        .alias("bin"))
+    matched = (
+        pb.join(clicks, "bin")
+        .filter(F.abs(F.col("c_us") - F.col("p_us")) <= _RJ_BIN_US)
+        .groupBy("purchase_id").agg(F.count("*").alias("n_clicks"))
+    )
+    return (
+        purchases.select("purchase_id")
+        .join(matched, "purchase_id", "left")
+        .select("purchase_id",
+                F.coalesce("n_clicks", F.lit(0)).cast("long")
+                .alias("n_clicks"))
+    )
+
+
+SQL_RANGE_JOIN_COUNTS = f"""
+WITH c AS (SELECT epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS p_us FROM events
+      WHERE event_type = 'purchase'),
+m AS (SELECT p.purchase_id, count(*) AS n_clicks
+      FROM p JOIN c ON abs(c.c_us - p.p_us) <= {_RJ_BIN_US}
+      GROUP BY p.purchase_id)
+SELECT p.purchase_id, coalesce(m.n_clicks, 0)::BIGINT AS n_clicks
+FROM p LEFT JOIN m USING (purchase_id)
+"""
+
+
+ANALYTICS_QUERIES = {
+    "kg_entity_pagerank": q_kg_entity_pagerank,
+    "graph_degree_dist": q_graph_degree_dist,
+    "graph_triangles": q_graph_triangles,
+    "hll_registers": q_hll_registers,
+    "hll_estimate": q_hll_estimate,
+    "cms_freq": q_cms_freq,
+    "heavy_hitters": q_heavy_hitters,
+    "rollup_revenue": q_rollup_revenue,
+    "percentile_groups": q_percentile_groups,
+    "window_running": q_window_running,
+    "range_join_counts": q_range_join_counts,
+}
+
+
+def analytics_sqls() -> dict[str, str]:
+    return {
+        "kg_entity_pagerank": sql_kg_entity_pagerank(),
+        "graph_degree_dist": sql_graph_degree_dist(),
+        "graph_triangles": sql_graph_triangles(),
+        "hll_registers": sql_hll_registers(),
+        "hll_estimate": sql_hll_estimate(),
+        "cms_freq": sql_cms_freq(),
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "rollup_revenue": SQL_ROLLUP_REVENUE,
+        "percentile_groups": SQL_PERCENTILE_GROUPS,
+        "window_running": SQL_WINDOW_RUNNING,
+        "range_join_counts": SQL_RANGE_JOIN_COUNTS,
+    }

@@ -1352,10 +1352,12 @@ def inverse_gold_augment(g: DataFrame) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from .queries_analytics import ANALYTICS_QUERIES
     from .queries_dataops import DATAOPS_QUERIES
 
     return {
         **DATAOPS_QUERIES,
+        **ANALYTICS_QUERIES,
         "o8_inverse_gold": q_o8_inverse_gold,
         "c1_span_enum": q_c1_span_enum,
         "k1_pack_groups": q_k1_pack_groups,
@@ -1404,10 +1406,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .queries_analytics import analytics_sqls
     from .queries_dataops import DATAOPS_SQLS
 
     return {
         **DATAOPS_SQLS,
+        **analytics_sqls(),
         "c1_span_enum": SQL_C1,
         "k1_pack_groups": SQL_K1,
         "p4_prefix_sum": SQL_P4,

@@ -1,0 +1,159 @@
+"""Semantic tests for the analytics extension set (queries_analytics.py):
+the cross-engine gate proves Spark==DuckDB determinism; these pin the
+*math* — PageRank against a numpy reference, triangles against brute
+force, sketch guarantees (CMS overestimation, HLL error bound), the
+binned range join against the naive inequality join, and ROLLUP
+additivity."""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pl_marker_spark.graphops import pagerank, symmetrize, triangle_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _np_pagerank(n_nodes, und_edges, iters=5, damp=0.85):
+    adj = [[] for _ in range(n_nodes)]
+    for a, b in und_edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = np.array([max(len(x), 1) for x in adj], dtype=float)
+    r = np.ones(n_nodes)
+    for _ in range(iters):
+        nxt = np.full(n_nodes, 1 - damp)
+        for u in range(n_nodes):
+            for v in adj[u]:
+                nxt[v] += damp * r[u] / deg[u]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_numpy(spark):
+    # star + path + triangle + one isolated node (node 7)
+    und = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5), (5, 6), (4, 6), (5, 6)]
+    und = sorted(set(und))
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["node"])
+    edges = spark.createDataFrame(und, ["a", "b"])
+    got = {r.node: r.pr for r in pagerank(nodes, edges).collect()}
+    want = _np_pagerank(8, und)
+    assert set(got) == set(range(8))
+    for i in range(8):
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+    assert got[7] == pytest.approx(0.15)  # isolated node settles at 1-d
+
+
+def test_symmetrize_dedups_and_drops_loops(spark):
+    e = spark.createDataFrame(
+        [(1, 2, "x"), (2, 1, "y"), (1, 1, "z"), (3, 2, "x")],
+        ["src_id", "dst_id", "pred"])
+    got = sorted(tuple(r) for r in symmetrize(e).collect())
+    assert got == [(1, 2), (2, 3)]
+
+
+def test_triangles_brute_force(spark):
+    rng = np.random.default_rng(7)
+    n = 12
+    pairs = sorted((a, b) for a in range(n) for b in range(a + 1, n)
+                   if rng.random() < 0.35)
+    edges = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {r.node: r.n_tri for r in triangle_counts(edges).collect()}
+    es = set(pairs)
+    want = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+
+
+def test_cms_overestimates(spark):
+    from pl_marker_spark.queries_analytics import q_cms_freq
+
+    rows = q_cms_freq(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.est >= r.exact
+    absent = [r for r in rows if r.token == "zzz_absent"]
+    assert absent and absent[0].exact == 0
+
+
+def test_hll_error_bound(spark):
+    from pl_marker_spark.queries_analytics import q_hll_estimate
+
+    row = q_hll_estimate(spark, SF).collect()[0]
+    # sigma = 1.04/sqrt(256) = 6.5%; 3 sigma bound on the raw estimator
+    assert row.exact_distinct > 1000
+    assert abs(row.rel_err) < 0.2
+    assert row.est_distinct == pytest.approx(
+        row.exact_distinct * (1 + row.rel_err), rel=1e-4)
+
+
+def test_range_join_matches_naive(spark):
+    from pl_marker_spark.queries_analytics import (_RJ_BIN_US,
+                                                   q_range_join_counts)
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    c = e.filter(F.col("event_type") == "click").select(us.alias("c_us"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), us.alias("p_us"))
+    naive = (
+        p.crossJoin(c)
+        .filter(F.abs(F.col("c_us") - F.col("p_us")) <= _RJ_BIN_US)
+        .groupBy("purchase_id").agg(F.count("*").alias("n"))
+    )
+    naive_map = {r.purchase_id: r.n for r in naive.collect()}
+    got = {r.purchase_id: r.n_clicks for r in
+           q_range_join_counts(spark, SF).collect()}
+    assert set(got) >= set(naive_map)
+    for k, v in got.items():
+        assert v == naive_map.get(k, 0)
+
+
+def test_rollup_additivity(spark):
+    from pl_marker_spark.queries_analytics import q_rollup_revenue
+
+    rows = q_rollup_revenue(spark, SF).collect()
+    leaves = [r for r in rows if r.g_et == 0 and r.g_kb == 0]
+    subs = [r for r in rows if r.g_et == 0 and r.g_kb == 1]
+    grand = [r for r in rows if r.g_et == 1 and r.g_kb == 1]
+    assert len(grand) == 1
+    assert grand[0].event_type == "ALL" and grand[0].kb == -1
+    assert grand[0].n == sum(r.n for r in leaves)
+    assert grand[0].total == pytest.approx(
+        sum(r.total for r in leaves), abs=1e-3)
+    for s in subs:
+        mine = [r for r in leaves if r.event_type == s.event_type]
+        assert s.n == sum(r.n for r in mine)
+        assert s.total == pytest.approx(sum(r.total for r in mine), abs=1e-3)
+
+
+def test_heavy_hitters_rank_contract(spark):
+    from pl_marker_spark.queries_analytics import q_heavy_hitters
+
+    rows = sorted(q_heavy_hitters(spark, SF).collect(), key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, 21))
+    for a, b in zip(rows, rows[1:]):
+        assert a.cnt > b.cnt or (a.cnt == b.cnt and a.token < b.token)
+
+
+def test_percentiles_match_numpy(spark):
+    from pl_marker_spark.queries_analytics import q_percentile_groups
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    vals = {}
+    for r in e.select("event_type", "value", "event_id").collect():
+        vals.setdefault(r.event_type, []).append((r.value, r.event_id))
+    got = {(r.event_type, r.p): r.val
+           for r in q_percentile_groups(spark, SF).collect()}
+    for et, pairs in vals.items():
+        s = sorted(pairs)
+        n = len(s)
+        for p in (0.5, 0.9, 0.99):
+            want = round(s[math.ceil(p * n) - 1][0], 6)
+            assert got[(et, p)] == pytest.approx(want, abs=1e-6)
