@@ -287,3 +287,34 @@ def stream_dedup_exact(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_enrich(
+    spark: SparkSession, in_dir: str, dim: DataFrame, out_dir: str,
+):
+    """Stream-static broadcast enrichment — the production pattern for
+    attaching dimension attributes to a high-rate event feed: the static
+    side is re-planned per micro-batch (file/table sources pick up dim
+    updates between batches) and explicitly broadcast, so each batch is a
+    map-side hash join with NO shuffle of the stream. A left join keeps
+    events with no dim row (the segment coalesces to 'unknown') — dropping
+    them silently would be the media_rejects anti-pattern. `dim` must be
+    broadcast-sized (user/tenant/config dims); a stream-stream or bucketed
+    join is the path for big-big.
+
+    File source + availableNow here (sandbox harness); the join line is
+    unchanged under Kafka."""
+    from pyspark.sql.functions import broadcast
+
+    ev = read_event_stream(spark, in_dir)
+    enriched = (
+        ev.join(broadcast(dim), "user_id", "left")
+        .withColumn("segment", F.coalesce("segment", F.lit("unknown")))
+    )
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", f"{out_dir}/enriched")
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .trigger(availableNow=True)
+        .start()
+    )

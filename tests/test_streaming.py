@@ -169,7 +169,7 @@ def _write_event_files(indir, files):
     os.makedirs(indir, exist_ok=True)
     for name, mtime, rows in files:
         pdf = pd.DataFrame(
-            [(e, pd.Timestamp(t, unit="s"), u, "click", v, None)
+            [(e, pd.Timestamp(t, unit="s"), u, "click", v, "{}")
              for e, t, u, v in rows],
             columns=["event_id", "ts", "user_id", "event_type", "value",
                      "props"],
@@ -239,3 +239,22 @@ def test_stream_sessionize_matches_batch_gap_rule(spark, tmp_path_factory):
         (0.0, 1, 4, 1),
         (5.0, 2, 1, 4),
     }
+
+
+def test_stream_enrich_broadcast_join(spark, tmp_path_factory):
+    from pl_marker_spark.streaming import stream_enrich
+
+    base = str(tmp_path_factory.mktemp("enrich"))
+    indir, outdir = f"{base}/in", f"{base}/out"
+    _write_event_files(indir, [
+        ("f1", 1000, [(1, 0, 1, 1.0), (2, 10, 2, 2.0)]),
+        ("f2", 2000, [(3, 20, 3, 3.0), (4, 30, 1, 4.0)]),
+    ])
+    dim = spark.createDataFrame(
+        [(1, "pro"), (2, "free")], ["user_id", "segment"])
+    q = stream_enrich(spark, indir, dim, outdir)
+    q.awaitTermination(300)
+    out = {r.event_id: r.segment
+           for r in spark.read.parquet(f"{outdir}/enriched").collect()}
+    # every event survives; dim attributes attach; misses get the sentinel
+    assert out == {1: "pro", 2: "free", 3: "unknown", 4: "pro"}
