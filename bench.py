@@ -104,7 +104,12 @@ def main() -> None:
     qs = queries_catalog.queries()
     for name in ("c1_span_enum", "k1_pack_groups", "p4_prefix_sum",
                  "minhash_neardup", "dedup_exact", "jaccard_neardup",
-                 "ann_cosine_topk", "ann_ivf_topk", "fingerprint"):
+                 "ann_cosine_topk", "ann_ivf_topk", "fingerprint",
+                 # round-4 analytics family (graph/sketch/OLAP/range join;
+                 # kg_entity_pagerank is excluded — it re-runs the full KG
+                 # pipeline, which is already the flagship timing)
+                 "graph_triangles", "hll_registers", "cms_freq",
+                 "rollup_revenue", "window_running", "range_join_counts"):
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
