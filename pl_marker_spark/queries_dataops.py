@@ -615,6 +615,240 @@ SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= {_TFIDF_TOPK}
 """
 
 
+# ---------- training-example assembly: chunking + sequence packing ---------
+#
+# The two layout steps between "curated corpus" and "training batches":
+# sliding-window chunking (long docs → overlapping context-length pieces)
+# and concat-and-split packing (short docs → dense fixed-size bins).
+
+_CHUNK_LEN = 32     # tokens per chunk (a stand-in for the model context)
+_CHUNK_STRIDE = 24  # sliding-window stride → 8-token overlap between chunks
+
+
+def q_doc_chunk(spark, sf_dir):
+    """Sliding-window document chunking — the "split long documents into
+    overlapping context-length pieces" step every pretraining pipeline runs
+    (BERT's doc_stride, GPT-style context windows). Each document yields
+    ``1 + ceil((n_words - L) / stride)`` chunks of up to L=32 words at
+    stride 24; the gate compares the chunk *content* via md5 of the joined
+    words, not just the geometry.
+
+    Scale shape: one JVM transform/posexplode per row — zero shuffle
+    beyond the scan; output size is corpus × (1/stride) rows. The chunk
+    text never leaves the row (only its md5 does)."""
+    L, s = _CHUNK_LEN, _CHUNK_STRIDE
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n_chunks = (f"CASE WHEN size(ws) <= {L} THEN 1 "
+                f"ELSE 1 + cast(ceil((size(ws) - {L}) / {s}.0) as int) END")
+    chunks = d.select(
+        "doc_id", F.size("ws").cast("long").alias("nw"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, ({n_chunks}) - 1),"
+            f" i -> md5(cast(array_join(slice(ws, i*{s}+1, {L}), ' ') as binary)))"
+        )).alias("ci", "chunk_md5"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("ci").cast("long").alias("chunk_idx"),
+        (F.col("ci") * s).cast("long").alias("start_word"),
+        F.least(F.lit(L), F.col("nw") - F.col("ci") * s)
+        .cast("long").alias("n_words"),
+        "chunk_md5",
+    )
+
+
+SQL_DOC_CHUNK = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, len(ws)::BIGINT AS nw, ws,
+             CASE WHEN len(ws) <= {_CHUNK_LEN} THEN 1
+                  ELSE 1 + cast(ceil((len(ws) - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0) AS BIGINT)
+             END AS nch
+      FROM d),
+x AS (SELECT doc_id, nw, ws, UNNEST(range(nch)) AS i FROM c)
+SELECT doc_id, i::BIGINT AS chunk_idx, (i * {_CHUNK_STRIDE})::BIGINT AS start_word,
+       least({_CHUNK_LEN}, nw - i * {_CHUNK_STRIDE})::BIGINT AS n_words,
+       md5(array_to_string(ws[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_LEN}], ' ')) AS chunk_md5
+FROM x
+"""
+
+
+_PACK_BIN = 256   # tokens per packed training example
+_PACK_SHARDS = 8  # documents are packed within deterministic shards
+
+
+def q_seq_pack(spark, sf_dir):
+    """Concat-and-split sequence packing (the GPT-2/T5 "pack short documents
+    densely into fixed-length examples" step): documents are laid end to
+    end in deterministic (shard, doc_id) order and split into 256-token
+    bins; each document reports its token offset and the bin span it lands
+    in. Packing happens *within* ``doc_id % 8`` shards — the scale-safe
+    form of the op, because a single global running offset would serialize
+    the corpus through one partition, while per-shard offsets keep the
+    window partitioned (at 100 TB the shard count scales with the cluster,
+    and each shard's bins are independent training examples).
+
+    Plan shape: one shuffle (the shard-partitioned window sort); all
+    arithmetic is JVM-side integer math on the running sum."""
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+    )
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    off = F.coalesce(F.sum("dl").over(w), F.lit(0)).cast("long")
+    out = d.select("doc_id", "shard", "dl", off.alias("tok_offset"))
+    bin_first = F.floor(F.col("tok_offset") / _PACK_BIN).cast("long")
+    bin_last = F.floor((F.col("tok_offset") + F.col("dl") - 1) / _PACK_BIN).cast("long")
+    return out.select(
+        "doc_id", "shard", "dl", "tok_offset",
+        bin_first.alias("bin_first"), bin_last.alias("bin_last"),
+        (bin_last - bin_first + 1).cast("long").alias("n_bins"),
+    )
+
+
+SQL_SEQ_PACK = f"""
+WITH d AS (SELECT doc_id, (doc_id % {_PACK_SHARDS})::BIGINT AS shard,
+                  len(string_split(text, ' '))::BIGINT AS dl
+           FROM documents),
+o AS (SELECT doc_id, shard, dl,
+             coalesce(sum(dl) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+      FROM d)
+SELECT doc_id, shard, dl, tok_offset,
+       (tok_offset // {_PACK_BIN})::BIGINT AS bin_first,
+       ((tok_offset + dl - 1) // {_PACK_BIN})::BIGINT AS bin_last,
+       ((tok_offset + dl - 1) // {_PACK_BIN} - tok_offset // {_PACK_BIN} + 1)::BIGINT AS n_bins
+FROM o
+"""
+
+
+# ---------- CCNet-style unigram-LM quality buckets --------------------------
+
+
+def q_lm_xent_bucket(spark, sf_dir):
+    """CCNet's LM-perplexity quality partition (Wenzek et al. 2020) with the
+    language model reduced to the corpus's own per-language unigram
+    distribution: each document's cross-entropy is the tf-weighted mean of
+    ``ln(total_lang_tokens / term_count)`` under its language's unigram
+    model, and documents are ranked per language into head/middle/tail
+    terciles (bucket 0/1/2, low entropy = head), CCNet's actual output.
+
+    Scale shape: the per-(doc, term) tf aggregation is the one wide
+    shuffle (map-side combinable — same as tfidf_terms); the per-language
+    frequency and total tables collapse to vocabulary size / 5 rows and
+    broadcast back. The tercile rank sorts within language partitions on
+    the 6dp-rounded score with doc_id tie-breaks; the bucket index is
+    exact integer arithmetic ``(3·(rk−1)) div n_docs``. At 100 TB the
+    rank pass is replaced by broadcast percentile cutoffs from a first
+    aggregation pass — same two-scan budget."""
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("ws"))
+    tf = (
+        d.select("doc_id", "lang", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    freq = tf.groupBy("lang", "term").agg(F.sum("tf").alias("cnt"))
+    tot = freq.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    x = (
+        tf.join(F.broadcast(freq), ["lang", "term"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.sum(F.col("tf") * F.log(F.col("tot") / F.col("cnt")))
+                    / F.sum("tf"), 6).alias("xent"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+    )
+    n = x.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy("xent", "doc_id")
+    r = (x.join(F.broadcast(n), "lang")
+         .withColumn("rk", F.row_number().over(w)))
+    return r.select(
+        "doc_id", "lang", "xent", "n_tokens",
+        F.expr("CAST((3 * (rk - 1)) DIV n_docs AS BIGINT)").alias("bucket"),
+    )
+
+
+SQL_LM_XENT_BUCKET = """
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, lang, term, count(*)::DOUBLE AS tf
+       FROM tok GROUP BY 1, 2, 3),
+freq AS (SELECT lang, term, sum(tf) AS cnt FROM tf GROUP BY 1, 2),
+tot AS (SELECT lang, sum(cnt) AS tot FROM freq GROUP BY 1),
+x AS (SELECT t.doc_id, t.lang,
+             round(sum(t.tf * ln(tot.tot / f.cnt)) / sum(t.tf), 6) AS xent,
+             sum(t.tf)::BIGINT AS n_tokens
+      FROM tf t JOIN freq f USING (lang, term) JOIN tot USING (lang)
+      GROUP BY 1, 2),
+n AS (SELECT lang, count(*)::BIGINT AS n_docs FROM x GROUP BY 1),
+r AS (SELECT x.*, n.n_docs,
+             row_number() OVER (PARTITION BY x.lang
+                                ORDER BY x.xent, x.doc_id) AS rk
+      FROM x JOIN n USING (lang))
+SELECT doc_id, lang, xent, n_tokens,
+       ((3 * (rk - 1)) // n_docs)::BIGINT AS bucket
+FROM r
+"""
+
+
+# ---------- temperature-based source mixture weights ------------------------
+
+_MIX_BUDGET = 1000.0  # documents drawn per mixing epoch (reporting unit)
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-based language mixing (the α=0.5 sampling-weight rule
+    from multilingual BERT / XLM-R / PaLM data recipes): each language's
+    sampling probability is its document count raised to α=0.5, normalized
+    — the dominant language (en holds ~40% of this corpus) is downweighted
+    and the small ones upweighted relative to natural share. Emits per-
+    language natural share, √n weight, normalized rate, and the expected
+    documents per 1000-draw epoch.
+
+    Scale shape: one map-side-combinable groupBy over the scan, then a
+    1-row total broadcast back onto |langs| rows — at 100 TB this is a
+    scan plus a constant-size reduction (α-temperature mixing never
+    touches per-document state). sqrt is IEEE-identical across engines;
+    all quotients are 6dp-rounded."""
+    s = _doc(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_docs").cast("double").alias("tot_docs"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("tot_w"),
+    )
+    wcol = F.sqrt(F.col("n_docs").cast("double"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "lang", "n_docs", "n_tokens",
+        F.round(F.col("n_docs") / F.col("tot_docs"), 6).alias("share"),
+        F.round(wcol, 6).alias("weight"),
+        F.round(wcol / F.col("tot_w"), 6).alias("rate"),
+        F.round(wcol / F.col("tot_w") * _MIX_BUDGET, 6).alias("expected_docs"),
+    )
+
+
+SQL_MIXTURE_WEIGHTS = f"""
+WITH s AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+           FROM documents GROUP BY 1),
+t AS (SELECT sum(n_docs)::DOUBLE AS tot_docs,
+             sum(sqrt(n_docs::DOUBLE)) AS tot_w FROM s)
+SELECT lang, n_docs, n_tokens,
+       round(n_docs / tot_docs, 6) AS share,
+       round(sqrt(n_docs::DOUBLE), 6) AS weight,
+       round(sqrt(n_docs::DOUBLE) / tot_w, 6) AS rate,
+       round(sqrt(n_docs::DOUBLE) / tot_w * {_MIX_BUDGET}, 6) AS expected_docs
+FROM s, t
+"""
+
+
 DATAOPS_QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "c4_filters": q_c4_filters,
@@ -624,6 +858,10 @@ DATAOPS_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "bm25_topk": q_bm25_topk,
     "tfidf_terms": q_tfidf_terms,
+    "doc_chunk": q_doc_chunk,
+    "seq_pack": q_seq_pack,
+    "lm_xent_bucket": q_lm_xent_bucket,
+    "mixture_weights": q_mixture_weights,
 }
 
 DATAOPS_SQLS = {
@@ -635,4 +873,8 @@ DATAOPS_SQLS = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "bm25_topk": SQL_BM25_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,
+    "doc_chunk": SQL_DOC_CHUNK,
+    "seq_pack": SQL_SEQ_PACK,
+    "lm_xent_bucket": SQL_LM_XENT_BUCKET,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
 }

@@ -97,3 +97,108 @@ def test_c4_line_dedup_first_occurrence_survives(spark):
     )
     n_all, n_distinct = lines.count(), lines.distinct().count()
     assert tot[0] == n_all and tot[1] == n_all - n_distinct and tot[1] > 0
+
+
+def test_doc_chunk_geometry_and_coverage(spark):
+    """Chunk geometry invariants at sf0.001: every word of every document is
+    covered by some chunk, interior chunks are exactly L words with the
+    L-stride overlap against their successor, and the final chunk ends at
+    the document boundary."""
+    from pl_marker_spark.queries_dataops import (
+        _CHUNK_LEN,
+        _CHUNK_STRIDE,
+        q_doc_chunk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_doc_chunk(spark, sf).collect()
+    nw = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(nw)
+    multi = 0
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = nw[doc_id]
+        covered = set()
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i
+            assert c.start_word == i * _CHUNK_STRIDE
+            assert 1 <= c.n_words <= _CHUNK_LEN
+            if i < len(chunks) - 1:
+                assert c.n_words == _CHUNK_LEN  # interior chunks are full
+            covered.update(range(c.start_word, c.start_word + c.n_words))
+        assert covered == set(range(n)), doc_id
+        # last chunk reaches the end of the document
+        last = chunks[-1]
+        assert last.start_word + last.n_words == n
+        multi += len(chunks) > 1
+    assert multi > 0  # the corpus actually exercises the sliding window
+
+
+def test_seq_pack_offsets_contiguous(spark):
+    """Within each shard the packed layout is gapless: offsets are the
+    running sum of the preceding documents' lengths (concat-and-split
+    semantics), and the bin span matches the integer arithmetic."""
+    from pl_marker_spark.queries_dataops import _PACK_BIN, q_seq_pack
+
+    rows = q_seq_pack(spark, "/root/testdata/sf0.001").collect()
+    shards: dict = {}
+    for r in rows:
+        shards.setdefault(r.shard, []).append(r)
+    spanning = 0
+    for shard, docs in shards.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in docs:
+            assert r.tok_offset == expect, (shard, r.doc_id)
+            assert r.bin_first == r.tok_offset // _PACK_BIN
+            assert r.bin_last == (r.tok_offset + r.dl - 1) // _PACK_BIN
+            assert r.n_bins == r.bin_last - r.bin_first + 1
+            expect += r.dl
+            spanning += r.n_bins > 1
+    assert spanning > 0  # some documents straddle a bin boundary
+
+
+def test_lm_xent_terciles_ordered_and_balanced(spark):
+    """Per language: bucket sizes differ by at most one (exact terciles by
+    rank arithmetic) and the buckets are ordered by score — the head
+    bucket's max cross-entropy never exceeds the tail bucket's min."""
+    from pl_marker_spark.queries_dataops import q_lm_xent_bucket
+
+    rows = q_lm_xent_bucket(spark, "/root/testdata/sf0.001").collect()
+    langs: dict = {}
+    for r in rows:
+        langs.setdefault(r.lang, []).append(r)
+    assert len(langs) == 5
+    for lang, docs in langs.items():
+        sizes = [sum(1 for d in docs if d.bucket == b) for b in (0, 1, 2)]
+        assert sum(sizes) == len(docs)
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for b in (0, 1):
+            hi = max(d.xent for d in docs if d.bucket == b)
+            lo = min(d.xent for d in docs if d.bucket == b + 1)
+            assert hi <= lo, (lang, b)
+
+
+def test_mixture_weights_normalized_and_flattening(spark):
+    """Rates sum to 1 (expected docs to the budget), and α=0.5 flattens the
+    mixture: every source's rate/share ratio moves toward 1 relative to
+    natural sampling — ratios decrease monotonically with source size."""
+    from pl_marker_spark.queries_dataops import _MIX_BUDGET, q_mixture_weights
+
+    rows = q_mixture_weights(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5  # language strata (en dominant, ~40%)
+    assert abs(sum(r.rate for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.expected_docs for r in rows) - _MIX_BUDGET) < 0.1
+    by_size = sorted(rows, key=lambda r: r.n_docs)
+    ratios = [r.rate / r.share for r in by_size]
+    assert all(a >= b - 1e-9 for a, b in zip(ratios, ratios[1:]))
+    # small sources upweighted; the largest at/below natural share
+    # (<= because the 6dp-rounded columns can make the ratio exactly 1.0)
+    assert ratios[0] > 1.0 >= ratios[-1] - 1e-9
