@@ -109,7 +109,10 @@ def main() -> None:
                  # kg_entity_pagerank is excluded — it re-runs the full KG
                  # pipeline, which is already the flagship timing)
                  "graph_triangles", "hll_registers", "cms_freq",
-                 "rollup_revenue", "window_running", "range_join_counts"):
+                 "rollup_revenue", "window_running", "range_join_counts",
+                 # round-4 training-example assembly + LM-quality family
+                 "doc_chunk", "seq_pack", "lm_xent_bucket",
+                 "mixture_weights", "semdedup"):
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

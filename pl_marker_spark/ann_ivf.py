@@ -104,16 +104,14 @@ def _kmeanspp_init(e: DataFrame, k_cells: int, sample_factor: int = 32,
     return [[float(x) for x in sample[i]] for i in chosen]
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
-             nprobe: int = NPROBE, lloyd_rounds: int = 1,
-             init: str = "seed", top_k: int = TOP_K,
-             n_queries: int = N_QUERIES) -> DataFrame:
-    """IVF top-k cosine search with config-exposed knobs (round-3 VERDICT
-    item #7). Defaults are the pinned DuckDB-twin profile (seed init, one
-    Lloyd round, nprobe=2) so the driver gate stays exact; quality
-    deployments raise ``nprobe``/``lloyd_rounds`` and switch
-    ``init="kmeanspp"`` (seeded D²-sampled k-means++ over a bounded
-    sample — recall-floor-tested in tests/test_ann_ivf.py)."""
+def rank_cells(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
+               lloyd_rounds: int = 1, init: str = "seed"):
+    """Shared coarse-quantizer path: unit vectors + per-vector cell ranking
+    against the trained centroids. Returns ``(e, ranked)`` where ``e`` is
+    (vec_id, uv) and ``ranked`` adds (cell, csim, crk) per (vector, cell).
+    Consumed by both ``ivf_topk`` (probes + inverted lists) and
+    ``semdedup`` (cell assignment only) so the two operators share one
+    tested quantizer."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         _unit(F.transform("embedding", lambda x: x.cast("double"))).alias("uv"),
@@ -131,7 +129,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
             [(i, v) for i, v in enumerate(cvecs)], "cell long, c array<double>"
         ).withColumn("cn", F.lit(1.0))
     else:
-        raise ValueError(f"ivf_topk: unknown init {init!r}")
+        raise ValueError(f"rank_cells: unknown init {init!r}")
 
     def rank_vs(cent_df, unit=False):
         """One narrow pass against the broadcast quantizer + per-vector
@@ -170,7 +168,21 @@ def ivf_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
         # keep the lineage shallow so AQE re-plans each stage independently
         if lloyd_rounds > 1:
             cent = cent.localCheckpoint()
-    ranked = rank_vs(cent)
+    return e, rank_vs(cent)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
+             nprobe: int = NPROBE, lloyd_rounds: int = 1,
+             init: str = "seed", top_k: int = TOP_K,
+             n_queries: int = N_QUERIES) -> DataFrame:
+    """IVF top-k cosine search with config-exposed knobs (round-3 VERDICT
+    item #7). Defaults are the pinned DuckDB-twin profile (seed init, one
+    Lloyd round, nprobe=2) so the driver gate stays exact; quality
+    deployments raise ``nprobe``/``lloyd_rounds`` and switch
+    ``init="kmeanspp"`` (seeded D²-sampled k-means++ over a bounded
+    sample — recall-floor-tested in tests/test_ann_ivf.py)."""
+    e, ranked = rank_cells(spark, sf_dir, k_cells=k_cells,
+                           lloyd_rounds=lloyd_rounds, init=init)
     # assignment (argmax cell) — ids only; uv re-joins where needed
     asn = ranked.filter(F.col("crk") == 1).select("vec_id", "cell")
     # query probes: nprobe nearest cells for the pinned query set
@@ -237,4 +249,112 @@ fin AS (SELECT q_id, vec_id, sim,
                                   ORDER BY sim DESC, vec_id) AS rk
         FROM scored)
 SELECT q_id, vec_id, sim, rk::BIGINT AS rk FROM fin WHERE rk <= {TOP_K}
+"""
+
+
+# ---------- SemDeDup: cluster-scoped semantic deduplication ------------------
+
+TAU_SEM = 0.95      # production default: "semantic duplicate" cosine
+TAU_SEM_GATE = 0.4  # pinned driver-gate threshold: the synthetic embeddings
+                    # are near-uniform directions with NO true near-dups
+                    # (max off-diagonal cosine 0.48-0.60 across sf), so the
+                    # gate lowers τ to exercise the within-cell pair path +
+                    # keep policy on real data (59-920 all-pairs matches at
+                    # sf0.01-0.1); the τ=0.95 production semantics are
+                    # tested on planted exact duplicates in test_ann_ivf
+
+
+def semdedup(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
+             lloyd_rounds: int = 1, init: str = "seed",
+             tau: float = TAU_SEM) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and comparing pairs
+    only WITHIN each cluster — the k-means cells bound the quadratic term,
+    turning all-pairs O(N²) into O(N²/K) with K grown ∝ N at scale so the
+    per-cell work stays constant. Reuses the exact IVF coarse quantizer
+    (``rank_cells``: seed init + distributed Lloyd rounds), so the cell
+    assignment is already driver-gated via ``ann_ivf_topk``.
+
+    Output, one row per vector: its cell, the number of within-cell
+    τ-neighbors (``n_dups``), and ``keep`` — 1 iff the vector has no
+    SMALLER-id τ-neighbor in its cell (the deterministic stand-in for the
+    paper's keep-one-per-dup-group policy). A vector with no τ-neighbor
+    keeps trivially.
+
+    Scale shape: the pair generation is an equi-join on ``cell`` (never a
+    cross join); centroids are broadcast; the per-vector rollups are
+    map-side-combinable counts on ids only (the 64-float vectors never
+    enter the dup-pair shuffle — sims are computed in the join projection
+    and only (a_id, b_id, cell) survive).
+
+    No reference counterpart (thunlp/PL-Marker has no dedup component);
+    training-data-pipeline family per SURVEY.md §6."""
+    e, ranked = rank_cells(spark, sf_dir, k_cells=k_cells,
+                           lloyd_rounds=lloyd_rounds, init=init)
+    asn = ranked.filter(F.col("crk") == 1).select("vec_id", "cell")
+    # materialize the assignment ONCE: it feeds both self-join sides and
+    # the final per-vector rollup — without this the whole quantizer
+    # lineage (cross-pass + Lloyd round) re-executes 3×. A production
+    # deployment writes this table through the CheckpointStore instead.
+    v = asn.join(e, "vec_id").localCheckpoint()  # (vec_id, cell, uv)
+    asn = v.select("vec_id", "cell")
+    left = v.select(F.col("vec_id").alias("a_id"), "cell",
+                    F.col("uv").alias("auv"))
+    right = v.select(F.col("vec_id").alias("b_id"),
+                     F.col("cell").alias("b_cell"), F.col("uv").alias("buv"))
+    dups = (
+        left.join(right, (F.col("cell") == F.col("b_cell"))
+                  & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id",
+                F.round(_dot(F.col("auv"), F.col("buv")), 6).alias("sim"))
+        .filter(F.col("sim") >= tau)
+        .select("a_id", "b_id")
+    )
+    touches = dups.select(F.col("a_id").alias("vec_id")).unionAll(
+        dups.select(F.col("b_id").alias("vec_id")))
+    n_dups = touches.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("n_dups"))
+    dominated = dups.select(F.col("b_id").alias("vec_id")).distinct() \
+        .withColumn("dom", F.lit(1))
+    return (
+        asn.join(n_dups, "vec_id", "left")
+        .join(dominated, "vec_id", "left")
+        .select(
+            "vec_id", F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            F.when(F.col("dom").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("keep"),
+        )
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the pinned twin profile (seed init, one Lloyd round,
+    τ=TAU_SEM_GATE) — cluster-scoped semantic near-dup removal over the
+    embeddings table."""
+    return semdedup(spark, sf_dir, tau=TAU_SEM_GATE)
+
+
+# The twin re-derives the SAME quantizer CTE chain as SQL_ANN_IVF (through
+# `asn`), then runs the within-cell pair scan + keep policy relationally.
+_SQL_QUANTIZER = SQL_ANN_IVF.split("probes AS")[0].rstrip().rstrip(",")
+
+SQL_SEMDEDUP = f"""{_SQL_QUANTIZER},
+sem AS (SELECT a3.vec_id, a3.cell, u.uv
+        FROM asn a3 JOIN u USING (vec_id)),
+sp AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id
+       FROM sem x JOIN sem y
+         ON x.cell = y.cell AND x.vec_id < y.vec_id
+       WHERE round(list_dot_product(x.uv, y.uv), 6) >= {TAU_SEM_GATE}),
+cnt AS (SELECT vec_id, count(*)::BIGINT AS n_dups FROM (
+          SELECT a_id AS vec_id FROM sp
+          UNION ALL SELECT b_id AS vec_id FROM sp)
+        GROUP BY vec_id),
+dom AS (SELECT DISTINCT b_id AS vec_id FROM sp)
+SELECT s.vec_id, s.cell::BIGINT AS cell,
+       coalesce(c.n_dups, 0)::BIGINT AS n_dups,
+       (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM sem s
+LEFT JOIN cnt c ON c.vec_id = s.vec_id
+LEFT JOIN dom d ON d.vec_id = s.vec_id
 """

@@ -904,6 +904,20 @@ def _sql_ann_ivf() -> str:
     return SQL_ANN_IVF
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup: cluster-scoped semantic dedup on the shared IVF
+    quantizer — see ann_ivf.semdedup for the plan shape."""
+    from .ann_ivf import q_semdedup
+
+    return q_semdedup(spark, sf_dir)
+
+
+def _sql_semdedup() -> str:
+    from .ann_ivf import SQL_SEMDEDUP
+
+    return SQL_SEMDEDUP
+
+
 # ---------- model-dependent entries (oracle = materialized python oracle) --
 # The packed-marker pipeline is the engine under test — its DuckDB twin is
 # the single-process oracle (oracle_ref + oracle_graph) rendered as a VALUES
@@ -1400,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash": q_multimodal_phash,
         "multimodal_audiofp": q_multimodal_audiofp,
         "ann_ivf_topk": _q_ann_ivf,
+        "semdedup": _q_semdedup,
         "o17_coref_conll": q_o17_coref_conll,
         "o17_coref_metrics": q_o17_coref_metrics,
     }
@@ -1435,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "substr_dedup": SQL_SUBSTR_DEDUP,
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf_topk": _sql_ann_ivf(),
+        "semdedup": _sql_semdedup(),
         "minhash_neardup": _sql_minhash(),
         "simhash_buckets": _sql_simhash_buckets(),
         "simhash_hamming": _sql_simhash_hamming(),

@@ -63,3 +63,61 @@ def test_ivf_kmeanspp_init_runs(spark):
     b = {(r.q_id, r.vec_id) for r in ivf_topk(
         spark, sf, nprobe=4, init="kmeanspp").collect()}
     assert a == b and len(a) > 0
+
+
+def test_semdedup_recall_and_keep_policy(spark, tmp_path):
+    """SemDeDup production-τ semantics on PLANTED duplicates (the synthetic
+    corpus has no true near-dups — max off-diagonal cosine 0.48; the
+    driver gate runs τ=TAU_SEM_GATE=0.4 on the real corpus instead): 20
+    exact copies of existing vectors are appended under new ids, so the
+    only τ=0.95 pairs are (orig, copy). Exact copies share rounded sims →
+    the same argmax cell, so within-cell recall must be 1.0; the keep
+    policy must drop exactly the higher-id copy of each pair."""
+    import numpy as np
+    import pandas as pd
+
+    from pl_marker_spark.ann_ivf import TAU_SEM, semdedup
+
+    src = duckdb.connect().execute(
+        "SELECT vec_id, embedding, label FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    n = len(src)
+    rows = [(int(r[0]), list(r[1]), int(r[2])) for r in src]
+    planted = {}  # copy_id -> orig_id
+    for k, orig in enumerate(range(100, 120)):
+        copy_id = n + k
+        rows.append((copy_id, list(src[orig][1]), int(src[orig][2])))
+        planted[copy_id] = orig
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        f"{tmp_path}/embeddings.parquet")
+
+    out = {r.vec_id: r for r in semdedup(spark, str(tmp_path),
+                                         tau=TAU_SEM).collect()}
+    assert len(out) == n + len(planted)
+    for copy_id, orig in planted.items():
+        assert out[orig].cell == out[copy_id].cell, (orig, copy_id)
+        assert out[orig].n_dups >= 1 and out[copy_id].n_dups >= 1
+        assert out[orig].keep == 1, orig     # smaller id is the canonical
+        assert out[copy_id].keep == 0, copy_id
+    # no false positives: everything outside the planted pairs is clean
+    for vid, r in out.items():
+        if vid not in planted and planted.get(vid) is None \
+                and vid not in planted.values():
+            assert r.n_dups == 0 and r.keep == 1, r
+
+
+def test_semdedup_gate_profile_nontrivial():
+    """The pinned driver-gate profile (τ=0.4 on the real corpus) must
+    exercise the pair path — some vectors dup'd, some dropped, but never
+    all (the gate would otherwise only validate the quantizer)."""
+    from pl_marker_spark.ann_ivf import SQL_SEMDEDUP
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "'/root/testdata/sf0.01/embeddings.parquet'")
+    rows = con.execute(SQL_SEMDEDUP).fetchall()
+    n_dup = sum(1 for r in rows if r[2] > 0)
+    n_drop = sum(1 for r in rows if r[3] == 0)
+    assert 0 < n_dup < len(rows)
+    assert 0 < n_drop < n_dup  # every drop has a dup, not every dup drops
