@@ -318,3 +318,62 @@ def stream_enrich(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_click_attribution(
+    spark: SparkSession, clicks_dir: str, purchases_dir: str, out_dir: str,
+    lookback: str = "1 minute", within: str = "2 minutes",
+):
+    """Stream-STREAM interval join — the big-big case `stream_enrich`'s
+    broadcast pattern can't cover: every purchase is attributed to the
+    clicks the same user made within ``lookback`` before it, with BOTH
+    sides unbounded streams. The batch twin is ``range_join_counts``
+    (queries_analytics); this is its online form.
+
+    The two contracts that make this safe at production rate:
+    - watermarks on BOTH sides + the event-time range in the join
+      condition let the engine evict buffered rows once they can no
+      longer match (state is bounded by ``within`` + ``lookback``, never
+      by stream length);
+    - the join key includes the user equi-condition, so the state store
+      is hash-partitioned on user and the match is a per-partition lookup,
+      not a scan.
+
+    Inner join: matches emit as soon as both sides arrive (append mode
+    needs no watermark wait for inner); a click in one micro-batch joins
+    a purchase arriving several batches later from the state store —
+    pinned by the cross-batch case in tests. File source + availableNow
+    (sandbox harness); the join line is unchanged under Kafka."""
+    clicks = (
+        spark.readStream.schema("click_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(clicks_dir)
+        .select(F.col("click_id"), F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", within)
+    )
+    purchases = (
+        spark.readStream.schema(
+            "purchase_id long, user_id long, ts timestamp, amount double")
+        .option("maxFilesPerTrigger", 1).parquet(purchases_dir)
+        .select(F.col("purchase_id"), F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"), F.col("amount"))
+        .withWatermark("p_ts", within)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(f"c_user = p_user AND "
+               f"c_ts BETWEEN p_ts - INTERVAL {lookback} AND p_ts"),
+    ).select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id"),
+        "amount",
+        # µs gap, tz-invariant (driver/session tz unknown — see BENCH.md)
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", f"{out_dir}/attributed")
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

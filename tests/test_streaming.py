@@ -258,3 +258,50 @@ def test_stream_enrich_broadcast_join(spark, tmp_path_factory):
            for r in spark.read.parquet(f"{outdir}/enriched").collect()}
     # every event survives; dim attributes attach; misses get the sentinel
     assert out == {1: "pro", 2: "free", 3: "unknown", 4: "pro"}
+
+
+def test_stream_stream_click_attribution(spark, tmp_path_factory):
+    """Stream-stream interval join contract: in-lookback clicks attach to
+    the purchase (ALL of them — it's a join, not last-touch), clicks after
+    the purchase or beyond the lookback don't, purchases with no click
+    vanish (inner), and a click buffered in an early micro-batch still
+    matches a purchase arriving two batches later (the state-store case a
+    per-batch broadcast join cannot express)."""
+    import pandas as pd
+
+    from pl_marker_spark.streaming import stream_click_attribution
+
+    base = str(tmp_path_factory.mktemp("ssj"))
+    cdir, pdir, outdir = f"{base}/clicks", f"{base}/purch", f"{base}/out"
+    os.makedirs(cdir), os.makedirs(pdir)
+
+    def wfile(d, name, mtime, cols, rows):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+        p = f"{d}/{name}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(p, (mtime, mtime))
+
+    ccols = ["click_id", "user_id", "ts"]
+    pcols = ["purchase_id", "user_id", "ts", "amount"]
+    wfile(cdir, "c1", 1000, ccols, [(1, 1, 10), (2, 2, 50), (3, 1, 35)])
+    wfile(cdir, "c2", 3000, ccols, [(99, 99, 10000)])
+    wfile(pdir, "p1", 2000, pcols, [
+        (11, 1, 40, 9.99),    # clicks 1 (gap 30s) and 3 (gap 5s) attach
+        (12, 1, 100, 5.0),    # click 1 is 90s before: beyond the lookback
+        (13, 2, 45, 1.0),     # user 2's click is AFTER the purchase
+        (14, 3, 30, 2.0),     # no click at all
+    ])
+    # arrives two micro-batches after its matching click: state buffering
+    wfile(pdir, "p2", 4000, pcols, [(98, 99, 10050, 3.0)])
+
+    q = stream_click_attribution(spark, cdir, pdir, outdir)
+    q.awaitTermination(300)
+    got = {(r.purchase_id, r.click_id, r.user_id, r.gap_us)
+           for r in spark.read.parquet(f"{outdir}/attributed").collect()}
+    assert got == {
+        (11, 1, 1, 30_000_000),
+        (11, 3, 1, 5_000_000),
+        (98, 99, 99, 50_000_000),
+    }
