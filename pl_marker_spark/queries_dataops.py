@@ -849,6 +849,102 @@ FROM s, t
 """
 
 
+# ---------- tokenizer vocabulary construction + OOV accounting --------------
+
+_VOCAB_V = 16  # vocabulary budget; the synthetic corpus has 31 distinct
+               # terms, so the top-16 cut is non-degenerate (real OOV mass)
+
+
+def q_vocab_build(spark, sf_dir):
+    """Tokenizer vocabulary construction — the "count everything, keep the
+    top-V by frequency, assign contiguous ids" step that precedes BPE/
+    unigram training in every tokenizer pipeline. Emits the top-V terms
+    with (term_id = frequency rank, occurrence count, document frequency).
+
+    Scale shape: ONE wide shuffle (the map-side-combinable term
+    aggregation, keyed on term — bounded by |vocab|, not corpus size);
+    the top-V cut is a distributed TakeOrderedAndProject (orderBy+limit),
+    so the global rank window that follows runs over ≤V rows — never the
+    full term table (the classic single-partition-window trap)."""
+    d = _doc(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_occ"),
+             F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    )
+    top = counts.orderBy(F.desc("n_occ"), "term").limit(_VOCAB_V)
+    w = Window.orderBy(F.desc("n_occ"), "term")  # ≤V rows: bounded window
+    return top.withColumn(
+        "term_id", F.row_number().over(w).cast("long")
+    ).select("term_id", "term", "n_occ", "n_docs")
+
+
+SQL_VOCAB_BUILD = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+c AS (SELECT term, count(*)::BIGINT AS n_occ,
+             count(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM tok GROUP BY term),
+r AS (SELECT term, n_occ, n_docs,
+             row_number() OVER (ORDER BY n_occ DESC, term) AS term_id
+      FROM c)
+SELECT term_id::BIGINT AS term_id, term, n_occ, n_docs
+FROM r WHERE term_id <= {_VOCAB_V}
+"""
+
+
+def q_oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary accounting against the top-V corpus
+    vocabulary (the coverage statistic that drives the V-vs-OOV trade in
+    tokenizer design): token count, OOV token count, OOV rate, and the
+    count of *distinct* unknown terms per document.
+
+    Scale shape: the (doc, term) tf aggregation is the one wide shuffle;
+    the V-row vocabulary comes back as a broadcast hash join (left join +
+    null test — a broadcast anti-join on the hot path would lose the
+    in-vocab counts), so the per-doc rollup happens in the same stage
+    that reads tf."""
+    d = _doc(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    vocab = q_vocab_build(spark, sf_dir).select("term", F.lit(1).alias("iv"))
+    x = tf.join(F.broadcast(vocab), "term", "left")
+    oov = F.when(F.col("iv").isNull(), F.col("tf")).otherwise(F.lit(0))
+    return x.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        F.round(F.sum(oov) / F.sum("tf"), 6).alias("oov_rate"),
+        F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_oov_terms"),
+    )
+
+
+SQL_OOV_RATE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM tok GROUP BY doc_id, term),
+c AS (SELECT term, count(*) AS n_occ FROM tok GROUP BY term),
+v AS (SELECT term FROM (SELECT term,
+                               row_number() OVER (ORDER BY n_occ DESC, term)
+                               AS term_id FROM c)
+      WHERE term_id <= {_VOCAB_V}),
+x AS (SELECT tf.doc_id, tf.tf,
+             CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END AS oov,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov_term
+      FROM tf LEFT JOIN v ON v.term = tf.term)
+SELECT doc_id, sum(tf)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
+       round(sum(oov) / sum(tf), 6) AS oov_rate,
+       sum(oov_term)::BIGINT AS n_oov_terms
+FROM x GROUP BY doc_id
+"""
+
+
+
 DATAOPS_QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "c4_filters": q_c4_filters,
@@ -862,6 +958,8 @@ DATAOPS_QUERIES = {
     "seq_pack": q_seq_pack,
     "lm_xent_bucket": q_lm_xent_bucket,
     "mixture_weights": q_mixture_weights,
+    "vocab_build": q_vocab_build,
+    "oov_rate": q_oov_rate,
 }
 
 DATAOPS_SQLS = {
@@ -877,4 +975,6 @@ DATAOPS_SQLS = {
     "seq_pack": SQL_SEQ_PACK,
     "lm_xent_bucket": SQL_LM_XENT_BUCKET,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "vocab_build": SQL_VOCAB_BUILD,
+    "oov_rate": SQL_OOV_RATE,
 }

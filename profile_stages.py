@@ -57,7 +57,7 @@ def main():
         else:
             from pl_marker_spark.pipeline.ner import spanpack_decode_ner
 
-            mentions = tstage("mentions(fused NER)",
+            mentions = tstage("mentions_fused",
                               lambda: spanpack_decode_ner(turns_tok, cfg),
                               bucket_by=["conv_id"])
         t0 = time.time()

@@ -202,3 +202,28 @@ def test_mixture_weights_normalized_and_flattening(spark):
     # small sources upweighted; the largest at/below natural share
     # (<= because the 6dp-rounded columns can make the ratio exactly 1.0)
     assert ratios[0] > 1.0 >= ratios[-1] - 1e-9
+
+
+def test_vocab_build_and_oov_nondegenerate(spark):
+    """The top-V cut is real on this corpus (31 distinct terms, V=16):
+    exactly V contiguous ids ranked by count, and the OOV accounting has
+    genuine mass — some tokens fall outside the vocabulary, but never all
+    of a document's (the top-16 covers the corpus head)."""
+    from pl_marker_spark.queries_dataops import (
+        _VOCAB_V,
+        q_oov_rate,
+        q_vocab_build,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    vocab = q_vocab_build(spark, sf).collect()
+    assert len(vocab) == _VOCAB_V
+    assert sorted(r.term_id for r in vocab) == list(range(1, _VOCAB_V + 1))
+    occ = [r.n_occ for r in sorted(vocab, key=lambda r: r.term_id)]
+    assert occ == sorted(occ, reverse=True)  # ids follow frequency rank
+
+    rates = q_oov_rate(spark, sf).collect()
+    assert all(0 <= r.oov_rate < 1 for r in rates)
+    assert any(r.n_oov > 0 for r in rates)   # real OOV mass
+    assert any(r.n_oov == 0 for r in rates) or \
+        sum(r.n_oov for r in rates) < 0.5 * sum(r.n_tokens for r in rates)
