@@ -377,3 +377,66 @@ def stream_click_attribution(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert_latest(
+    spark: SparkSession, in_dir: str, out_dir: str,
+):
+    """Keyed UPSERT sink (the CDC / `MERGE INTO` pattern): each micro-batch
+    folds into a per-user latest-state table — the materialized "current
+    value" view every event feed eventually needs (user profiles, device
+    state, account balances). Latest wins by (ts, event_id) so replays and
+    in-batch duplicates are deterministic.
+
+    Per batch: (1) the batch collapses to one row per key FIRST (a
+    batch-local agg — the merge join never sees intra-batch duplicates);
+    (2) the current state reads, unions, and re-collapses; (3) the new
+    state writes to a fresh versioned directory and a pointer file flips
+    — last-writer-wins pointer swap, because plain parquet can't
+    transactionally overwrite a path that is being read. On a real
+    deployment steps 2-3 ARE `MERGE INTO target USING batch ON key` over
+    Iceberg/Delta (snapshot isolation replaces the pointer dance, and the
+    merge is a copy-on-write join pruned to the touched files); the
+    foreachBatch body is the part that carries over unchanged.
+
+    State size is O(distinct keys), never O(stream length)."""
+    ev = read_event_stream(spark, in_dir)
+    ptr = f"{out_dir}/_LATEST"
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        best = F.max(F.struct("ts", "event_id", "event_type", "value")) \
+            .alias("b")
+        return df.groupBy("user_id").agg(best).select(
+            "user_id", F.col("b.ts").alias("ts"),
+            F.col("b.event_id").alias("event_id"),
+            F.col("b.event_type").alias("event_type"),
+            F.col("b.value").alias("value"),
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        import os as _os
+
+        new = latest_per_key(batch_df)
+        if _os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = spark.read.parquet(f.read().strip())
+            new = latest_per_key(cur.unionByName(new))
+        vdir = f"{out_dir}/state_v{batch_id}"
+        new.write.mode("overwrite").parquet(vdir)
+        tmp = f"{ptr}.tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        _os.replace(tmp, ptr)  # atomic pointer flip
+
+    return (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_upsert_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the current state of a ``stream_upsert_latest`` sink."""
+    with open(f"{out_dir}/_LATEST") as f:
+        return spark.read.parquet(f.read().strip())

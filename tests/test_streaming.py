@@ -305,3 +305,29 @@ def test_stream_stream_click_attribution(spark, tmp_path_factory):
         (11, 3, 1, 5_000_000),
         (98, 99, 99, 50_000_000),
     }
+
+
+def test_stream_upsert_latest_wins(spark, tmp_path_factory):
+    """Keyed upsert contract: one row per key; latest (ts, event_id) wins
+    within a batch AND across batches; an older row arriving in a later
+    batch does NOT regress the state; unseen keys insert."""
+    from pl_marker_spark.streaming import (
+        read_upsert_state,
+        stream_upsert_latest,
+    )
+
+    base = str(tmp_path_factory.mktemp("upsert"))
+    indir, outdir = f"{base}/in", f"{base}/out"
+    _write_event_files(indir, [
+        # user 1 twice in-batch (t=10 then t=20 wins); user 2 once
+        ("f1", 1000, [(1, 10, 1, 1.0), (2, 20, 1, 2.0), (3, 5, 2, 3.0)]),
+        # user 1 updates (t=30), user 2 gets an OLDER row (t=1 — ignored),
+        # user 3 inserts; ties on ts for user 3 break on event_id (6 wins)
+        ("f2", 2000, [(4, 30, 1, 4.0), (5, 1, 2, 5.0),
+                      (6, 40, 3, 6.0), (7, 40, 3, 0.5)]),
+    ])
+    q = stream_upsert_latest(spark, indir, outdir)
+    q.awaitTermination(300)
+    got = {r.user_id: (r.event_id, r.value)
+           for r in read_upsert_state(spark, outdir).collect()}
+    assert got == {1: (4, 4.0), 2: (3, 3.0), 3: (7, 0.5)}
