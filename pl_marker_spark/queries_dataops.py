@@ -945,6 +945,63 @@ FROM x GROUP BY doc_id
 
 
 
+# ---------- deterministic epoch shuffle (training-order generation) ---------
+
+_SHUF_EPOCHS = 2
+_SHUF_WORKERS = 8
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training order — the "reshuffle the corpus
+    every epoch, reproducibly, with no RNG state" step of a distributed
+    data loader: each (epoch, document) gets an md5 shuffle key, a worker
+    shard (key-hash mod W), and its position within that shard.
+
+    Scale shape: there is deliberately NO global position column — a
+    corpus-wide rank per epoch would be a single-partition window (the
+    global-cumsum serialization seq_pack also avoids); real loaders
+    consume per-worker shards, so the only sort is the per-(epoch, worker)
+    window — W×epochs independent partitions. The shard assignment is a
+    pure scan expression (integer md5-prefix math, RNG-free and
+    partition-stable like stratified_sample)."""
+    d = _doc(spark, sf_dir, "documents").select("doc_id")
+    ep = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SHUF_EPOCHS - 1)))
+        .alias("epoch"),
+    )
+    key = F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id")))
+    keyed = ep.select(
+        "doc_id", F.col("epoch").cast("long").alias("epoch"),
+        key.alias("shuffle_key"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+         % _SHUF_WORKERS).alias("worker"),
+    )
+    w = Window.partitionBy("epoch", "worker").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "epoch", "worker", "doc_id", "shuffle_key",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
+
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH ep AS (SELECT doc_id, UNNEST(range({_SHUF_EPOCHS})) AS epoch
+            FROM documents),
+k AS (SELECT doc_id, epoch::BIGINT AS epoch,
+             md5(epoch || ':' || doc_id) AS shuffle_key
+      FROM ep),
+kw AS (SELECT doc_id, epoch, shuffle_key,
+              (('0x' || substring(shuffle_key, 1, 8))::BIGINT
+               % {_SHUF_WORKERS}) AS worker
+       FROM k)
+SELECT epoch, worker, doc_id, shuffle_key,
+       row_number() OVER (PARTITION BY epoch, worker
+                          ORDER BY shuffle_key, doc_id)::BIGINT AS pos_in_shard
+FROM kw
+"""
+
+
+
 DATAOPS_QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "c4_filters": q_c4_filters,
@@ -960,6 +1017,7 @@ DATAOPS_QUERIES = {
     "mixture_weights": q_mixture_weights,
     "vocab_build": q_vocab_build,
     "oov_rate": q_oov_rate,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 DATAOPS_SQLS = {
@@ -977,4 +1035,5 @@ DATAOPS_SQLS = {
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "vocab_build": SQL_VOCAB_BUILD,
     "oov_rate": SQL_OOV_RATE,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
 }

@@ -227,3 +227,36 @@ def test_vocab_build_and_oov_nondegenerate(spark):
     assert any(r.n_oov > 0 for r in rates)   # real OOV mass
     assert any(r.n_oov == 0 for r in rates) or \
         sum(r.n_oov for r in rates) < 0.5 * sum(r.n_tokens for r in rates)
+
+
+def test_epoch_shuffle_permutes_and_shards(spark):
+    """Epoch-shuffle invariants: every epoch covers every document exactly
+    once; shard positions are contiguous 1..n within each (epoch, worker);
+    the two epochs give genuinely different orders (most documents change
+    (worker, pos)); shards are roughly balanced (md5 is uniform)."""
+    from pl_marker_spark.queries_dataops import (
+        _SHUF_EPOCHS,
+        _SHUF_WORKERS,
+        q_epoch_shuffle,
+    )
+
+    rows = q_epoch_shuffle(spark, "/root/testdata/sf0.001").collect()
+    by_epoch: dict = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == set(range(_SHUF_EPOCHS))
+    docs0 = sorted(r.doc_id for r in by_epoch[0])
+    for e, ers in by_epoch.items():
+        assert sorted(r.doc_id for r in ers) == docs0  # full cover, no dups
+        shards: dict = {}
+        for r in ers:
+            shards.setdefault(r.worker, []).append(r.pos_in_shard)
+        assert set(shards) == set(range(_SHUF_WORKERS))
+        for w, poss in shards.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), (e, w)
+        sizes = [len(v) for v in shards.values()]
+        assert max(sizes) < 2 * min(sizes), sizes  # md5 uniformity
+    place = {e: {r.doc_id: (r.worker, r.pos_in_shard) for r in ers}
+             for e, ers in by_epoch.items()}
+    moved = sum(place[0][d] != place[1][d] for d in docs0)
+    assert moved / len(docs0) > 0.8  # epochs really reshuffle
