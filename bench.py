@@ -112,7 +112,8 @@ def main() -> None:
                  "rollup_revenue", "window_running", "range_join_counts",
                  # round-4 training-example assembly + LM-quality family
                  "doc_chunk", "seq_pack", "lm_xent_bucket",
-                 "mixture_weights", "semdedup"):
+                 "mixture_weights", "semdedup", "vocab_build", "oov_rate",
+                 "epoch_shuffle"):
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
