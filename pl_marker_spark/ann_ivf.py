@@ -209,7 +209,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir)
 
 
-SQL_ANN_IVF = f"""
+# shared quantizer CTE chain (unit vectors -> seed init -> one Lloyd
+# round -> cell ranking -> argmax assignment) — the SQL twin of
+# rank_cells(); SQL_ANN_IVF and SQL_SEMDEDUP both compose from it
+_SQL_QUANTIZER = f"""\
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 u AS (SELECT vec_id,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
@@ -236,7 +239,9 @@ rk AS (SELECT vec_id, uv, cell, csim,
               row_number() OVER (PARTITION BY vec_id
                                  ORDER BY csim DESC, cell) AS crk
        FROM cs),
-asn AS (SELECT vec_id, cell FROM rk WHERE crk = 1),
+asn AS (SELECT vec_id, cell FROM rk WHERE crk = 1)"""
+
+SQL_ANN_IVF = _SQL_QUANTIZER + f""",
 probes AS (SELECT vec_id AS q_id, uv AS qv, cell
            FROM rk WHERE crk <= {NPROBE} AND vec_id < {N_QUERIES}),
 cand AS (SELECT p.q_id, p.qv, a.vec_id
@@ -250,6 +255,7 @@ fin AS (SELECT q_id, vec_id, sim,
         FROM scored)
 SELECT q_id, vec_id, sim, rk::BIGINT AS rk FROM fin WHERE rk <= {TOP_K}
 """
+
 
 
 # ---------- SemDeDup: cluster-scoped semantic deduplication ------------------
@@ -335,11 +341,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(spark, sf_dir, tau=TAU_SEM_GATE)
 
 
-# The twin re-derives the SAME quantizer CTE chain as SQL_ANN_IVF (through
-# `asn`), then runs the within-cell pair scan + keep policy relationally.
-_SQL_QUANTIZER = SQL_ANN_IVF.split("probes AS")[0].rstrip().rstrip(",")
-
-SQL_SEMDEDUP = f"""{_SQL_QUANTIZER},
+# The twin extends the SAME quantizer CTE chain (through `asn`) with the
+# within-cell pair scan + keep policy.
+SQL_SEMDEDUP = _SQL_QUANTIZER + f""",
 sem AS (SELECT a3.vec_id, a3.cell, u.uv
         FROM asn a3 JOIN u USING (vec_id)),
 sp AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id

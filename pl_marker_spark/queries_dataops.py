@@ -900,11 +900,13 @@ def q_oov_rate(spark, sf_dir):
     tokenizer design): token count, OOV token count, OOV rate, and the
     count of *distinct* unknown terms per document.
 
-    Scale shape: the (doc, term) tf aggregation is the one wide shuffle;
-    the V-row vocabulary comes back as a broadcast hash join (left join +
-    null test — a broadcast anti-join on the hot path would lose the
-    in-vocab counts), so the per-doc rollup happens in the same stage
-    that reads tf."""
+    Scale shape: TWO corpus scans — the embedded vocabulary pass
+    (collected to a V-row broadcast) and the (doc, term) tf aggregation
+    (the wide shuffle); the vocabulary enters as a broadcast hash join
+    (left join + null test — an anti-join would lose the in-vocab
+    counts), so the per-doc rollup happens in the same stage that reads
+    tf. A production pipeline materializes the vocabulary once as an
+    artifact (it IS the tokenizer input) instead of recomputing it."""
     d = _doc(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))

@@ -415,18 +415,32 @@ def stream_upsert_latest(
 
     def merge(batch_df: DataFrame, batch_id: int):
         import os as _os
+        import shutil as _sh
 
-        new = latest_per_key(batch_df)
+        vdir = f"{out_dir}/state_v{batch_id}"
+        prev = None
         if _os.path.exists(ptr):
             with open(ptr) as f:
-                cur = spark.read.parquet(f.read().strip())
-            new = latest_per_key(cur.unionByName(new))
-        vdir = f"{out_dir}/state_v{batch_id}"
+                prev = f.read().strip()
+            if prev == vdir:
+                # crash-replay of an already-merged batch: the pointer
+                # flip committed, so merging again would overwrite the
+                # very path being read — idempotent skip instead
+                return
+        new = latest_per_key(batch_df)
+        if prev:
+            new = latest_per_key(spark.read.parquet(prev).unionByName(new))
         new.write.mode("overwrite").parquet(vdir)
         tmp = f"{ptr}.tmp"
         with open(tmp, "w") as f:
             f.write(vdir)
         _os.replace(tmp, ptr)  # atomic pointer flip
+        # prune: keep current + previous (the concurrent-reader window the
+        # pointer dance exists for); anything older is unreachable
+        for d in _os.listdir(out_dir):
+            full = f"{out_dir}/{d}"
+            if d.startswith("state_v") and full not in (vdir, prev):
+                _sh.rmtree(full, ignore_errors=True)
 
     return (
         ev.writeStream.foreachBatch(merge)
@@ -438,5 +452,12 @@ def stream_upsert_latest(
 
 def read_upsert_state(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read the current state of a ``stream_upsert_latest`` sink."""
-    with open(f"{out_dir}/_LATEST") as f:
+    import os as _os
+
+    ptr = f"{out_dir}/_LATEST"
+    if not _os.path.exists(ptr):
+        raise FileNotFoundError(
+            f"no upsert state committed yet under {out_dir} "
+            "(_LATEST pointer missing — has the stream run a batch?)")
+    with open(ptr) as f:
         return spark.read.parquet(f.read().strip())

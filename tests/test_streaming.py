@@ -331,3 +331,17 @@ def test_stream_upsert_latest_wins(spark, tmp_path_factory):
     got = {r.user_id: (r.event_id, r.value)
            for r in read_upsert_state(spark, outdir).collect()}
     assert got == {1: (4, 4.0), 2: (3, 3.0), 3: (7, 0.5)}
+    # storage is bounded: only the reader window (current + previous
+    # version) survives pruning
+    vdirs = [d for d in os.listdir(outdir) if d.startswith("state_v")]
+    assert len(vdirs) <= 2, vdirs
+
+
+def test_read_upsert_state_before_first_batch(spark, tmp_path_factory):
+    """A clear error, not a raw parquet-path crash, when no batch has
+    committed yet."""
+    from pl_marker_spark.streaming import read_upsert_state
+
+    empty = str(tmp_path_factory.mktemp("upsert_empty"))
+    with pytest.raises(FileNotFoundError, match="no upsert state"):
+        read_upsert_state(spark, empty)
