@@ -265,6 +265,64 @@ def phash_media(media: DataFrame, hash_size: int = 8) -> DataFrame:
         run, schema=PHASH_SCHEMA)
 
 
+RESIZE_SCHEMA = ("media_id long, width int, height int, "
+                 "out_size int, px_digest long")
+
+
+def resize_media(media: DataFrame, out: int = 8) -> DataFrame:
+    """Image rows -> exact integer box-mean downsample to ``out``×``out``
+    RGB — the *resize* step of a multimodal featurization pipeline
+    (thumbnailing before embedding / perceptual indexing), REAL end to end
+    on the native BMP/PNG/JPEG decoders (no image libraries). Each block's
+    channel value is ``sum // (bh*bw)`` — exact integer math, so the
+    resized pixels are bit-reproducible across implementations; the row
+    emits a 60-bit md5 digest of the resized RGB bytes (row-major, RGB
+    channel order), the same positive-in-int64 discipline as phash64.
+
+    Arrow-batched mapInPandas like phash_media; unknown magics skip here
+    and are accounted by ``media_rejects``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, ws, hs, digs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                head = bytes(payload[:8])
+                if (head[:2] not in (b"BM", b"\xff\xd8")
+                        and head != b"\x89PNG\r\n\x1a\n"):
+                    continue  # media_rejects accounts for these
+                px = _decode_image(bytes(payload))
+                h, w = px.shape[:2]
+                bh, bw = h // out, w // out
+                if bh == 0 or bw == 0:
+                    raise ValueError(f"image {h}x{w} smaller than {out}x{out}")
+                small = (
+                    px[: bh * out, : bw * out].astype(np.int64)
+                    .reshape(out, bh, out, bw, 3).sum(axis=(1, 3))
+                    // (bh * bw)
+                ).astype(np.uint8)
+                ids.append(int(mid))
+                hs.append(h)
+                ws.append(w)
+                digs.append(int(
+                    hashlib.md5(small.tobytes()).hexdigest()[:15], 16))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "out_size": pd.Series([out] * len(ids), dtype="int32"),
+                    "px_digest": pd.Series(digs, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZE_SCHEMA)
+
+
 REJECTS_SCHEMA = "media_id long, kind string, reason string"
 
 

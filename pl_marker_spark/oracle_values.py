@@ -250,6 +250,59 @@ def _wav_fp_py(payload: bytes, n_bits: int = 64):
     return rate, len(samples), v
 
 
+def _box_resize_digest_py(rgb, out: int = 8) -> int:
+    """Pure-python exact integer box-mean resize + 60-bit md5 digest of
+    the resized RGB bytes (row-major, RGB order) — no numpy, no shared
+    code with multimodal.resize_media."""
+    import hashlib
+
+    h, w = len(rgb), len(rgb[0])
+    bh, bw = h // out, w // out
+    buf = bytearray()
+    for by in range(out):
+        for bx in range(out):
+            for c in range(3):
+                t = 0
+                for y in range(by * bh, (by + 1) * bh):
+                    for x in range(bx * bw, (bx + 1) * bw):
+                        t += rgb[y][x][c]
+                buf.append(t // (bh * bw))
+    return int(hashlib.md5(bytes(buf)).hexdigest()[:15], 16)
+
+
+def _bmp_rgb_py(payload: bytes):
+    """Independent stdlib-only BMP decode to a row-major RGB grid (no
+    numpy, no shared code with multimodal.decode_bmp)."""
+    import struct
+
+    assert payload[:2] == b"BM"
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    _hdr, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    h = abs(h_raw)
+    row_size = (3 * w + 3) // 4 * 4
+    rgb = []
+    for y in range(h):
+        srow = (h - 1 - y) if h_raw > 0 else y
+        base = data_off + srow * row_size
+        rgb.append([
+            (payload[base + 3 * x + 2], payload[base + 3 * x + 1],
+             payload[base + 3 * x])
+            for x in range(w)
+        ])
+    return w, h, rgb
+
+
+def _pixels_rgb_py(i: int):
+    """RGB grid straight from the shared pixel definition (the PNG-row
+    oracle: the Spark side must invert encode_png exactly to match)."""
+    from .multimodal import IMG_SIZE, synthetic_pixels
+
+    px = synthetic_pixels(i)
+    rgb = [[(int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2]))
+            for x in range(IMG_SIZE)] for y in range(IMG_SIZE)]
+    return IMG_SIZE, IMG_SIZE, rgb
+
+
 def multimodal_oracle_sqls() -> dict[str, str]:
     """VALUES oracles for the multimodal queries: the pinned synthetic
     media corpus's image/audio payloads re-decoded and re-hashed by the
@@ -262,14 +315,17 @@ def multimodal_oracle_sqls() -> dict[str, str]:
             synthetic_samples,
         )
 
-        img_rows, wav_rows = [], []
+        img_rows, wav_rows, rsz_rows = [], [], []
         for i in range(N_MEDIA):
             if i % 3 == 0:           # synthetic_media kind cycle: image at 0
                 if i % 6 == 0:       # BMP rows: independent payload decoder
                     w, h, v = _bmp_phash_py(encode_bmp(synthetic_pixels(i)))
+                    _, _, rgb = _bmp_rgb_py(encode_bmp(synthetic_pixels(i)))
                 else:                # PNG rows: hash from the pixel
                     w, h, v = _pixels_phash_py(i)  # definition (roundtrip
-                img_rows.append((i, w, h, v))      # verified end-to-end)
+                    _, _, rgb = _pixels_rgb_py(i)  # verified end-to-end)
+                img_rows.append((i, w, h, v))
+                rsz_rows.append((i, w, h, 8, _box_resize_digest_py(rgb)))
             elif i % 3 == 1:         # audio at 1
                 r, ns, v = _wav_fp_py(encode_wav(synthetic_samples(i)))
                 wav_rows.append((i, r, ns, v))
@@ -280,6 +336,10 @@ def multimodal_oracle_sqls() -> dict[str, str]:
             "multimodal_audiofp": _values_sql(
                 wav_rows, ["media_id", "sample_rate", "n_samples", "afp"],
                 ["BIGINT", "INTEGER", "BIGINT", "BIGINT"]),
+            "multimodal_resize": _values_sql(
+                rsz_rows,
+                ["media_id", "width", "height", "out_size", "px_digest"],
+                ["BIGINT", "INTEGER", "INTEGER", "INTEGER", "BIGINT"]),
         }
     return _CACHE["multimodal"]
 

@@ -1128,6 +1128,19 @@ def q_multimodal_audiofp(spark, sf_dir):
     return fingerprint_audio(synthetic_media(spark, N_MEDIA))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Real image resize kernel: native BMP/PNG decode + exact integer
+    box-mean downsample to 8×8 RGB, digested via 60-bit md5 of the
+    resized bytes. Oracle = independent pure-python decoders + resize
+    (oracle_values._bmp_rgb_py / _pixels_rgb_py / _box_resize_digest_py)
+    rendered as VALUES — the resize arithmetic is verified bit-for-bit,
+    not just the plumbing."""
+    from .multimodal import resize_media, synthetic_media
+    from .oracle_values import N_MEDIA
+
+    return resize_media(synthetic_media(spark, N_MEDIA))
+
+
 def q_minhash_neardup(spark, sf_dir):
     """MinHash+LSH near-dup candidates over documents (shingle → one
     portable hash → affine permutation minima → band → salted bucket join →
@@ -1413,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_hf_attleft": q_kg_triples_hf_attleft,
         "multimodal_phash": q_multimodal_phash,
         "multimodal_audiofp": q_multimodal_audiofp,
+        "multimodal_resize": q_multimodal_resize,
         "ann_ivf_topk": _q_ann_ivf,
         "semdedup": _q_semdedup,
         "o17_coref_conll": q_o17_coref_conll,
