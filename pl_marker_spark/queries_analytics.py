@@ -580,12 +580,102 @@ FROM p LEFT JOIN m USING (purchase_id)
 """
 
 
+def q_hll_merge(spark, sf_dir):
+    """HLL register MERGEABILITY — the property that makes the sketch a
+    100-TB operator at all: registers built independently per partition
+    (here: documents split by doc_id parity) max-merge to exactly the
+    whole-corpus registers (max is associative/commutative, so partial
+    aggregation distributes). The gate computes BOTH plan shapes — the
+    two-phase per-part → merge rollup and the one-shot register table —
+    and emits a per-bucket ``mergeable`` flag; the DuckDB twin re-derives
+    both independently, so the distributive law is verified end to end in
+    two engines, not assumed. Same integer-only register math as
+    ``hll_registers`` (-1 sentinels for parts with no value in a bucket —
+    never nulls, which break the driver's canonical sort)."""
+    d = _doc(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")
+    psh = (
+        d.filter(F.size(toks) >= 3)
+        .select((F.col("doc_id") % 2).cast("long").alias("part"),
+                F.explode(sh).alias("shingle"))
+    )
+    h = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15),
+               16, 10).cast("long")
+    t = psh.select("part", h.alias("h")).select(
+        "part", (F.col("h") % HLL_M).alias("bucket"), "h")
+    w = F.expr(f"h DIV {HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.conv(w.cast("string"), 10, 2)))
+    parts = (
+        t.select("part", "bucket", rho.cast("long").alias("rho"))
+        .groupBy("part", "bucket").agg(F.max("rho").alias("rho"))
+    )
+    merged = parts.groupBy("bucket").agg(F.max("rho").alias("rho_merged"))
+    even = parts.filter(F.col("part") == 0).select(
+        "bucket", F.col("rho").alias("rho_even"))
+    odd = parts.filter(F.col("part") == 1).select(
+        "bucket", F.col("rho").alias("rho_odd"))
+    whole = _hll_registers_df(spark, sf_dir).select(
+        "bucket", F.col("rho").alias("rho_whole"))
+    return (
+        merged.join(even, "bucket", "left").join(odd, "bucket", "left")
+        .join(whole, "bucket")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.coalesce("rho_even", F.lit(-1)).cast("long").alias("rho_even"),
+            F.coalesce("rho_odd", F.lit(-1)).cast("long").alias("rho_odd"),
+            F.col("rho_merged").cast("long").alias("rho_merged"),
+            F.col("rho_whole").cast("long").alias("rho_whole"),
+            (F.col("rho_merged") == F.col("rho_whole"))
+            .cast("long").alias("mergeable"),
+        )
+    )
+
+
+def sql_hll_merge() -> str:
+    return f"""
+WITH psh AS (
+  SELECT (doc_id % 2)::BIGINT AS part,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+  WHERE len(ws) >= 3),
+hh AS (SELECT part, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+       FROM psh),
+parts AS (
+  SELECT part, h % {HLL_M} AS bucket,
+         max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_W + 1}
+             ELSE {_HLL_W + 1} - length(bin(h // {HLL_M})) END) AS rho
+  FROM hh GROUP BY part, h % {HLL_M}),
+merged AS (SELECT bucket, max(rho) AS rho_merged FROM parts GROUP BY bucket),
+whole AS (
+  SELECT h % {HLL_M} AS bucket,
+         max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_W + 1}
+             ELSE {_HLL_W + 1} - length(bin(h // {HLL_M})) END) AS rho_whole
+  FROM hh GROUP BY h % {HLL_M})
+SELECT m.bucket::BIGINT AS bucket,
+       coalesce(e.rho, -1)::BIGINT AS rho_even,
+       coalesce(o.rho, -1)::BIGINT AS rho_odd,
+       m.rho_merged::BIGINT AS rho_merged,
+       w.rho_whole::BIGINT AS rho_whole,
+       (m.rho_merged = w.rho_whole)::BIGINT AS mergeable
+FROM merged m
+LEFT JOIN (SELECT bucket, rho FROM parts WHERE part = 0) e USING (bucket)
+LEFT JOIN (SELECT bucket, rho FROM parts WHERE part = 1) o USING (bucket)
+JOIN whole w USING (bucket)
+"""
+
+
 ANALYTICS_QUERIES = {
     "kg_entity_pagerank": q_kg_entity_pagerank,
     "graph_degree_dist": q_graph_degree_dist,
     "graph_triangles": q_graph_triangles,
     "hll_registers": q_hll_registers,
     "hll_estimate": q_hll_estimate,
+    "hll_merge": q_hll_merge,
     "cms_freq": q_cms_freq,
     "heavy_hitters": q_heavy_hitters,
     "rollup_revenue": q_rollup_revenue,
@@ -602,6 +692,7 @@ def analytics_sqls() -> dict[str, str]:
         "graph_triangles": sql_graph_triangles(),
         "hll_registers": sql_hll_registers(),
         "hll_estimate": sql_hll_estimate(),
+        "hll_merge": sql_hll_merge(),
         "cms_freq": sql_cms_freq(),
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
