@@ -669,6 +669,83 @@ JOIN whole w USING (bucket)
 """
 
 
+def q_cms_merge(spark, sf_dir):
+    """Count-min sketch MERGEABILITY — the companion law to ``hll_merge``
+    under the other sketch algebra: CMS cells built independently per
+    doc_id-parity partition SUM-merge (cellwise addition, not max) to
+    exactly the one-shot whole-corpus cells. Emits one row per non-empty
+    (r, c) cell with part counts, the summed merge, the whole-corpus
+    count, and a ``mergeable`` flag; the twin re-derives every column
+    independently. Together the two gates cover the two distributive
+    aggregation algebras (max for HLL, + for CMS) a 100-TB rollup
+    pipeline relies on."""
+    d = _doc(spark, sf_dir, "documents")
+    toks = d.select((F.col("doc_id") % 2).cast("long").alias("part"),
+                    F.explode(F.split("text", " ")).alias("token"))
+
+    def cell(tok_col, r):
+        return F.conv(F.substring(F.md5(F.concat(F.lit(f"r{r}:"), tok_col)
+                                        .cast("binary")), 1, 15),
+                      16, 10).cast("long") % CMS_W
+
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), cell(F.col("token"), r).alias("c"))
+        for r in range(CMS_D)])).alias("rc")
+    base = toks.select("part", rows).select(
+        "part", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    parts = base.groupBy("part", "r", "c").agg(F.count("*").alias("cnt"))
+    merged = parts.groupBy("r", "c").agg(F.sum("cnt").alias("cnt_merged"))
+    even = parts.filter(F.col("part") == 0).select(
+        "r", "c", F.col("cnt").alias("cnt_even"))
+    odd = parts.filter(F.col("part") == 1).select(
+        "r", "c", F.col("cnt").alias("cnt_odd"))
+    whole = base.groupBy("r", "c").agg(F.count("*").alias("cnt_whole"))
+    return (
+        merged.join(even, ["r", "c"], "left").join(odd, ["r", "c"], "left")
+        .join(whole, ["r", "c"])
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("c").cast("long").alias("c"),
+            F.coalesce("cnt_even", F.lit(0)).cast("long").alias("cnt_even"),
+            F.coalesce("cnt_odd", F.lit(0)).cast("long").alias("cnt_odd"),
+            F.col("cnt_merged").cast("long").alias("cnt_merged"),
+            F.col("cnt_whole").cast("long").alias("cnt_whole"),
+            (F.col("cnt_merged") == F.col("cnt_whole"))
+            .cast("long").alias("mergeable"),
+        )
+    )
+
+
+def sql_cms_merge() -> str:
+    salted = " UNION ALL ".join(
+        f"SELECT part, {r} AS r,"
+        f" ('0x' || substr(md5('r{r}:' || token), 1, 15))::BIGINT"
+        f" % {CMS_W} AS c FROM toks" for r in range(CMS_D))
+    return f"""
+WITH toks AS (SELECT (doc_id % 2)::BIGINT AS part,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents),
+salted AS ({salted}),
+parts AS (SELECT part, r, c, count(*)::BIGINT AS cnt
+          FROM salted GROUP BY part, r, c),
+merged AS (SELECT r, c, sum(cnt)::BIGINT AS cnt_merged
+           FROM parts GROUP BY r, c),
+whole AS (SELECT r, c, count(*)::BIGINT AS cnt_whole
+          FROM salted GROUP BY r, c)
+SELECT m.r::BIGINT AS r, m.c::BIGINT AS c,
+       coalesce(e.cnt, 0)::BIGINT AS cnt_even,
+       coalesce(o.cnt, 0)::BIGINT AS cnt_odd,
+       m.cnt_merged, w.cnt_whole,
+       (m.cnt_merged = w.cnt_whole)::BIGINT AS mergeable
+FROM merged m
+LEFT JOIN (SELECT r, c, cnt FROM parts WHERE part = 0) e
+  ON e.r = m.r AND e.c = m.c
+LEFT JOIN (SELECT r, c, cnt FROM parts WHERE part = 1) o
+  ON o.r = m.r AND o.c = m.c
+JOIN whole w ON w.r = m.r AND w.c = m.c
+"""
+
+
 ANALYTICS_QUERIES = {
     "kg_entity_pagerank": q_kg_entity_pagerank,
     "graph_degree_dist": q_graph_degree_dist,
@@ -676,6 +753,7 @@ ANALYTICS_QUERIES = {
     "hll_registers": q_hll_registers,
     "hll_estimate": q_hll_estimate,
     "hll_merge": q_hll_merge,
+    "cms_merge": q_cms_merge,
     "cms_freq": q_cms_freq,
     "heavy_hitters": q_heavy_hitters,
     "rollup_revenue": q_rollup_revenue,
@@ -693,6 +771,7 @@ def analytics_sqls() -> dict[str, str]:
         "hll_registers": sql_hll_registers(),
         "hll_estimate": sql_hll_estimate(),
         "hll_merge": sql_hll_merge(),
+        "cms_merge": sql_cms_merge(),
         "cms_freq": sql_cms_freq(),
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
