@@ -207,7 +207,13 @@ WHERE len(ws) >= 3
 
 
 def _hll_registers_df(spark, sf_dir):
-    sh = _shingles(spark, sf_dir)
+    return hll_registers_from_shingles(_shingles(spark, sf_dir))
+
+
+def hll_registers_from_shingles(sh):
+    """(shingle) rows -> (bucket, rho) register table — the reusable form
+    consumed by the batch queries AND streaming.stream_hll_distinct (whose
+    cross-batch max-merge is exactly the law hll_merge gates)."""
     h = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15),
                16, 10).cast("long")
     # h named behind a projection boundary so md5 runs once (the CSE trap)

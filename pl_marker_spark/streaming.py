@@ -461,3 +461,65 @@ def read_upsert_state(spark: SparkSession, out_dir: str) -> DataFrame:
             "(_LATEST pointer missing — has the stream run a batch?)")
     with open(ptr) as f:
         return spark.read.parquet(f.read().strip())
+
+
+def stream_hll_distinct(
+    spark: SparkSession, in_dir: str, out_dir: str,
+):
+    """Streaming distinct-count sketch: each micro-batch of the document
+    feed builds its own HLL register table (p=8 — the same integer-exact
+    math the batch queries gate) and max-merges it into the persisted
+    registers. This is the composition the ``hll_merge`` driver gate
+    exists to license: max is associative/commutative, so per-batch
+    partial sketches merged over ANY batching equal the one-shot sketch —
+    state is 256 rows forever, a distinct-count over an unbounded stream
+    with O(m) memory and no shuffle of history. Same versioned-dir +
+    atomic pointer sink as ``stream_upsert_latest`` (replay-idempotent,
+    pruned to the reader window)."""
+    from .queries_analytics import hll_registers_from_shingles
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    ptr = f"{out_dir}/_LATEST"
+
+    def shingles_of(df: DataFrame) -> DataFrame:
+        sh = F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")
+        return (df.filter(F.size(F.split("text", " ")) >= 3)
+                .select(F.explode(sh).alias("shingle")))
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        import os as _os
+        import shutil as _sh
+
+        vdir = f"{out_dir}/state_v{batch_id}"
+        prev = None
+        if _os.path.exists(ptr):
+            with open(ptr) as f:
+                prev = f.read().strip()
+            if prev == vdir:
+                return  # replay of an already-merged batch
+        reg = hll_registers_from_shingles(shingles_of(batch_df))
+        if prev:
+            reg = (spark.read.parquet(prev).unionByName(reg)
+                   .groupBy("bucket").agg(F.max("rho").alias("rho")))
+        reg.write.mode("overwrite").parquet(vdir)
+        tmp = f"{ptr}.tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        _os.replace(tmp, ptr)
+        for d in _os.listdir(out_dir):
+            full = f"{out_dir}/{d}"
+            if d.startswith("state_v") and full not in (vdir, prev):
+                _sh.rmtree(full, ignore_errors=True)
+
+    return (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -345,3 +345,51 @@ def test_read_upsert_state_before_first_batch(spark, tmp_path_factory):
     empty = str(tmp_path_factory.mktemp("upsert_empty"))
     with pytest.raises(FileNotFoundError, match="no upsert state"):
         read_upsert_state(spark, empty)
+
+
+def test_stream_hll_distinct_merge_law(spark, tmp_path_factory):
+    """Cross-micro-batch register merging equals the one-shot batch
+    sketch over the concatenated feed — the max-merge law (driver-gated
+    by hll_merge) carried through the streaming path. Also pins the
+    sanity direction: more distinct shingles in batch 2 can only raise
+    registers, never lower them."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pl_marker_spark.queries_analytics import hll_registers_from_shingles
+    from pl_marker_spark.streaming import read_upsert_state, stream_hll_distinct
+
+    base = str(tmp_path_factory.mktemp("shll"))
+    indir, outdir = f"{base}/in", f"{base}/out"
+    os.makedirs(indir)
+    t0 = dt.datetime(2026, 1, 1)
+    texts_a = [f"alpha beta gamma delta {i} epsilon zeta" for i in range(30)]
+    texts_b = [f"eta theta {i} iota kappa lambda mu" for i in range(30)]
+    for name, mtime, texts, off in (("a", 1000, texts_a, 0),
+                                    ("b", 2000, texts_b, 100)):
+        pdf = pd.DataFrame(
+            [(off + i, t, t0 + dt.timedelta(seconds=i))
+             for i, t in enumerate(texts)],
+            columns=["doc_id", "text", "ts"])
+        p = f"{indir}/{name}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(p, (mtime, mtime))
+
+    q = stream_hll_distinct(spark, indir, outdir)
+    q.awaitTermination(300)
+    got = {(r.bucket, r.rho)
+           for r in read_upsert_state(spark, outdir).collect()}
+
+    all_docs = spark.createDataFrame(
+        [(t,) for t in texts_a + texts_b], ["text"])
+    sh = F.expr("transform(sequence(0, size(split(text, ' ')) - 3),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")
+    one_shot = hll_registers_from_shingles(
+        all_docs.select(F.explode(sh).alias("shingle")))
+    want = {(r.bucket, r.rho) for r in one_shot.collect()}
+    assert got == want
+    assert len(got) > 10  # the corpus actually populates registers
