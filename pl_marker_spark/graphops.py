@@ -33,29 +33,41 @@ def pagerank(nodes: DataFrame, und: DataFrame, iters: int = 5,
     at (1−d).
 
     `nodes`: one column ``node``; `und`: canonical pairs ``a < b``.
-    Plan: degrees attach to the adjacency ONCE before the loop; each
-    iteration is one src-keyed join plus one dst-keyed partial agg — a
-    single |E|-scale shuffle. At production scale, bucket the adjacency
-    by src so the per-iteration join reuses scan partitioning, and
-    checkpoint ranks every few iterations to cut lineage.
+    Plan: degrees attach to the adjacency ONCE and the result is
+    materialized (localCheckpoint) so no iteration re-derives the edge
+    subtree; the `ranks` plan is likewise checkpointed every
+    ``checkpoint_every`` iterations, so lineage depth — and therefore
+    per-iteration planning/recompute cost — stays bounded regardless of
+    `iters`. Each iteration is one src-keyed join plus one dst-keyed
+    partial agg — a single |E|-scale shuffle. At production scale,
+    additionally bucket the adjacency by src so the per-iteration join
+    reuses scan partitioning.
     """
     adj = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     deg = adj.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
-    adj_deg = adj.join(deg, "src")
-    ranks = nodes.select("node", F.lit(1.0).alias("pr"))
-    for _ in range(iters):
+    # Built once, consumed every iteration: cut its lineage so iteration k
+    # does not re-run the upstream edge pipeline k times.
+    adj_deg = adj.join(deg, "src").localCheckpoint()
+    node_ids = nodes.select("node").localCheckpoint()
+    ranks = node_ids.select("node", F.lit(1.0).alias("pr"))
+    checkpoint_every = 2
+    for it in range(iters):
         contrib = (
             adj_deg.join(ranks, adj_deg.src == ranks.node)
             .groupBy("dst").agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
         )
         ranks = (
-            nodes.select("node")
+            node_ids
             .join(contrib, F.col("node") == F.col("dst"), "left")
             .select("node",
                     (F.lit(1 - damp)
                      + F.lit(damp) * F.coalesce("c", F.lit(0.0))).alias("pr"))
         )
+        # Truncate the growing iterative plan; without this the optimizer
+        # re-plans (and lineage re-executes) a tree that doubles per pass.
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < iters:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -67,6 +79,12 @@ def triangle_counts(edges: DataFrame, a: str = "doc_a",
     corners. At 100 TB, orient edges low→high *degree* instead of id to
     bound the wedge fan-out at hub nodes (same plan, different order).
     Returns (node, n_tri)."""
+    # The edge list enters the wedge join THREE times; if it carries a
+    # non-trivial lineage (here: the whole shingle→jaccard near-dup
+    # pipeline) the 3-way self-join would re-evaluate that subtree up to
+    # 3x unless exchange reuse happens to fire. Materialize once — the
+    # canonical edge list is ids-only, tiny relative to its lineage.
+    edges = edges.select(a, b).localCheckpoint()
     e1 = edges.select(F.col(a).alias("ta"), F.col(b).alias("tb"))
     e2 = edges.select(F.col(a).alias("tb2"), F.col(b).alias("tc"))
     e3 = edges.select(F.col(a).alias("ta3"), F.col(b).alias("tc3"))

@@ -1382,9 +1382,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .queries_analytics import ANALYTICS_QUERIES
     from .queries_dataops import DATAOPS_QUERIES
 
+    # Ordering matters: the driver verifies at most the FIRST 50 entries in
+    # dict-iteration order, so the flagship kg_* pipeline rows, the
+    # real-weights variants, dedup/ANN, multimodal and coref come first;
+    # the dataops/analytics catalog (driver-green in round 4) trails.
     return {
-        **DATAOPS_QUERIES,
-        **ANALYTICS_QUERIES,
+        "kg_triples": q_kg_triples,
+        "kg_mentions": q_kg_mentions,
+        "kg_mentions_hf": q_kg_mentions_hf,
+        "kg_triples_hf": q_kg_triples_hf,
+        "kg_triples_hf_attleft": q_kg_triples_hf_attleft,
+        "kg_two_stage_mentions": q_kg_two_stage_mentions,
+        "kg_graph_nodes": q_kg_graph_nodes,
+        "kg_graph_edges": q_kg_graph_edges,
+        "kg_triples_levpair": q_kg_triples_levpair,
+        "kg_mentions_roberta": q_kg_mentions_roberta,
+        "kg_triples_unidirect": q_kg_triples_unidirect,
+        "semdedup": _q_semdedup,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_phash": q_multimodal_phash,
+        "multimodal_audiofp": q_multimodal_audiofp,
+        "o17_coref_conll": q_o17_coref_conll,
+        "o17_coref_metrics": q_o17_coref_metrics,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_buckets": q_simhash_buckets,
+        "simhash_hamming": q_simhash_hamming,
+        "simhash_hamming_k5": q_simhash_hamming_k5,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_cosine_topk": q_ann_cosine_topk,
         "o8_inverse_gold": q_o8_inverse_gold,
         "c1_span_enum": q_c1_span_enum,
         "k1_pack_groups": q_k1_pack_groups,
@@ -1407,30 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "gopher_rules": q_gopher_rules,
         "substr_dedup": q_substr_dedup,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "kg_triples": q_kg_triples,
-        "kg_mentions": q_kg_mentions,
-        "kg_graph_nodes": q_kg_graph_nodes,
-        "kg_graph_edges": q_kg_graph_edges,
-        "minhash_neardup": q_minhash_neardup,
-        "simhash_buckets": q_simhash_buckets,
-        "simhash_hamming": q_simhash_hamming,
-        "simhash_hamming_k5": q_simhash_hamming_k5,
-        "embedding_neardup": q_embedding_neardup,
-        "kg_two_stage_mentions": q_kg_two_stage_mentions,
-        "kg_triples_levpair": q_kg_triples_levpair,
-        "kg_mentions_roberta": q_kg_mentions_roberta,
-        "kg_triples_unidirect": q_kg_triples_unidirect,
-        "kg_mentions_hf": q_kg_mentions_hf,
-        "kg_triples_hf": q_kg_triples_hf,
-        "kg_triples_hf_attleft": q_kg_triples_hf_attleft,
-        "multimodal_phash": q_multimodal_phash,
-        "multimodal_audiofp": q_multimodal_audiofp,
-        "multimodal_resize": q_multimodal_resize,
-        "ann_ivf_topk": _q_ann_ivf,
-        "semdedup": _q_semdedup,
-        "o17_coref_conll": q_o17_coref_conll,
-        "o17_coref_metrics": q_o17_coref_metrics,
+        **DATAOPS_QUERIES,
+        **ANALYTICS_QUERIES,
     }
 
 
