@@ -60,6 +60,14 @@ def main() -> None:
     extras["ambient_spin_before"] = spin_probe()
     extras["ambient_load_before"] = round(os.getloadavg()[0], 2)
 
+    # best-of-N (round-4 VERDICT item #4): the host shares CPUs with
+    # invisible neighbors, and round 4's official artifact was captured in
+    # a loadavg-11 window — a single rep makes the official record hostage
+    # to one bad window. Each timed entry runs N reps and records the MIN
+    # (per-rep probes preserved for the e2e flagship so a reader can still
+    # see the ambient trail).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+
     # --- flagship: end-to-end KG pipeline over a transcripts table ---------
     # input materialization is untimed (the pipeline's job starts at an
     # existing table, like the reference's eval over a fixed file); the
@@ -73,7 +81,6 @@ def main() -> None:
         tdir = f"{workdir}/transcripts"
         synth.transcripts_df(spark, n_convs).write.parquet(tdir)
         transcripts = spark.read.parquet(tdir)
-        t0 = time.time()
         from dataclasses import replace as _replace
 
         # production profile: conversation-local fused decode (no scored-pair
@@ -81,22 +88,31 @@ def main() -> None:
         # pytest-gated (tests/test_variants.py)
         bench_cfg = _replace(DEFAULT_CONFIG, re_decode="grouped",
                              ner_decode="fused")
-        store = CheckpointStore(spark, f"{workdir}/ck", run_id="bench")
-        out = run_full_pipeline(spark, transcripts, bench_cfg, store,
-                                granularity="coarse")
-        n_triples = out["triples"].count()
-        n_edges = out["edges"].count()
-        dt = time.time() - t0
+        e2e_reps: list[float] = []
+        for rep in range(reps):
+            # a fresh store per rep: resume would otherwise skip every stage
+            store = CheckpointStore(spark, f"{workdir}/ck{rep}",
+                                    run_id=f"bench{rep}")
+            t0 = time.time()
+            out = run_full_pipeline(spark, transcripts, bench_cfg, store,
+                                    granularity="coarse")
+            n_triples = out["triples"].count()
+            n_edges = out["edges"].count()
+            dt = time.time() - t0
+            e2e_reps.append(round(dt, 3))
+            extras[f"ambient_spin_after_e2e_rep{rep}"] = spin_probe()
+            extras[f"ambient_load_after_e2e_rep{rep}"] = round(
+                os.getloadavg()[0], 2)
         n_turns = out["turns_tok"].count()
-        timings["kg_pipeline_e2e"] = round(dt, 3)
+        dt = min(e2e_reps)
+        timings["kg_pipeline_e2e"] = dt
+        extras["kg_pipeline_e2e_reps"] = e2e_reps
         extras["triples"] = n_triples
         extras["graph_edges"] = n_edges
         extras["turns"] = n_turns
         extras["n_convs"] = n_convs
         extras["triples_per_sec"] = round(n_triples / dt, 2)
         extras["turns_per_sec"] = round(n_turns / dt, 2)
-        extras["ambient_spin_after_e2e"] = spin_probe()
-        extras["ambient_load_after_e2e"] = round(os.getloadavg()[0], 2)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -114,10 +130,14 @@ def main() -> None:
                  "doc_chunk", "seq_pack", "lm_xent_bucket",
                  "mixture_weights", "semdedup", "vocab_build", "oov_rate",
                  "epoch_shuffle"):
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # --- at-scale CC branch (round-3 VERDICT item #4): the kg corpus'
     # similarity graph is tiny (hundreds of edges → driver union-find), so
@@ -146,6 +166,86 @@ def main() -> None:
     timings["cc_star_400k"] = round(time.time() - t0, 3)
     assert n_comp == n_nodes // ring, f"cc_star_400k merged wrong: {n_comp}"
     extras["cc_star_components"] = n_comp
+
+    # --- PageRank at graph scale (round-4 VERDICT item #3): the kg corpus'
+    # entity graph is a few hundred edges, so the lineage-checkpoint
+    # behavior only shows at a real |E|. Reuse the 400k-edge ring graph
+    # and time 2 vs 6 iterations: with adj_deg materialized once and ranks
+    # checkpointed every 2 iterations, per-iteration wall time is flat, so
+    # t(6) ≈ 3·t(2) minus the shared setup — the ratio is recorded for the
+    # reader. ----------------------------------------------------------
+    from pl_marker_spark.graphops import pagerank, symmetrize
+
+    pr_nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    pr_und = symmetrize(edges, "src", "dst")
+    pr_times = {}
+    for iters in (2, 6):
+        t0 = time.time()
+        pagerank(pr_nodes, pr_und, iters=iters).write.format("noop") \
+            .mode("overwrite").save()
+        pr_times[iters] = round(time.time() - t0, 3)
+    timings["pagerank_400k_i2"] = pr_times[2]
+    timings["pagerank_400k_i6"] = pr_times[6]
+    extras["pagerank_per_iter_ratio"] = round(pr_times[6] / pr_times[2], 3)
+
+    # --- IVF / SemDeDup at 100k vectors (round-4 VERDICT item #8): the sf
+    # embeddings table is 2,000 vectors — constant-overhead territory for
+    # the quantizer. Generate 100k deterministic 64-dim vectors (pure JVM
+    # expression, no Python/RNG), k_cells ∝ √N, and time the probe-scan
+    # and the within-cell O(N²/K) pair scan at a size where they dominate.
+    from pl_marker_spark.ann_ivf import ivf_topk, semdedup
+
+    n_vec, dim = 100_000, 64
+    ivf_dir = tempfile.mkdtemp(prefix="plm_ivf100k_")
+    try:
+        dims = F.sequence(F.lit(0), F.lit(dim - 1))
+        vec = F.transform(dims, lambda d: (
+            (F.xxhash64(F.col("id") * dim + d) % 10007).cast("double")
+            / 10007.0 - 0.5).cast("float"))
+        spark.range(n_vec).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        ).write.parquet(f"{ivf_dir}/embeddings.parquet")
+        k100 = 316  # ≈ √100k
+        t0 = time.time()
+        topk = ivf_topk(spark, ivf_dir, k_cells=k100, nprobe=4,
+                        lloyd_rounds=1, n_queries=64)
+        n_topk = topk.count()
+        timings["ann_ivf_100k"] = round(time.time() - t0, 3)
+        extras["ann_ivf_100k_rows"] = n_topk
+        # recall@10 vs the exact brute-force top-k for the same queries
+        # (untimed: it exists to grade the IVF answer, not the plan)
+        from pl_marker_spark.ann_ivf import _dot, _unit
+        from pyspark.sql import Window as W
+
+        ev = spark.read.parquet(f"{ivf_dir}/embeddings.parquet").select(
+            "vec_id",
+            _unit(F.transform("embedding",
+                              lambda x: x.cast("double"))).alias("uv"))
+        qv = ev.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("q_id"), F.col("uv").alias("qv"))
+        bf = (
+            qv.crossJoin(ev)
+            .filter(F.col("q_id") != F.col("vec_id"))
+            .select("q_id", "vec_id",
+                    _dot(F.col("qv"), F.col("uv")).alias("sim"))
+            .withColumn("rk", F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")))
+            .filter(F.col("rk") <= 10)
+            .select("q_id", "vec_id")
+        )
+        n_hit = topk.select("q_id", "vec_id").join(bf, ["q_id", "vec_id"]) \
+            .count()
+        extras["ann_ivf_100k_recall_at_10"] = round(n_hit / n_topk, 4)
+        t0 = time.time()
+        sem = semdedup(spark, ivf_dir, k_cells=k100, tau=0.95)
+        n_keep = sem.agg(F.sum("keep")).collect()[0][0]
+        timings["semdedup_100k"] = round(time.time() - t0, 3)
+        # near-uniform random directions have no τ=0.95 neighbors: every
+        # vector keeps — a wrong pair scan shows up as dropped vectors
+        assert n_keep == n_vec, f"semdedup_100k dropped: {n_vec - n_keep}"
+        extras["semdedup_100k_keep"] = n_keep
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -44,6 +44,13 @@ for _surf, _label in GAZETTEER.items():
 for _v in _PHRASE_INDEX.values():
     _v.sort(key=lambda x: -len(x[0]))  # longest match first
 
+# candidate confidence per phrase: the surface of an exact gazetteer match
+# IS the phrase, so 0.9 + jitter(surface) is a constant per phrase —
+# precomputed once instead of hashed per occurrence
+_PHRASE_PROB: dict[tuple[str, ...], float] = {
+    tuple(_surf.split()): 0.9 + jitter("cand|" + _surf) for _surf in GAZETTEER
+}
+
 
 def tag_words_bio(words: list[str]) -> list[str]:
     """I4 surrogate: greedy longest-match gazetteer tagging → BIO tags."""
@@ -138,23 +145,79 @@ def candidates_from_bio(turns_tok: DataFrame, top_k: int = 256) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batch-flattened scan (the fused-NER discipline, round-4 VERDICT
+        # item #5): the whole Arrow batch's words become ONE flat stream;
+        # first-word gazetteer hits are found via a single factorize +
+        # vectorized table lookup, and the only Python loop left runs over
+        # those sparse hits — never over rows or words. Semantics are pinned
+        # to tag_words_bio→bio_to_spans (greedy left-to-right, longest
+        # match first, non-overlapping; a BIO round-trip maps matches to
+        # spans 1:1 because every match opens with B-) and equality-gated
+        # by test_bio_two_stage.
         for pdf in batches:
-            conv, turn, ss, ee, pp = [], [], [], [], []
-            for r in pdf.itertuples(index=False):
-                words = list(r.words)
-                for s, e, label in bio_to_spans(tag_words_bio(words)):
-                    conv.append(r.conv_id)
-                    turn.append(r.turn_idx)
-                    ss.append(int(r.word_off) + s)
-                    ee.append(int(r.word_off) + e)
-                    pp.append(0.9 + jitter("cand|" + " ".join(words[s : e + 1])))
+            empty = pd.DataFrame({
+                "conv_id": pd.Series([], dtype="object"),
+                "turn_idx": pd.Series([], dtype="int32"),
+                "start": pd.Series([], dtype="int32"),
+                "end": pd.Series([], dtype="int32"),
+                "notnil_prob": pd.Series([], dtype="float64"),
+            })
+            if pdf.empty:
+                yield empty
+                continue
+            word_col = list(pdf["words"])
+            lens = np.fromiter((len(w) for w in word_col), dtype=np.int64,
+                               count=len(word_col))
+            total = int(lens.sum())
+            if total == 0:
+                yield empty
+                continue
+            w_all = np.concatenate(
+                [np.asarray(w, dtype=object) for w in word_col])
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            row_end_of = np.repeat(offs[1:], lens)   # exclusive row end
+            row_start_of = np.repeat(offs[:-1], lens)
+            # sparse first-word hits: one factorize over the stream, then a
+            # boolean table over the (small) unique-word vocabulary
+            codes, uniq = pd.factorize(w_all)
+            is_first = np.fromiter((u in _PHRASE_INDEX for u in uniq),
+                                   dtype=bool, count=len(uniq))
+            hits = np.nonzero(is_first[codes])[0]
+            # greedy left-to-right over hits only; matches never cross a row
+            # boundary, so one scalar frontier reproduces the per-row scan
+            pos_l: list[int] = []
+            len_l: list[int] = []
+            prob_l: list[float] = []
+            nxt = 0
+            for h in hits:
+                if h < nxt:
+                    continue
+                end_row = row_end_of[h]
+                for ws, _label in _PHRASE_INDEX[w_all[h]]:
+                    k = len(ws)
+                    if h + k <= end_row and tuple(w_all[h:h + k]) == ws:
+                        pos_l.append(h)
+                        len_l.append(k)
+                        prob_l.append(_PHRASE_PROB[ws])
+                        nxt = h + k
+                        break
+            if not pos_l:
+                yield empty
+                continue
+            pos = np.asarray(pos_l, dtype=np.int64)
+            klen = np.asarray(len_l, dtype=np.int64)
+            rows = np.searchsorted(offs[1:], pos, side="right")
+            start = (pdf["word_off"].to_numpy()[rows]
+                     + pos - row_start_of[pos])
             yield pd.DataFrame(
                 {
-                    "conv_id": conv,
-                    "turn_idx": pd.Series(turn, dtype="int32"),
-                    "start": pd.Series(ss, dtype="int32"),
-                    "end": pd.Series(ee, dtype="int32"),
-                    "notnil_prob": pd.Series(pp, dtype="float64"),
+                    "conv_id": pdf["conv_id"].to_numpy()[rows],
+                    "turn_idx": pd.Series(
+                        pdf["turn_idx"].to_numpy()[rows], dtype="int32"),
+                    "start": pd.Series(start, dtype="int32"),
+                    "end": pd.Series(start + klen - 1, dtype="int32"),
+                    "notnil_prob": pd.Series(prob_l, dtype="float64"),
                 }
             )
 
