@@ -34,6 +34,8 @@ weights when torch is importable (not shipped in this sandbox) — see
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from .world import NUM_NER, REL_LOGIT_DIM, SEED
@@ -62,7 +64,34 @@ def _weights() -> dict[str, np.ndarray]:
         _W["re_b"] = rng.standard_normal(REL_LOGIT_DIM) * 0.05
         _W["objner_w"] = rng.standard_normal((2 * HIDDEN, NUM_NER)) * 0.2
         _W["objner_b"] = rng.standard_normal(NUM_NER) * 0.05
+        # bilinear NER head family (BertForSpanMarkerBiNER,
+        # modeling_bert.py:3285-3367) — appended AFTER the original draws so
+        # every pre-existing weight is bit-identical to earlier rounds
+        _W["bi_base_w"] = rng.standard_normal((4 * HIDDEN, NUM_NER)) * 0.2
+        _W["bi_base_b"] = rng.standard_normal(NUM_NER) * 0.05
+        _W["bi_reduce_w"] = rng.standard_normal((2 * HIDDEN, HIDDEN)) * 0.2
+        _W["bi_reduce_b"] = rng.standard_normal(HIDDEN) * 0.05
+        _W["bi_w"] = rng.standard_normal((NUM_NER, HIDDEN, HIDDEN)) * 0.2
+        _W["bi_b"] = rng.standard_normal(NUM_NER) * 0.05
     return _W
+
+
+def _bilinear_ner_logits(h: np.ndarray, m1, m2, lo, hi,
+                         w: dict[str, np.ndarray]) -> np.ndarray:
+    """I3 "bilinear" ablation (BertForSpanMarkerBiNER,
+    modeling_bert.py:3285-3367): the reference pairs each span's START
+    marker with its start-token state and its END marker with its end-token
+    state — f1 = cat(e1, start-text), f2 = cat(e2, end-text) — scores the
+    4H concat cat(f1, f2) with a linear head, then ADDS a bilinear term
+    over the gelu-reduced halves: r_i = gelu(f_i·W_reduce + b), score_k +=
+    r1ᵀ·W_k·r2 + b_k (nn.Bilinear semantics). All P spans in one einsum."""
+    f1 = np.concatenate([h[m1], h[lo]], axis=1)
+    f2 = np.concatenate([h[m2], h[hi]], axis=1)
+    base = np.concatenate([f1, f2], axis=1) @ w["bi_base_w"] + w["bi_base_b"]
+    r1 = _gelu_erf(f1 @ w["bi_reduce_w"] + w["bi_reduce_b"])
+    r2 = _gelu_erf(f2 @ w["bi_reduce_w"] + w["bi_reduce_b"])
+    blin = np.einsum("ph,khg,pg->pk", r1, w["bi_w"], r2) + w["bi_b"]
+    return base + blin
 
 
 def _encode(input_ids: np.ndarray, position_ids: np.ndarray,
@@ -94,7 +123,9 @@ def ner_head_logits(input_ids, position_ids, attention, spans, max_seq: int,
     - "span2": concat(span-start text, span-end text) → 2H linear —
       BertForSpanNER (:3146-3211), no marker states;
     - "marker2": concat(marker-start, marker-end) → 2H linear — the
-      marker-only ablation."""
+      marker-only ablation;
+    - "bilinear": 4H linear over (e1+start, e2+end) plus the reduced
+      bilinear term — BertForSpanMarkerBiNER (:3285-3367)."""
     w = _weights()
     h = _encode(input_ids, position_ids, attention, full_mask=full_mask)
     P = len(spans)
@@ -106,6 +137,8 @@ def ner_head_logits(input_ids, position_ids, attention, spans, max_seq: int,
         return np.concatenate([h[lo], h[hi]], axis=1) @ w["ner_w2_span"] + w["ner_b2_span"]
     if feature == "marker2":
         return np.concatenate([h[m1], h[m2]], axis=1) @ w["ner_w2_marker"] + w["ner_b2_marker"]
+    if feature == "bilinear":
+        return _bilinear_ner_logits(h, m1, m2, lo, hi, w)
     feat = np.concatenate([h[m1], h[m2], h[lo], h[hi]], axis=1)
     return feat @ w["ner_w"] + w["ner_b"]
 
@@ -163,6 +196,8 @@ def ner_head_logits_batch(input_ids, position_ids, attention, spans_list,
         elif feature == "marker2":
             feat = np.concatenate([hb[m1], hb[m2]], axis=1)
             outs.append(feat @ w["ner_w2_marker"] + w["ner_b2_marker"])
+        elif feature == "bilinear":
+            outs.append(_bilinear_ner_logits(hb, m1, m2, lo, hi, w))
         else:
             feat = np.concatenate([hb[m1], hb[m2], hb[lo], hb[hi]], axis=1)
             outs.append(feat @ w["ner_w"] + w["ner_b"])
@@ -359,17 +394,19 @@ def _gelu_new(x: np.ndarray) -> np.ndarray:
     return 0.5 * x * (1.0 + np.tanh(0.7978845608028654 * (x + 0.044715 * x ** 3)))
 
 
+_ERF = np.frompyfunc(math.erf, 1, 1)
+
+
 def _gelu_erf(x: np.ndarray) -> np.ndarray:
-    """HF "gelu" (erf form) with a vectorized Abramowitz-Stegun 7.1.26 erf
-    (max abs err 1.5e-7; scipy is not shipped here). Deterministic, so
-    cross-engine twins agree exactly; documented as an approximation to
-    the torch erf for externally-trained "gelu" checkpoints."""
-    sign = np.sign(x)
-    a = np.abs(x) / np.sqrt(2.0)
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-               + t * (-1.453152027 + t * 1.061405429))))
-    erf = sign * (1.0 - poly * np.exp(-a * a))
+    """HF "gelu" (erf form) via the EXACT ``math.erf`` (correctly-rounded
+    C library call, applied elementwise; scipy is not shipped here) so
+    forwards for checkpoints declaring ``hidden_act="gelu"`` are faithful
+    to the torch erf to double rounding — a 1.5e-7-error polynomial here
+    could flip a 6dp rounded-compare gate (round-4 ADVICE item #3). The
+    per-element call is the cost: this path serves external "gelu"
+    checkpoints and the (small) bilinear-head reduce, while the generated
+    reference checkpoints declare gelu_new (fully vectorized)."""
+    erf = _ERF(x / np.sqrt(2.0)).astype(np.float64)
     return 0.5 * x * (1.0 + erf)
 
 

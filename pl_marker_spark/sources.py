@@ -107,7 +107,7 @@ def read_reference_jsonl_gold(spark: SparkSession, path: str):
     return mentions, relations
 
 
-def read_conll03(spark: SparkSession, path: str):
+def read_conll03(spark: SparkSession, path: str, variant: str = "conll03"):
     """S2 — CoNLL03 token-per-line source (reference reader
     run_ner_BIO.py:106-139): space-separated columns with the word first
     and the BIO tag last, blank line = sentence boundary, ``-DOCSTART`` =
@@ -117,6 +117,14 @@ def read_conll03(spark: SparkSession, path: str):
     document-level token coordinates — the same coordinate contract as
     ``read_reference_jsonl_gold``.
 
+    ``variant="fewnerd"`` selects the Few-NERD fine-grained layout
+    (reference reader run_ner.py:464-497): TAB-separated columns, no
+    ``-DOCSTART`` markers, each blank-line-delimited sentence is its own
+    document, and labels carry no B/I prefix — a non-``O`` label maps to
+    ``I-<label with '-' → '_'>`` (``person-actor`` → ``I-person_actor``),
+    so adjacent same-type tokens merge into one span under the same P8
+    scan (Few-NERD does not distinguish adjacent entities).
+
     Parallelism unit = FILE (``spark.read.text(wholetext=True)``; CoNLL
     corpora ship as per-split files, exactly how the reference consumes
     them) — the stateful line scan is document-local and runs inside one
@@ -125,6 +133,10 @@ def read_conll03(spark: SparkSession, path: str):
     from collections.abc import Iterator
 
     import pandas as pd
+
+    if variant not in ("conll03", "fewnerd"):
+        raise ValueError(f"read_conll03: unknown variant {variant!r}")
+    fewnerd = variant == "fewnerd"
 
     raw = spark.read.text(path, wholetext=True).withColumn(
         "file", F.element_at(F.split(F.input_file_name(), "/"), -1))
@@ -160,19 +172,28 @@ def read_conll03(spark: SparkSession, path: str):
 
                     for line in str(blob).splitlines():
                         line = line.rstrip()
-                        if line.startswith("-DOCSTART"):
+                        if not fewnerd and line.startswith("-DOCSTART"):
                             flush()
                             if words:
                                 doc_i += 1
                             words, tags, bounds = [], [], [0]
                             continue
                         if not line:
-                            if words and bounds[-1] != len(words):
+                            if fewnerd:
+                                # each sentence is its own document
+                                flush()
+                                if words:
+                                    doc_i += 1
+                                words, tags, bounds = [], [], [0]
+                            elif words and bounds[-1] != len(words):
                                 bounds.append(len(words))
                             continue
-                        parts = line.split(" ")
+                        parts = line.split("\t" if fewnerd else " ")
                         words.append(parts[0])
-                        tags.append(parts[-1])
+                        lab = parts[-1]
+                        if fewnerd and lab != "O":
+                            lab = "I-" + lab.replace("-", "_")
+                        tags.append(lab)
                     flush()
                 if kind == "transcripts":
                     yield pd.DataFrame({

@@ -145,7 +145,7 @@ def test_ner_feature_ablations(spark, corpus):
     from pl_marker_spark.pipeline.runner import run_extraction
 
     outs = {}
-    for feat in ("span2", "marker2"):
+    for feat in ("span2", "marker2", "bilinear"):
         cfg = PipelineConfig(model="packed_linear", ner_feature=feat)
         out = run_extraction(
             spark, synth.transcripts_df(spark, N_CONVS, max_words=14), cfg)
@@ -157,14 +157,48 @@ def test_ner_feature_ablations(spark, corpus):
         want = {(c, t, s, e, l, round(p, 9)) for c, t, s, e, l, p in o["mentions"]}
         assert got == want, feat
         outs[feat] = {x[:5] for x in got}
-    # ablations are real: the three heads disagree somewhere
+    # ablations are real: the heads disagree somewhere
     assert outs["span2"] != outs["marker2"]
+    assert outs["bilinear"] != outs["span2"]
+    assert outs["bilinear"] != outs["marker2"]
+
+
+def test_bilinear_head_hand_example():
+    """The 'bilinear' ablation (BertForSpanMarkerBiNER,
+    modeling_bert.py:3285-3367) against an independent per-span loop
+    formulation: f1=(e1,start-text), f2=(e2,end-text); 4H linear base +
+    nn.Bilinear(gelu(reduce(f1)), gelu(reduce(f2)))."""
+    import math
+
+    from pl_marker_spark.models import _encode, _weights
+
+    window = ["[CLS]", "alpha", "bo", "cedar", "dim", "[SEP]"]
+    spans = _spans_for(window, 4)
+    max_seq = 32
+    ii, pi, att = assemble_ner_tensors(window, spans, max_seq, 8)
+    got = ner_head_logits(ii, pi, att, spans, max_seq, "bilinear")
+
+    w = _weights()
+    h = _encode(ii, pi, att)
+    P = len(spans)
+    want = np.zeros((P, got.shape[1]))
+    for p, (lo, hi) in enumerate(spans):
+        f1 = np.concatenate([h[max_seq + p], h[lo]])
+        f2 = np.concatenate([h[max_seq + P + p], h[hi]])
+        base = np.concatenate([f1, f2]) @ w["bi_base_w"] + w["bi_base_b"]
+        z1 = f1 @ w["bi_reduce_w"] + w["bi_reduce_b"]
+        z2 = f2 @ w["bi_reduce_w"] + w["bi_reduce_b"]
+        r1 = np.array([0.5 * x * (1 + math.erf(x / math.sqrt(2))) for x in z1])
+        r2 = np.array([0.5 * x * (1 + math.erf(x / math.sqrt(2))) for x in z2])
+        for k in range(got.shape[1]):
+            want[p, k] = base[k] + r1 @ w["bi_w"][k] @ r2 + w["bi_b"][k]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
 
 
 def test_ner_feature_group_invariance():
     window = ["[CLS]", "alpha", "bo", "cedar", "dim", "echo", "fig", "[SEP]"]
     spans = _spans_for(window, 6)
-    for feat in ("span2", "marker2"):
+    for feat in ("span2", "marker2", "bilinear"):
         one = ner_head_logits(
             *assemble_ner_tensors(window, spans, 64, 16), spans, 64, feat)
         parts = [

@@ -146,6 +146,49 @@ def test_conll03_source(spark, tmp_path):
     assert out["mentions"].count() >= 0
 
 
+def test_fewnerd_source(spark, tmp_path):
+    """S2 Few-NERD variant (run_ner.py:464-497): tab-separated word/label
+    lines, no B/I prefixes (non-O labels become I-<label, '-'→'_'>), each
+    blank-line-delimited sentence its own document. Covers: multi-token
+    entity merge, fine-grained '-' labels, adjacent same-type tokens as
+    ONE span (Few-NERD convention), and a final sentence without a
+    trailing blank line."""
+    from pl_marker_spark.sources import read_conll03
+
+    fewnerd = "\n".join([
+        "paul\tperson-actor",
+        "newman\tperson-actor",
+        "starred\tO",
+        "in\tO",
+        "hud\tart-film",
+        "",
+        "london\tlocation-GPE",
+        "paris\tlocation-GPE",
+        "differ\tO",
+        "",
+        "the\tO",
+        "end\tO",   # no trailing blank line
+    ])
+    p = tmp_path / "supervised.txt"
+    p.write_text(fewnerd)
+    t, gold = read_conll03(spark, str(p), variant="fewnerd")
+    rows = {(r.conv_id, r.turn_idx): r.text for r in t.collect()}
+    assert rows == {
+        ("supervised#0", 0): "paul newman starred in hud",
+        ("supervised#1", 0): "london paris differ",
+        ("supervised#2", 0): "the end",
+    }
+    g = {(r.conv_id, r.turn_idx, r.start, r.end, r.label)
+         for r in gold.collect()}
+    # adjacent same-type tokens (london paris) merge into one span:
+    # the format has no B- marker to separate them
+    assert g == {
+        ("supervised#0", 0, 0, 1, "person_actor"),
+        ("supervised#0", 0, 4, 4, "art_film"),
+        ("supervised#1", 0, 0, 1, "location_GPE"),
+    }
+
+
 def test_ontonotes_conll_source(spark, tmp_path):
     """S3: OntoNotes v4_gold_conll blocks (bracketed NER column, doc
     parts, PTB escapes, pt/ skip — preprocess_ontonotes.py:27-105) ingest
