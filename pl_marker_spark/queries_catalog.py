@@ -1344,9 +1344,22 @@ def q_o8_inverse_gold(spark, sf_dir):
     return inverse_gold_augment(synth.gold_relations_df(spark, N_KG_CONVS))
 
 
-def inverse_gold_augment(g: DataFrame) -> DataFrame:
+def inverse_gold_augment(g: DataFrame, ord_col: str | None = None) -> DataFrame:
     """The O8 rule over a gold-relations DataFrame (conv_id, turn_idx,
-    s1, e1, s2, e2, label) — see q_o8_inverse_gold for semantics."""
+    s1, e1, s2, e2, label) — see q_o8_inverse_gold for semantics.
+
+    Duplicate ordered pair keys (absent from this corpus): the reference
+    resolves them through dict writes over the ``sentence_relations``
+    iteration order — the FORWARD loop overwrites (last write wins,
+    run_re.py:265-266) and the INVERSE loop guards with ``if w not in
+    pos2label`` (first write wins, run_re.py:277-281). That order is only
+    meaningful when the caller supplies it: pass ``ord_col`` (a per-key
+    stable sequence position, e.g. the gold row's position in its turn)
+    and the rule reproduces both dict semantics exactly via max_by/min_by
+    (both map-side-combinable; tests/test_properties.py replays the
+    reference loop on duplicate-pair inputs). Without ``ord_col``,
+    duplicates resolve by max(lab_id) — deterministic under any row
+    order, and identical to the reference wherever keys are unique."""
     from itertools import chain
 
     from .world import NUM_REL, NUM_SYM, REL_LABELS, SYM_LABELS
@@ -1356,23 +1369,31 @@ def inverse_gold_augment(g: DataFrame) -> DataFrame:
             (l, i) for i, l in enumerate(REL_LABELS))
     ])
     sym = F.col("label").isin(*SYM_LABELS[1:])
-    base = g.select(
+    cols = [
         "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
         F.col("s1").cast("long").alias("s1"), F.col("e1").cast("long").alias("e1"),
         F.col("s2").cast("long").alias("s2"), F.col("e2").cast("long").alias("e2"),
         lab_map[F.col("label")].cast("long").alias("lab_id"),
         sym.alias("is_sym"),
-    )
+    ]
+    if ord_col is not None:
+        cols.append(F.col(ord_col).cast("long").alias("_ord"))
+    base = g.select(*cols)
     key = ["conv_id", "turn_idx", "s1", "e1", "s2", "e2"]
-    fwd = base.groupBy(key).agg(F.max("lab_id").alias("lab_id"))
+    fwd_agg = (F.max_by("lab_id", "_ord") if ord_col is not None
+               else F.max("lab_id")).alias("lab_id")
+    fwd = base.groupBy(key).agg(fwd_agg)
     inv0 = base.select(
         "conv_id", "turn_idx",
         F.col("s2").alias("s1"), F.col("e2").alias("e1"),
         F.col("s1").alias("s2"), F.col("e1").alias("e2"),
         F.when(F.col("is_sym"), F.col("lab_id"))
         .otherwise(F.col("lab_id") + NUM_REL - NUM_SYM).alias("lab_id"),
+        *([F.col("_ord")] if ord_col is not None else []),
     )
-    invd = inv0.groupBy(key).agg(F.max("lab_id").alias("lab_id"))
+    inv_agg = (F.min_by("lab_id", "_ord") if ord_col is not None
+               else F.max("lab_id")).alias("lab_id")
+    invd = inv0.groupBy(key).agg(inv_agg)
     inv = invd.join(fwd.select(key), key, "left_anti")
     return fwd.withColumn("src", F.lit("fwd")).unionByName(
         inv.withColumn("src", F.lit("inv")))

@@ -379,8 +379,29 @@ def stream_click_attribution(
     )
 
 
+def _prune_state_versions(out_dir: str, retain: int) -> None:
+    """Drop all but the newest ``retain`` ``state_v*`` dirs (the version
+    suffix is the micro-batch id, monotone per checkpoint). ``retain=2``
+    (current + previous) covers a reader that re-resolves the ``_LATEST``
+    pointer per query — the contract ``read_upsert_state`` documents;
+    raise it for readers that cache the pointer across batches (round-4
+    ADVICE item #2: the window is now a knob, not a hard-coded pair)."""
+    import os as _os
+    import shutil as _sh
+
+    vers = []
+    for d in _os.listdir(out_dir):
+        if d.startswith("state_v"):
+            try:
+                vers.append((int(d[len("state_v"):]), d))
+            except ValueError:
+                continue
+    for _, d in sorted(vers)[:-retain]:
+        _sh.rmtree(f"{out_dir}/{d}", ignore_errors=True)
+
+
 def stream_upsert_latest(
-    spark: SparkSession, in_dir: str, out_dir: str,
+    spark: SparkSession, in_dir: str, out_dir: str, retain: int = 2,
 ):
     """Keyed UPSERT sink (the CDC / `MERGE INTO` pattern): each micro-batch
     folds into a per-user latest-state table — the materialized "current
@@ -399,7 +420,9 @@ def stream_upsert_latest(
     merge is a copy-on-write join pruned to the touched files); the
     foreachBatch body is the part that carries over unchanged.
 
-    State size is O(distinct keys), never O(stream length)."""
+    State size is O(distinct keys), never O(stream length). ``retain``
+    bounds how many versioned state dirs survive pruning (see
+    ``_prune_state_versions``)."""
     ev = read_event_stream(spark, in_dir)
     ptr = f"{out_dir}/_LATEST"
 
@@ -415,7 +438,6 @@ def stream_upsert_latest(
 
     def merge(batch_df: DataFrame, batch_id: int):
         import os as _os
-        import shutil as _sh
 
         vdir = f"{out_dir}/state_v{batch_id}"
         prev = None
@@ -435,12 +457,7 @@ def stream_upsert_latest(
         with open(tmp, "w") as f:
             f.write(vdir)
         _os.replace(tmp, ptr)  # atomic pointer flip
-        # prune: keep current + previous (the concurrent-reader window the
-        # pointer dance exists for); anything older is unreachable
-        for d in _os.listdir(out_dir):
-            full = f"{out_dir}/{d}"
-            if d.startswith("state_v") and full not in (vdir, prev):
-                _sh.rmtree(full, ignore_errors=True)
+        _prune_state_versions(out_dir, retain)
 
     return (
         ev.writeStream.foreachBatch(merge)
@@ -451,7 +468,13 @@ def stream_upsert_latest(
 
 
 def read_upsert_state(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read the current state of a ``stream_upsert_latest`` sink."""
+    """Read the current state of a ``stream_upsert_latest`` /
+    ``stream_hll_distinct`` sink.
+
+    Re-call this per query rather than caching the returned DataFrame
+    across later micro-batches: the ``_LATEST`` pointer is re-resolved
+    here, and a state version only survives ``retain`` further batches
+    (default 2) before pruning deletes its directory."""
     import os as _os
 
     ptr = f"{out_dir}/_LATEST"
@@ -464,7 +487,7 @@ def read_upsert_state(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def stream_hll_distinct(
-    spark: SparkSession, in_dir: str, out_dir: str,
+    spark: SparkSession, in_dir: str, out_dir: str, retain: int = 2,
 ):
     """Streaming distinct-count sketch: each micro-batch of the document
     feed builds its own HLL register table (p=8 — the same integer-exact
@@ -472,11 +495,15 @@ def stream_hll_distinct(
     registers. This is the composition the ``hll_merge`` driver gate
     exists to license: max is associative/commutative, so per-batch
     partial sketches merged over ANY batching equal the one-shot sketch —
-    state is 256 rows forever, a distinct-count over an unbounded stream
-    with O(m) memory and no shuffle of history. Same versioned-dir +
-    atomic pointer sink as ``stream_upsert_latest`` (replay-idempotent,
-    pruned to the reader window)."""
-    from .queries_analytics import hll_registers_from_shingles
+    a distinct-count over an unbounded stream with O(m) memory and no
+    shuffle of history. The written state is left-joined onto the full
+    256-bucket spine with rho=0 for never-observed buckets (round-4
+    ADVICE item #4), so it is EXACTLY m rows from the first committed
+    batch and a consumer can fold the estimate without any
+    missing-bucket convention. Same versioned-dir + atomic pointer sink
+    as ``stream_upsert_latest`` (replay-idempotent, pruned to the
+    ``retain`` newest versions)."""
+    from .queries_analytics import HLL_M, hll_registers_from_shingles
 
     docs = (
         spark.readStream.schema("doc_id long, text string, ts timestamp")
@@ -494,7 +521,6 @@ def stream_hll_distinct(
 
     def merge(batch_df: DataFrame, batch_id: int):
         import os as _os
-        import shutil as _sh
 
         vdir = f"{out_dir}/state_v{batch_id}"
         prev = None
@@ -507,15 +533,17 @@ def stream_hll_distinct(
         if prev:
             reg = (spark.read.parquet(prev).unionByName(reg)
                    .groupBy("bucket").agg(F.max("rho").alias("rho")))
+        # materialize the full register spine: absent bucket == rho 0
+        # (the identity of the max-merge), so state is exactly m rows
+        spine = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+        reg = spine.join(reg, "bucket", "left").select(
+            "bucket", F.coalesce("rho", F.lit(0)).cast("long").alias("rho"))
         reg.write.mode("overwrite").parquet(vdir)
         tmp = f"{ptr}.tmp"
         with open(tmp, "w") as f:
             f.write(vdir)
         _os.replace(tmp, ptr)
-        for d in _os.listdir(out_dir):
-            full = f"{out_dir}/{d}"
-            if d.startswith("state_v") and full not in (vdir, prev):
-                _sh.rmtree(full, ignore_errors=True)
+        _prune_state_versions(out_dir, retain)
 
     return (
         docs.writeStream.foreachBatch(merge)

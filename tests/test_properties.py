@@ -205,3 +205,58 @@ def test_re_suppression_batch_equals_per_group(raw):
            if per_group else pdf.iloc[0:0])
     got = _suppress_re_batch(pdf).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref.reset_index(drop=True))
+
+
+def test_o8_inverse_gold_ord_semantics(spark):
+    """O8 with duplicate ordered pair keys + an order column reproduces
+    the reference's dict-write semantics exactly (run_re.py:263-281):
+    the forward loop overwrites (LAST write wins), the inverse loop
+    guards with `if w not in pos2label` (FIRST write wins), and any
+    forward key suppresses its inverse regardless of order. Verified by
+    replaying the literal reference loop in Python."""
+    from pl_marker_spark.queries_catalog import inverse_gold_augment
+    from pl_marker_spark.world import NUM_REL, NUM_SYM, REL_LABELS, SYM_LABELS
+
+    sym_lab = SYM_LABELS[1]
+    nonsym = [l for l in REL_LABELS[1:] if l not in SYM_LABELS]
+    # (s1, e1, s2, e2, label) in sentence_relations order:
+    #  - rows 0/1 duplicate one forward key with different labels
+    #    (fwd keeps row 1's label; the shared inverse keeps row 0's)
+    #  - row 2 is symmetric; row 3's forward key equals row 2's inverse
+    #    key, so that inverse is suppressed
+    rels = [
+        (1, 2, 5, 6, nonsym[0]),
+        (1, 2, 5, 6, nonsym[1]),
+        (7, 8, 9, 10, sym_lab),
+        (9, 10, 7, 8, nonsym[2]),
+    ]
+
+    # --- literal reference replay ---------------------------------------
+    label_map = {l: i for i, l in enumerate(REL_LABELS)}
+    pos2label: dict[tuple, int] = {}
+    for x in rels:
+        pos2label[(x[0], x[1], x[2], x[3])] = label_map[x[4]]
+    fwd_keys = set(pos2label)
+    for x in rels:
+        w = (x[2], x[3], x[0], x[1])
+        if w not in pos2label:
+            if x[4] in SYM_LABELS[1:]:
+                pos2label[w] = label_map[x[4]]  # the reference's `# bug` branch
+            else:
+                pos2label[w] = label_map[x[4]] + NUM_REL - NUM_SYM
+    want = {
+        ("c0", 0, *k, lab, "fwd" if k in fwd_keys else "inv")
+        for k, lab in pos2label.items()
+    }
+
+    df = spark.createDataFrame(
+        [("c0", 0, s1, e1, s2, e2, lab, i)
+         for i, (s1, e1, s2, e2, lab) in enumerate(rels)],
+        "conv_id string, turn_idx int, s1 int, e1 int, s2 int, e2 int, "
+        "label string, rel_ord int",
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.s1, r.e1, r.s2, r.e2, r.lab_id, r.src)
+        for r in inverse_gold_augment(df, ord_col="rel_ord").collect()
+    }
+    assert got == want

@@ -381,8 +381,11 @@ def test_stream_hll_distinct_merge_law(spark, tmp_path_factory):
 
     q = stream_hll_distinct(spark, indir, outdir)
     q.awaitTermination(300)
-    got = {(r.bucket, r.rho)
-           for r in read_upsert_state(spark, outdir).collect()}
+    state = read_upsert_state(spark, outdir).collect()
+    # the persisted state is the FULL 256-bucket spine (absent = rho 0)
+    assert len(state) == 256
+    assert {r.bucket for r in state} == set(range(256))
+    got = {(r.bucket, r.rho) for r in state if r.rho > 0}
 
     all_docs = spark.createDataFrame(
         [(t,) for t in texts_a + texts_b], ["text"])
