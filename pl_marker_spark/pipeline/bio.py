@@ -246,12 +246,10 @@ def spanpack_from_candidates(turns_tok: DataFrame, candidates: DataFrame,
             return pd.DataFrame(columns=cols)
         turns_pdf, idx = _conv_index_from_rows(turns_pdf)
         tid_to_ord = {int(t): n for n, t in enumerate(turns_pdf["turn_idx"])}
-        by_turn: dict[int, list[tuple[int, int]]] = {}
-        for r in cands_pdf.itertuples(index=False):
-            by_turn.setdefault(int(r.turn_idx), []).append((int(r.start), int(r.end)))
+        from .repack import _mentions_by_turn
+
         rows = []
-        for tid, spans_w in sorted(by_turn.items()):
-            spans_w.sort()
+        for tid, spans_w in _mentions_by_turn(cands_pdf, with_label=False):
             n = tid_to_ord[tid]
             win = context_window(idx, n, budget, truncate=False)
             spans = []

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 
 from ..config import PipelineConfig
 from ..kernels import context_window
+from ..pipeline.repack import _mentions_by_turn
 from ..pipeline.spanpack import _conv_index_from_rows
 from ..surrogate import aux_obj_ner, re_logits_for_pair
 from ..world import NUM_REL, REL_LABELS
@@ -78,14 +79,8 @@ def repack_levitated(turns_tok: DataFrame, mentions: DataFrame,
         turns_pdf, idx = _conv_index_from_rows(turns_pdf)
         cid = key[0]
         tid_to_ord = {int(t): n for n, t in enumerate(turns_pdf["turn_idx"])}
-        by_turn: dict[int, list[tuple[int, int, str]]] = {}
-        for r in mentions_pdf.itertuples(index=False):
-            by_turn.setdefault(int(r.turn_idx), []).append(
-                (int(r.start), int(r.end), r.label)
-            )
         rows = []
-        for tid, ments in sorted(by_turn.items()):
-            ments.sort()
+        for tid, ments in _mentions_by_turn(mentions_pdf):
             n = tid_to_ord[tid]
             win = context_window(idx, n, budget, truncate=True)
             for gid, chunk in enumerate(
@@ -135,14 +130,8 @@ def repack_levitated_segmented(
         cid = key[0]
         word_off = int(turns_pdf["word_off"].iloc[0])
         tid_to_ord = {int(t): n for n, t in enumerate(turns_pdf["turn_idx"])}
-        by_turn: dict[int, list[tuple[int, int, str]]] = {}
-        for r in mentions_pdf.itertuples(index=False):
-            by_turn.setdefault(int(r.turn_idx), []).append(
-                (int(r.start) - word_off, int(r.end) - word_off, r.label)
-            )
         rows = []
-        for tid, ments in sorted(by_turn.items()):
-            ments.sort()
+        for tid, ments in _mentions_by_turn(mentions_pdf, word_off):
             n = tid_to_ord[tid]
             win = context_window(
                 idx, n, budget, truncate=True,
