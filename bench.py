@@ -67,6 +67,13 @@ def main() -> None:
     # (per-rep probes preserved for the e2e flagship so a reader can still
     # see the ambient trail).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # SPARK_GRAFT_BENCH_SECTIONS: comma list of {e2e,catalog,graph400k,
+    # vec100k} (default all). scaling.py pins "e2e" — its legs compare the
+    # flagship pipeline, and the at-scale side entries would triple leg
+    # wall time without informing the ratio.
+    sections = set(os.environ.get(
+        "SPARK_GRAFT_BENCH_SECTIONS", "e2e,catalog,graph400k,vec100k"
+    ).split(","))
 
     # --- flagship: end-to-end KG pipeline over a transcripts table ---------
     # input materialization is untimed (the pipeline's job starts at an
@@ -77,6 +84,9 @@ def main() -> None:
     # (sf0.1 -> 20k convs ≈ 180k turns; scaling.py overrides higher)
     n_convs = int(os.environ.get("SPARK_GRAFT_CONVS", "0")) or max(50, int(200000 * sf))
     workdir = tempfile.mkdtemp(prefix="plm_bench_")
+    if "e2e" not in sections:
+        raise SystemExit("bench.py: the e2e section is the headline metric "
+                         "and cannot be skipped")
     try:
         tdir = f"{workdir}/transcripts"
         synth.transcripts_df(spark, n_convs).write.parquet(tdir)
@@ -118,18 +128,20 @@ def main() -> None:
 
     # --- heavy catalog operators over the sf tables -------------------------
     qs = queries_catalog.queries()
-    for name in ("c1_span_enum", "k1_pack_groups", "p4_prefix_sum",
-                 "minhash_neardup", "dedup_exact", "jaccard_neardup",
-                 "ann_cosine_topk", "ann_ivf_topk", "fingerprint",
-                 # round-4 analytics family (graph/sketch/OLAP/range join;
-                 # kg_entity_pagerank is excluded — it re-runs the full KG
-                 # pipeline, which is already the flagship timing)
-                 "graph_triangles", "hll_registers", "cms_freq",
-                 "rollup_revenue", "window_running", "range_join_counts",
-                 # round-4 training-example assembly + LM-quality family
-                 "doc_chunk", "seq_pack", "lm_xent_bucket",
-                 "mixture_weights", "semdedup", "vocab_build", "oov_rate",
-                 "epoch_shuffle"):
+    catalog_names = () if "catalog" not in sections else (
+        "c1_span_enum", "k1_pack_groups", "p4_prefix_sum",
+        "minhash_neardup", "dedup_exact", "jaccard_neardup",
+        "ann_cosine_topk", "ann_ivf_topk", "fingerprint",
+        # round-4 analytics family (graph/sketch/OLAP/range join;
+        # kg_entity_pagerank is excluded — it re-runs the full KG
+        # pipeline, which is already the flagship timing)
+        "graph_triangles", "hll_registers", "cms_freq",
+        "rollup_revenue", "window_running", "range_join_counts",
+        # round-4 training-example assembly + LM-quality family
+        "doc_chunk", "seq_pack", "lm_xent_bucket",
+        "mixture_weights", "semdedup", "vocab_build", "oov_rate",
+        "epoch_shuffle")
+    for name in catalog_names:
         best = None
         for _ in range(reps):
             t0 = time.time()
@@ -139,113 +151,117 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    # --- at-scale CC branch (round-3 VERDICT item #4): the kg corpus'
-    # similarity graph is tiny (hundreds of edges → driver union-find), so
-    # the alternating-star branch that runs at TRUE graph scale gets its
-    # own timed entry here: a deterministic 400k-edge graph (200 ring
-    # components × 1000 nodes + in-ring chords), local_threshold=0 forces
-    # the distributed path, and the component count is asserted so a
-    # wrong merge fails the bench loudly. -------------------------------
-    from pyspark.sql import functions as F
+    if "graph400k" in sections:
+        # --- at-scale CC branch (round-3 VERDICT item #4): the kg corpus'
+        # similarity graph is tiny (hundreds of edges → driver union-find), so
+        # the alternating-star branch that runs at TRUE graph scale gets its
+        # own timed entry here: a deterministic 400k-edge graph (200 ring
+        # components × 1000 nodes + in-ring chords), local_threshold=0 forces
+        # the distributed path, and the component count is asserted so a
+        # wrong merge fails the bench loudly. -------------------------------
+        from pyspark.sql import functions as F
 
-    from pl_marker_spark.pipeline.cc import connected_components
+        from pl_marker_spark.pipeline.cc import connected_components
 
-    n_nodes, ring = 200_000, 1000
-    base = spark.range(n_nodes).select(
-        F.col("id").alias("src"),
-        ((F.col("id") - F.col("id") % ring)
-         + (F.col("id") + 1) % ring).alias("dst"))
-    chords = spark.range(n_nodes).select(
-        F.col("id").alias("src"),
-        ((F.col("id") - F.col("id") % ring)
-         + (F.col("id") * 7 + 3) % ring).alias("dst"))
-    edges = base.union(chords)
-    t0 = time.time()
-    comp = connected_components(edges, local_threshold=0)
-    n_comp = comp.select("component").distinct().count()
-    timings["cc_star_400k"] = round(time.time() - t0, 3)
-    assert n_comp == n_nodes // ring, f"cc_star_400k merged wrong: {n_comp}"
-    extras["cc_star_components"] = n_comp
-
-    # --- PageRank at graph scale (round-4 VERDICT item #3): the kg corpus'
-    # entity graph is a few hundred edges, so the lineage-checkpoint
-    # behavior only shows at a real |E|. Reuse the 400k-edge ring graph
-    # and time 2 vs 6 iterations: with adj_deg materialized once and ranks
-    # checkpointed every 2 iterations, per-iteration wall time is flat, so
-    # t(6) ≈ 3·t(2) minus the shared setup — the ratio is recorded for the
-    # reader. ----------------------------------------------------------
-    from pl_marker_spark.graphops import pagerank, symmetrize
-
-    pr_nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
-    pr_und = symmetrize(edges, "src", "dst")
-    pr_times = {}
-    for iters in (2, 6):
+        n_nodes, ring = 200_000, 1000
+        base = spark.range(n_nodes).select(
+            F.col("id").alias("src"),
+            ((F.col("id") - F.col("id") % ring)
+             + (F.col("id") + 1) % ring).alias("dst"))
+        chords = spark.range(n_nodes).select(
+            F.col("id").alias("src"),
+            ((F.col("id") - F.col("id") % ring)
+             + (F.col("id") * 7 + 3) % ring).alias("dst"))
+        edges = base.union(chords)
         t0 = time.time()
-        pagerank(pr_nodes, pr_und, iters=iters).write.format("noop") \
-            .mode("overwrite").save()
-        pr_times[iters] = round(time.time() - t0, 3)
-    timings["pagerank_400k_i2"] = pr_times[2]
-    timings["pagerank_400k_i6"] = pr_times[6]
-    extras["pagerank_per_iter_ratio"] = round(pr_times[6] / pr_times[2], 3)
+        comp = connected_components(edges, local_threshold=0)
+        n_comp = comp.select("component").distinct().count()
+        timings["cc_star_400k"] = round(time.time() - t0, 3)
+        assert n_comp == n_nodes // ring, f"cc_star_400k merged wrong: {n_comp}"
+        extras["cc_star_components"] = n_comp
 
-    # --- IVF / SemDeDup at 100k vectors (round-4 VERDICT item #8): the sf
-    # embeddings table is 2,000 vectors — constant-overhead territory for
-    # the quantizer. Generate 100k deterministic 64-dim vectors (pure JVM
-    # expression, no Python/RNG), k_cells ∝ √N, and time the probe-scan
-    # and the within-cell O(N²/K) pair scan at a size where they dominate.
-    from pl_marker_spark.ann_ivf import ivf_topk, semdedup
+        # --- PageRank at graph scale (round-4 VERDICT item #3): the kg corpus'
+        # entity graph is a few hundred edges, so the lineage-checkpoint
+        # behavior only shows at a real |E|. Reuse the 400k-edge ring graph
+        # and time 2 vs 6 iterations: with adj_deg materialized once and ranks
+        # checkpointed every 2 iterations, per-iteration wall time is flat, so
+        # t(6) ≈ 3·t(2) minus the shared setup — the ratio is recorded for the
+        # reader. ----------------------------------------------------------
+        from pl_marker_spark.graphops import pagerank, symmetrize
 
-    n_vec, dim = 100_000, 64
-    ivf_dir = tempfile.mkdtemp(prefix="plm_ivf100k_")
-    try:
-        dims = F.sequence(F.lit(0), F.lit(dim - 1))
-        vec = F.transform(dims, lambda d: (
-            (F.xxhash64(F.col("id") * dim + d) % 10007).cast("double")
-            / 10007.0 - 0.5).cast("float"))
-        spark.range(n_vec).select(
-            F.col("id").alias("vec_id"), vec.alias("embedding")
-        ).write.parquet(f"{ivf_dir}/embeddings.parquet")
-        k100 = 316  # ≈ √100k
-        t0 = time.time()
-        topk = ivf_topk(spark, ivf_dir, k_cells=k100, nprobe=4,
-                        lloyd_rounds=1, n_queries=64)
-        n_topk = topk.count()
-        timings["ann_ivf_100k"] = round(time.time() - t0, 3)
-        extras["ann_ivf_100k_rows"] = n_topk
-        # recall@10 vs the exact brute-force top-k for the same queries
-        # (untimed: it exists to grade the IVF answer, not the plan)
-        from pl_marker_spark.ann_ivf import _dot, _unit
-        from pyspark.sql import Window as W
+        pr_nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+        pr_und = symmetrize(edges, "src", "dst")
+        pr_times = {}
+        for iters in (2, 6):
+            t0 = time.time()
+            pagerank(pr_nodes, pr_und, iters=iters).write.format("noop") \
+                .mode("overwrite").save()
+            pr_times[iters] = round(time.time() - t0, 3)
+        timings["pagerank_400k_i2"] = pr_times[2]
+        timings["pagerank_400k_i6"] = pr_times[6]
+        extras["pagerank_per_iter_ratio"] = round(pr_times[6] / pr_times[2], 3)
 
-        ev = spark.read.parquet(f"{ivf_dir}/embeddings.parquet").select(
-            "vec_id",
-            _unit(F.transform("embedding",
-                              lambda x: x.cast("double"))).alias("uv"))
-        qv = ev.filter(F.col("vec_id") < 64).select(
-            F.col("vec_id").alias("q_id"), F.col("uv").alias("qv"))
-        bf = (
-            qv.crossJoin(ev)
-            .filter(F.col("q_id") != F.col("vec_id"))
-            .select("q_id", "vec_id",
-                    _dot(F.col("qv"), F.col("uv")).alias("sim"))
-            .withColumn("rk", F.row_number().over(
-                W.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")))
-            .filter(F.col("rk") <= 10)
-            .select("q_id", "vec_id")
-        )
-        n_hit = topk.select("q_id", "vec_id").join(bf, ["q_id", "vec_id"]) \
-            .count()
-        extras["ann_ivf_100k_recall_at_10"] = round(n_hit / n_topk, 4)
-        t0 = time.time()
-        sem = semdedup(spark, ivf_dir, k_cells=k100, tau=0.95)
-        n_keep = sem.agg(F.sum("keep")).collect()[0][0]
-        timings["semdedup_100k"] = round(time.time() - t0, 3)
-        # near-uniform random directions have no τ=0.95 neighbors: every
-        # vector keeps — a wrong pair scan shows up as dropped vectors
-        assert n_keep == n_vec, f"semdedup_100k dropped: {n_vec - n_keep}"
-        extras["semdedup_100k_keep"] = n_keep
-    finally:
-        shutil.rmtree(ivf_dir, ignore_errors=True)
+    if "vec100k" in sections:
+        # --- IVF / SemDeDup at 100k vectors (round-4 VERDICT item #8): the sf
+        # embeddings table is 2,000 vectors — constant-overhead territory for
+        # the quantizer. Generate 100k deterministic 64-dim vectors (pure JVM
+        # expression, no Python/RNG), k_cells ∝ √N, and time the probe-scan
+        # and the within-cell O(N²/K) pair scan at a size where they dominate.
+        from pyspark.sql import functions as F
+
+        from pl_marker_spark.ann_ivf import ivf_topk, semdedup
+
+        n_vec, dim = 100_000, 64
+        ivf_dir = tempfile.mkdtemp(prefix="plm_ivf100k_")
+        try:
+            dims = F.sequence(F.lit(0), F.lit(dim - 1))
+            vec = F.transform(dims, lambda d: (
+                (F.xxhash64(F.col("id") * dim + d) % 10007).cast("double")
+                / 10007.0 - 0.5).cast("float"))
+            spark.range(n_vec).select(
+                F.col("id").alias("vec_id"), vec.alias("embedding")
+            ).write.parquet(f"{ivf_dir}/embeddings.parquet")
+            k100 = 316  # ≈ √100k
+            t0 = time.time()
+            topk = ivf_topk(spark, ivf_dir, k_cells=k100, nprobe=4,
+                            lloyd_rounds=1, n_queries=64)
+            n_topk = topk.count()
+            timings["ann_ivf_100k"] = round(time.time() - t0, 3)
+            extras["ann_ivf_100k_rows"] = n_topk
+            # recall@10 vs the exact brute-force top-k for the same queries
+            # (untimed: it exists to grade the IVF answer, not the plan)
+            from pl_marker_spark.ann_ivf import _dot, _unit
+            from pyspark.sql import Window as W
+
+            ev = spark.read.parquet(f"{ivf_dir}/embeddings.parquet").select(
+                "vec_id",
+                _unit(F.transform("embedding",
+                                  lambda x: x.cast("double"))).alias("uv"))
+            qv = ev.filter(F.col("vec_id") < 64).select(
+                F.col("vec_id").alias("q_id"), F.col("uv").alias("qv"))
+            bf = (
+                qv.crossJoin(ev)
+                .filter(F.col("q_id") != F.col("vec_id"))
+                .select("q_id", "vec_id",
+                        _dot(F.col("qv"), F.col("uv")).alias("sim"))
+                .withColumn("rk", F.row_number().over(
+                    W.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")))
+                .filter(F.col("rk") <= 10)
+                .select("q_id", "vec_id")
+            )
+            n_hit = topk.select("q_id", "vec_id").join(bf, ["q_id", "vec_id"]) \
+                .count()
+            extras["ann_ivf_100k_recall_at_10"] = round(n_hit / n_topk, 4)
+            t0 = time.time()
+            sem = semdedup(spark, ivf_dir, k_cells=k100, tau=0.95)
+            n_keep = sem.agg(F.sum("keep")).collect()[0][0]
+            timings["semdedup_100k"] = round(time.time() - t0, 3)
+            # near-uniform random directions have no τ=0.95 neighbors: every
+            # vector keeps — a wrong pair scan shows up as dropped vectors
+            assert n_keep == n_vec, f"semdedup_100k dropped: {n_vec - n_keep}"
+            extras["semdedup_100k_keep"] = n_keep
+        finally:
+            shutil.rmtree(ivf_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -36,6 +36,12 @@ def run_at(cpus: int, sf_dir: str) -> dict:
     # is throughput scaling at 10^12-turn scale, not at a toy size an
     # optimization has outgrown.
     env.setdefault("SPARK_GRAFT_CONVS", "240000")
+    # legs compare the flagship pipeline; one rep per invocation (the
+    # harness's own alternating reps are the best-of control) and no
+    # catalog/at-scale side entries, which would triple leg wall time
+    # without informing the ratio
+    env.setdefault("SPARK_GRAFT_BENCH_SECTIONS", "e2e")
+    env.setdefault("SPARK_GRAFT_BENCH_REPS", "1")
     env.setdefault("SPARK_DRIVER_MEM", "12g")
     env.setdefault("SPARK_SHUFFLE_PARTITIONS", "128")
     env.setdefault("SPARK_ARROW_BATCH", "8192")
