@@ -551,3 +551,123 @@ def stream_hll_distinct(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_minhash_neardup(
+    spark: SparkSession, in_dir: str, out_dir: str,
+    threshold: float = 0.5, retain: int = 2,
+):
+    """Streaming MinHash+LSH near-duplicate detector: each micro-batch of
+    the document feed is banded (shingle → minhash → 4 LSH bands — the
+    exact ``textops.minhash_candidates`` math the ``minhash_neardup``
+    driver twin gates) and probed against the CUMULATIVE band index, so a
+    new document is checked against every document ever seen, not just
+    its own batch. Candidate pairs (band collisions with at least one new
+    side) verify by exact shingle Jaccard and append to
+    ``{out_dir}/pairs/batch_<id>``; over any batching, the union of
+    emitted pairs equals the one-shot batch ``minhash_candidates`` on the
+    concatenated corpus (tests/test_streaming.py) — band collision and
+    Jaccard are both batching-invariant, and requiring a new side on
+    every emitted pair makes each pair appear exactly once (in the batch
+    that completes it).
+
+    State: (1) the band index — 4 ids-only rows per document, the LSH
+    index any dedup service keeps — in the same versioned-dir + atomic
+    pointer sink as ``stream_upsert_latest`` (replay-idempotent, pruned
+    to ``retain`` versions); (2) the shingle store
+    ``{out_dir}/shingles/batch_<id>`` — an append-only restatement of the
+    corpus that the verify step joins, batch-id-named and overwritten on
+    replay so a crash-replay cannot double rows. At production scale the
+    shingle store is the raw lake table re-read (or a bucketed keyed
+    store); the band probe is an ids-only equi-join — salt hot bands via
+    ``skew.salted_pair_join`` if a degenerate band key emerges.
+
+    No reference counterpart (thunlp/PL-Marker has no dedup component);
+    training-data-pipeline family per SURVEY.md §6."""
+    from .textops import _banded_ids, minhash_signature, word_shingles
+    from .phash import phash64
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    ptr = f"{out_dir}/_LATEST"
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        hashed = df.select(
+            F.col("doc_id").alias("id"),
+            F.transform(word_shingles(F.col("text")),
+                        lambda s: phash64(s, "sh", chars=8)).alias("hs"),
+        )
+        sigs = hashed.select("id", *minhash_signature(F.col("hs")))
+        return _banded_ids(sigs)
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        import os as _os
+
+        vdir = f"{out_dir}/state_v{batch_id}"
+        prev = None
+        if _os.path.exists(ptr):
+            with open(ptr) as f:
+                prev = f.read().strip()
+            if prev == vdir:
+                return  # replay of an already-committed batch
+        # 1. shingle store shard (batch-id-named overwrite = replay-safe)
+        batch_df.select("doc_id", word_shingles(F.col("text")).alias("sh")) \
+            .write.mode("overwrite") \
+            .parquet(f"{out_dir}/shingles/batch_{batch_id}")
+        # 2. probe: cumulative ∪ new bands ⋈ new bands — at least one new
+        # side per pair, so a pair is emitted exactly once, by the batch
+        # that completes it (old×old collisions were emitted earlier)
+        new_bands = bands_of(batch_df).localCheckpoint()
+        all_bands = (spark.read.parquet(prev).unionByName(new_bands)
+                     if prev else new_bands)
+        right = new_bands.select(F.col("id").alias("r_id"),
+                                 F.col("band").alias("r_band"),
+                                 F.col("bkey").alias("r_bkey"))
+        cand = (
+            all_bands.join(right, (F.col("band") == F.col("r_band"))
+                           & (F.col("bkey") == F.col("r_bkey"))
+                           & (F.col("id") != F.col("r_id")))
+            .select(F.least("id", "r_id").alias("a_id"),
+                    F.greatest("id", "r_id").alias("b_id"))
+            .distinct()
+        )
+        # 3. verify on exact shingle Jaccard — two independent reads of
+        # the shingle store (the Spark 4.1 same-instance self-join trap)
+        store = f"{out_dir}/shingles/batch_*"
+        sh_a = spark.read.parquet(store).select(
+            F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+        sh_b = spark.read.parquet(store).select(
+            F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+        jac = (F.size(F.array_intersect("a_sh", "b_sh"))
+               / F.size(F.array_union("a_sh", "b_sh")))
+        pairs = (
+            cand.join(sh_a, "a_id").join(sh_b, "b_id")
+            .select(F.col("a_id").alias("doc_a"),
+                    F.col("b_id").alias("doc_b"),
+                    F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        pairs.write.mode("overwrite") \
+            .parquet(f"{out_dir}/pairs/batch_{batch_id}")
+        # 4. commit the cumulative band index + pointer flip + prune
+        all_bands.write.mode("overwrite").parquet(vdir)
+        tmp = f"{ptr}.tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        _os.replace(tmp, ptr)
+        _prune_state_versions(out_dir, retain)
+
+    return (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_neardup_pairs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All near-dup pairs a ``stream_minhash_neardup`` sink has emitted."""
+    return spark.read.parquet(f"{out_dir}/pairs/batch_*")

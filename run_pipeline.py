@@ -50,6 +50,13 @@ def main(argv: list[str]) -> int:
                     help="model=hf: base dir holding ner/ and re/ checkpoint "
                          "subdirs (model.safetensors + config.json each); "
                          "omit to use the generated reference checkpoint")
+    ap.add_argument("--ner-feature",
+                    choices=("marker_text4", "span2", "marker2", "bilinear"),
+                    default="marker_text4",
+                    help="I3 NER head ablation family (packed_linear): 4H "
+                         "marker+text concat (BertForSpanMarkerNER, the "
+                         "shipped head), span-only 2H, marker-only 2H, or "
+                         "the bilinear head (BertForSpanMarkerBiNER)")
     ap.add_argument("--att-left", action="store_true",
                     help="K6 ablation: start markers of a packed RE group "
                          "attend to each other (run_re.py:420-424)")
@@ -97,6 +104,7 @@ def main(argv: list[str]) -> int:
         use_typemarker=args.use_typemarker,
         segment_turns=args.segment_turns,
         model=args.model,
+        ner_feature=args.ner_feature,
         re_decode=args.re_decode,
         ner_decode=args.ner_decode,
         att_left=args.att_left,

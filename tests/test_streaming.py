@@ -396,3 +396,76 @@ def test_stream_hll_distinct_merge_law(spark, tmp_path_factory):
     want = {(r.bucket, r.rho) for r in one_shot.collect()}
     assert got == want
     assert len(got) > 10  # the corpus actually populates registers
+
+
+def test_stream_minhash_neardup_equals_batch(spark, tmp_path_factory):
+    """Cross-batch LSH probing: the union of pairs emitted over three
+    micro-batches equals the one-shot batch minhash_candidates on the
+    concatenated corpus — with planted near-dups WITHIN batch 1, WITHIN
+    batch 3, and ACROSS batches 1→2 and 2→3 (the case per-batch dedup
+    misses). Replay idempotence: a second availableNow start over the
+    same checkpoint adds nothing."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pl_marker_spark.textops import minhash_candidates
+    from pl_marker_spark.streaming import (
+        read_neardup_pairs,
+        stream_minhash_neardup,
+    )
+
+    base = str(tmp_path_factory.mktemp("smnd"))
+    indir, outdir = f"{base}/in", f"{base}/out"
+    os.makedirs(indir)
+    t0 = dt.datetime(2026, 1, 1)
+
+    def doc(words):
+        return " ".join(words)
+
+    core = "orion probe reached ganymede station and sent data home".split()
+    alt = "vega array observed the kuiper belt object flyby today".split()
+    third = "dr vega works at the lunar gateway observatory complex".split()
+    batches = {
+        # batch 1: 0/1 near-dups of each other (within-batch)
+        "a": [(0, doc(core)), (1, doc(core[:-1] + ["base"])),
+              (2, doc(alt))],
+        # batch 2: 10 is a near-dup of 0 (cross 1→2); 11 unrelated
+        "b": [(10, doc(core[:-2] + ["data", "out"])), (11, doc(third))],
+        # batch 3: 20 near-dups 11 (cross 2→3); 21/22 within-batch dups
+        "c": [(20, doc(third[:-1] + ["annex"])),
+              (21, doc(alt[:-1] + ["tonight"])),
+              (22, doc(alt[:-1] + ["tonight"]))],
+    }
+    for i, (name, rows) in enumerate(sorted(batches.items())):
+        pdf = pd.DataFrame(
+            [(d, t, t0 + dt.timedelta(seconds=d)) for d, t in rows],
+            columns=["doc_id", "text", "ts"])
+        p = f"{indir}/{name}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+
+    q = stream_minhash_neardup(spark, indir, outdir)
+    q.awaitTermination(300)
+    got = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in read_neardup_pairs(spark, outdir).collect()}
+
+    all_rows = [r for rows in batches.values() for r in rows]
+    corpus = spark.createDataFrame(all_rows, ["doc_id", "text"])
+    want = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_candidates(corpus).collect()}
+    assert got == want
+    # the planted structure actually exercised every case
+    ids = {frozenset((a, b)) for a, b, _ in got}
+    assert frozenset((0, 1)) in ids        # within batch 1
+    assert frozenset((0, 10)) in ids       # across 1→2
+    assert frozenset((11, 20)) in ids      # across 2→3
+    assert frozenset((21, 22)) in ids      # within batch 3
+
+    # replay: same checkpoint, no new files -> nothing changes
+    q2 = stream_minhash_neardup(spark, indir, outdir)
+    q2.awaitTermination(300)
+    again = {(r.doc_a, r.doc_b, r.jaccard)
+             for r in read_neardup_pairs(spark, outdir).collect()}
+    assert again == got
