@@ -1,0 +1,226 @@
+"""Distributed BPE merge learning (tokenizer training over the corpus).
+
+The reference consumes pre-trained vocabularies (run_ner.py:556 loads an
+HF tokenizer); a 100-TB corpus pipeline also needs the *training* side —
+learning the merge table itself from the corpus (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units", the
+algorithm behind GPT-2/RoBERTa-style BPE vocabularies).
+
+Scale shape
+-----------
+- ONE corpus-scale shuffle total: ``groupBy(word)`` collapses the corpus
+  to the word-frequency table. Everything after runs over that table,
+  which is vocabulary-sized (low millions of rows at 100 TB, not
+  corpus-sized) — the same collapse every production BPE trainer
+  (subword-nmt, HF tokenizers) performs.
+- each merge iteration is (a) one map-side-combined pair-count
+  aggregation over the vocab-sized table, (b) a TakeOrderedAndProject
+  top-1 whose single row is fetched to the driver — the merge decision
+  is inherently driver-resident since it parameterizes the next
+  iteration's expressions — and (c) a JVM-side ``F.aggregate`` fold
+  applying the merge to every word's symbol array. No Python executes
+  in any per-row path.
+- lineage: the word table is localCheckpoint()ed after the initial
+  collapse and every ``checkpoint_every`` merges (the pagerank lesson —
+  iterative plans otherwise re-execute from source each round). A real
+  cluster run would swap localCheckpoint for a parquet checkpoint of
+  the (word, wcount, syms) table, which also makes the trainer
+  resumable mid-vocabulary.
+
+Determinism: the winning pair is (max count, then lexicographically
+smallest (left, right)) — an engine-independent total order, so the
+distributed trainer and the pure-python reference agree exactly.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EOW = "</w>"  # end-of-word sentinel appended to each word's last character
+
+
+def word_symbol_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word, wcount, syms) frequency table.
+
+    ``syms`` is the word's character sequence with ``</w>`` fused onto the
+    final character (Sennrich's representation, so merges can't cross word
+    boundaries and word-final units stay distinct from word-internal ones).
+    """
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+    )
+    chars = F.split(F.col("word"), "")
+    syms = F.transform(
+        chars,
+        lambda c, i: F.when(i == F.size(chars) - 1, F.concat(c, F.lit(EOW)))
+        .otherwise(c),
+    )
+    return words.select("word", "wcount", syms.alias("syms"))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency.
+
+    One explode over the vocab-sized table + a map-side-combined agg; the
+    pair key is the two symbol strings (bounded — symbols are subword
+    units, not documents)."""
+    pairs = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("a"),
+                F.element_at("syms", i + 1).alias("b"),
+            ),
+        )
+    )
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select("wcount", pairs.alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wcount").alias("cnt"))
+    )
+
+
+def _apply_merge(syms, a: str, b: str):
+    """Left-to-right non-overlapping replacement of adjacent (a, b) with
+    the fused symbol a+b, as a JVM-side fold. Equivalent to the scan-and-
+    skip loop of the reference implementation: after fusing, the fused
+    token sits at the accumulator tail and (being a+b, never equal to a
+    unless b is empty) cannot chain into the next comparison."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    num_merges: int = 12,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``num_merges`` BPE merges from a document corpus.
+
+    Returns [(rank, left, right, pair_count), ...] — the ordered merge
+    table (the trained artifact every BPE tokenizer ships). Stops early
+    if the corpus runs out of adjacent pairs."""
+    words = word_symbol_table(docs, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        words = words.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+        if rank % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return merges
+
+
+def bpe_train_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    num_merges: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """DataFrame wrapper: the merge table as (rank, left, right,
+    pair_count) rows. The table is driver-resident by necessity (each
+    merge feeds the next iteration's expressions) and vocabulary-bounded
+    (num_merges rows)."""
+    merges = bpe_train_merges(docs, num_merges, text_col)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Independent pure-python reference (the oracle side of the driver twin):
+# Counter-over-symbol-tuples, the textbook dict-based formulation — a
+# different code shape from the DataFrame fold above.
+# ---------------------------------------------------------------------------
+
+
+def bpe_merges_reference(
+    texts: list[str], num_merges: int
+) -> list[tuple[int, str, str, int]]:
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            syms = list(w)
+            syms[-1] += EOW
+            vocab[tuple(syms)] += 1
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, cnt))
+        new_vocab: Counter = Counter()
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# Pinned corpus for the driver twin. The driver's parquet tables vary by
+# scale factor while oracle_sql() emits one static string, so (like the
+# kg_* rows, oracle_values.py:26) the catalog query synthesizes its own
+# deterministic corpus — the Sennrich-style comparative-suffix vocabulary,
+# mixed by closed-form index arithmetic (no RNG).
+# ---------------------------------------------------------------------------
+
+_BPE_WORDS = (
+    "low", "lower", "lowest", "new", "newer", "newest",
+    "wide", "wider", "widest", "slow", "slower", "slowest",
+)
+
+N_BPE_DOCS = 36
+N_BPE_MERGES = 12
+
+
+def bpe_corpus(n_docs: int = N_BPE_DOCS) -> list[tuple[int, str]]:
+    docs = []
+    for i in range(n_docs):
+        ws = [
+            _BPE_WORDS[(i * 5 + j * 3 + (i * j) % 7) % len(_BPE_WORDS)]
+            for j in range(6 + (i % 5))
+        ]
+        docs.append((i, " ".join(ws)))
+    return docs

@@ -1004,6 +1004,36 @@ FROM kw
 
 
 
+# ---------- BPE merge training (Sennrich et al. 2016) ----------------------
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training: the ordered merge table learned
+    from the pinned deterministic corpus (bpe.py — the driver's parquet
+    varies by sf while oracle_sql() is one static string, so like the kg_*
+    rows the query synthesizes its own input). Plan shape per bpe.py: one
+    corpus→word-frequency collapse, then per merge one map-side-combined
+    pair-count agg over the vocab-sized table + a TakeOrderedAndProject
+    top-1 + a JVM F.aggregate fold; lineage localCheckpointed. The twin is
+    the textbook Counter-over-tuples reference materialized as VALUES."""
+    from .bpe import N_BPE_MERGES, bpe_corpus, bpe_train_df
+
+    docs = spark.createDataFrame(bpe_corpus(), "doc_id int, text string")
+    return bpe_train_df(spark, docs, N_BPE_MERGES)
+
+
+def sql_bpe_train() -> str:
+    from .bpe import N_BPE_MERGES, bpe_corpus, bpe_merges_reference
+    from .oracle_values import _values_sql
+
+    merges = bpe_merges_reference([t for _, t in bpe_corpus()], N_BPE_MERGES)
+    return _values_sql(
+        merges,
+        ["rank", "left", "right", "pair_count"],
+        ["INTEGER", "VARCHAR", "VARCHAR", "BIGINT"],
+    )
+
+
 DATAOPS_QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "c4_filters": q_c4_filters,
@@ -1020,6 +1050,7 @@ DATAOPS_QUERIES = {
     "vocab_build": q_vocab_build,
     "oov_rate": q_oov_rate,
     "epoch_shuffle": q_epoch_shuffle,
+    "bpe_train": q_bpe_train,
 }
 
 DATAOPS_SQLS = {
@@ -1038,4 +1069,5 @@ DATAOPS_SQLS = {
     "vocab_build": SQL_VOCAB_BUILD,
     "oov_rate": SQL_OOV_RATE,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "bpe_train": sql_bpe_train(),
 }

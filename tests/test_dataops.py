@@ -260,3 +260,56 @@ def test_epoch_shuffle_permutes_and_shards(spark):
              for e, ers in by_epoch.items()}
     moved = sum(place[0][d] != place[1][d] for d in docs0)
     assert moved / len(docs0) > 0.8  # epochs really reshuffle
+
+
+# ---------- BPE merge training (bpe.py) -------------------------------------
+
+
+def _bpe_rows(df):
+    return [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+def test_bpe_matches_reference_on_real_documents(spark):
+    """The distributed trainer and the Counter-over-tuples reference learn
+    the identical merge table from the real sf0.001 documents corpus."""
+    import os
+
+    import pandas as pd
+
+    from pl_marker_spark.bpe import bpe_merges_reference, bpe_train_df
+
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = _bpe_rows(bpe_train_df(spark, docs, num_merges=8))
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    want = bpe_merges_reference(texts["text"].tolist(), 8)
+    assert got == want and len(got) == 8
+
+
+def test_bpe_greedy_scan_tiebreak_and_early_stop(spark):
+    """Hand-computed merges pin the fold semantics: (a) left-to-right
+    non-overlapping replacement when left==right ('bbbb' -> bb bb, never
+    re-chaining into the fused token), (b) the (count desc, pair asc)
+    tie-break, (c) early stop when no adjacent pairs remain."""
+    from pl_marker_spark.bpe import bpe_merges_reference, bpe_train_df
+
+    run_docs = spark.createDataFrame(
+        [(0, "bbbb bbbb bbbb")], "doc_id int, text string"
+    )
+    want_runs = [
+        (1, "b", "b", 6),          # 2 non-overlapping (b,b) per word
+        (2, "b", "b</w>", 3),      # ties (bb,b) at 3; 'b' < 'bb' wins
+        (3, "bb", "bb</w>", 3),
+    ]
+    assert _bpe_rows(bpe_train_df(spark, run_docs, 5)) == want_runs
+    assert bpe_merges_reference(["bbbb bbbb bbbb"], 5) == want_runs
+
+    stop_docs = spark.createDataFrame(
+        [(0, "aaa aaa"), (1, "aa")], "doc_id int, text string"
+    )
+    want_stop = [(1, "a", "a</w>", 3), (2, "a", "aa</w>", 2)]
+    assert _bpe_rows(bpe_train_df(spark, stop_docs, 5)) == want_stop
+    assert bpe_merges_reference(["aaa aaa", "aa"], 5) == want_stop
