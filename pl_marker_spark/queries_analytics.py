@@ -752,10 +752,79 @@ JOIN whole w ON w.r = m.r AND w.c = m.c
 """
 
 
+# ---------------------------------------------------------------------------
+# k-core decomposition of the near-dup graph (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def q_graph_kcore(spark, sf_dir):
+    """k-core of the near-dup graph (k=2) by fixed-round peeling: each
+    round recomputes degrees over the surviving subgraph and drops nodes
+    with degree < k; output is the surviving nodes with their core-
+    subgraph degree. Like the pagerank twin, the iteration count is
+    pinned (R=4) so the DuckDB chained-CTE twin is mechanical;
+    test_analytics asserts the corpus reaches the peeling fixed point
+    inside R rounds, so the pinned-R result IS the k-core.
+
+    Scale shape: the edge list is materialized once before the loop (the
+    triangle-join lesson — the jaccard lineage must not re-execute per
+    round) and re-checkpointed each round so the plan stays one degree
+    aggregation + one semi-join per round. The alive set is node-sized
+    (<< edges); AQE broadcasts it here, and at a real |V| the same plan
+    degrades gracefully to a shuffle join on the doc key. Near-dup
+    clusters are cliques, so the 2-core isolates genuine duplicate
+    clusters from incidental single-pair bridges."""
+    e = _neardup_edges(spark, sf_dir).localCheckpoint()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("doc_a").alias("doc"))
+            .unionAll(e.select(F.col("doc_b").alias("doc")))
+            .groupBy("doc")
+            .agg(F.count("*").alias("degree"))
+        )
+        alive = deg.filter(F.col("degree") >= KCORE_K).select("doc")
+        e = (
+            e.join(alive.withColumnRenamed("doc", "doc_a"), "doc_a")
+            .join(alive.withColumnRenamed("doc", "doc_b"), "doc_b")
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(e.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+
+
+def sql_graph_kcore() -> str:
+    sql = f"WITH e0 AS (SELECT * FROM {_sql_neardup_edges()})"
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+d{r} AS (SELECT doc, count(*) AS degree FROM
+         (SELECT doc_a AS doc FROM {prev} UNION ALL SELECT doc_b FROM {prev}) p
+         GROUP BY doc),
+a{r} AS (SELECT doc FROM d{r} WHERE degree >= {KCORE_K}),
+e{r} AS (SELECT doc_a, doc_b FROM {prev}
+         WHERE doc_a IN (SELECT doc FROM a{r})
+           AND doc_b IN (SELECT doc FROM a{r}))"""
+        prev = f"e{r}"
+    sql += f"""
+SELECT doc_id, count(*)::BIGINT AS core_degree FROM
+  (SELECT doc_a AS doc_id FROM {prev} UNION ALL SELECT doc_b FROM {prev}) c
+GROUP BY doc_id"""
+    return sql
+
+
 ANALYTICS_QUERIES = {
     "kg_entity_pagerank": q_kg_entity_pagerank,
     "graph_degree_dist": q_graph_degree_dist,
     "graph_triangles": q_graph_triangles,
+    "graph_kcore": q_graph_kcore,
     "hll_registers": q_hll_registers,
     "hll_estimate": q_hll_estimate,
     "hll_merge": q_hll_merge,
@@ -774,6 +843,7 @@ def analytics_sqls() -> dict[str, str]:
         "kg_entity_pagerank": sql_kg_entity_pagerank(),
         "graph_degree_dist": sql_graph_degree_dist(),
         "graph_triangles": sql_graph_triangles(),
+        "graph_kcore": sql_graph_kcore(),
         "hll_registers": sql_hll_registers(),
         "hll_estimate": sql_hll_estimate(),
         "hll_merge": sql_hll_merge(),

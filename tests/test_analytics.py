@@ -157,3 +157,35 @@ def test_percentiles_match_numpy(spark):
         for p in (0.5, 0.9, 0.99):
             want = round(s[math.ceil(p * n) - 1][0], 6)
             assert got[(et, p)] == pytest.approx(want, abs=1e-6)
+
+
+def test_kcore_matches_peel_to_convergence(spark):
+    """The fixed-round (R=4) k-core equals brute-force peeling run to the
+    fixed point on the same edge list — i.e. the corpus converges inside
+    the pinned rounds — and the peel actually removes nodes (the 2-core
+    is a strict subgraph here, so the operator is non-degenerate)."""
+    from collections import Counter
+
+    from pl_marker_spark.queries_analytics import (
+        KCORE_K, _neardup_edges, q_graph_kcore)
+
+    edges = [(r.doc_a, r.doc_b) for r in _neardup_edges(spark, SF).collect()]
+    cur = set(edges)
+    while True:
+        deg = Counter()
+        for a, b in cur:
+            deg[a] += 1
+            deg[b] += 1
+        alive = {n for n, d in deg.items() if d >= KCORE_K}
+        nxt = {(a, b) for a, b in cur if a in alive and b in alive}
+        if nxt == cur:
+            break
+        cur = nxt
+    deg = Counter()
+    for a, b in cur:
+        deg[a] += 1
+        deg[b] += 1
+    got = {(r.doc_id, r.core_degree) for r in q_graph_kcore(spark, SF).collect()}
+    assert got == set(deg.items())
+    all_nodes = {n for e in edges for n in e}
+    assert got and len({d for d, _ in got}) < len(all_nodes)
