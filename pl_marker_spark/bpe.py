@@ -156,6 +156,52 @@ def bpe_train_df(
     )
 
 
+def word_tokens_expr(word_col, merges: list[tuple[int, str, str, int]]):
+    """Segment one word column with a learned merge table: chars+EOW, then
+    the merges applied as chained JVM folds in rank order. Rank-order
+    single-pass application is exact (not the usual approximation): a
+    merge's pair symbols can only be produced by earlier-ranked merges,
+    and fusing never creates new adjacency between pre-existing symbols,
+    so no earlier merge can become applicable after a later one — the
+    ordered pass reaches the same fixed point as loop-until-no-merge."""
+    chars = F.split(word_col, "")
+    syms = F.transform(
+        chars,
+        lambda c, i: F.when(i == F.size(chars) - 1, F.concat(c, F.lit(EOW)))
+        .otherwise(c),
+    )
+    for _, a, b, _ in merges:
+        syms = _apply_merge(syms, a, b)
+    return syms
+
+
+def bpe_encode_df(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge table -> (id, word_pos,
+    tok_pos, token) rows. Pure scan shape: the merge table is baked into
+    the expression tree (it is vocabulary-sized and driver-resident by
+    construction), so encoding is two generator projections with ZERO
+    shuffle — the form that matters at 100 TB, where tokenization must
+    stream through the corpus exactly once."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    w = docs.select(id_col, F.posexplode(words).alias("word_pos", "word"))
+    toks = word_tokens_expr(F.col("word"), merges)
+    return w.select(
+        id_col,
+        F.col("word_pos").cast("int").alias("word_pos"),
+        F.posexplode(toks).alias("tok_pos", "token"),
+    ).select(
+        id_col, "word_pos", F.col("tok_pos").cast("int").alias("tok_pos"),
+        "token",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Independent pure-python reference (the oracle side of the driver twin):
 # Counter-over-symbol-tuples, the textbook dict-based formulation — a
@@ -196,6 +242,34 @@ def bpe_merges_reference(
             new_vocab[tuple(out)] += c
         vocab = new_vocab
     return merges
+
+
+def bpe_encode_reference(
+    texts: list[tuple[int, str]], merges: list[tuple[int, str, str, int]]
+) -> list[tuple[int, int, int, str]]:
+    """(doc_id, word_pos, tok_pos, token) rows via the scan-and-skip loop
+    applied in rank order — the reference twin of bpe_encode_df."""
+    rows: list[tuple[int, int, int, str]] = []
+    for doc_id, t in texts:
+        wp = 0
+        for w in t.lower().split():
+            syms = list(w)
+            syms[-1] += EOW
+            for _, a, b, _ in merges:
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            for tp, tok in enumerate(syms):
+                rows.append((doc_id, wp, tp, tok))
+            wp += 1
+    return rows
 
 
 # ---------------------------------------------------------------------------

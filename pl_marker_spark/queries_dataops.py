@@ -1034,6 +1034,34 @@ def sql_bpe_train() -> str:
     )
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE segmentation of the pinned corpus using merges the DISTRIBUTED
+    trainer just learned — the gate verifies train∘encode composed: Spark
+    learns the table via bpe_train_merges then encodes with chained JVM
+    folds (zero shuffle), while the twin is the pure-python reference
+    trainer + scan-and-skip encoder materialized as VALUES."""
+    from .bpe import N_BPE_MERGES, bpe_corpus, bpe_encode_df, bpe_train_merges
+
+    docs = spark.createDataFrame(bpe_corpus(), "doc_id int, text string")
+    merges = bpe_train_merges(docs, N_BPE_MERGES)
+    return bpe_encode_df(docs, merges)
+
+
+def sql_bpe_encode() -> str:
+    from .bpe import (N_BPE_MERGES, bpe_corpus, bpe_encode_reference,
+                      bpe_merges_reference)
+    from .oracle_values import _values_sql
+
+    corpus = bpe_corpus()
+    merges = bpe_merges_reference([t for _, t in corpus], N_BPE_MERGES)
+    rows = bpe_encode_reference(corpus, merges)
+    return _values_sql(
+        rows,
+        ["doc_id", "word_pos", "tok_pos", "token"],
+        ["INTEGER", "INTEGER", "INTEGER", "VARCHAR"],
+    )
+
+
 DATAOPS_QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "c4_filters": q_c4_filters,
@@ -1051,6 +1079,7 @@ DATAOPS_QUERIES = {
     "oov_rate": q_oov_rate,
     "epoch_shuffle": q_epoch_shuffle,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
 }
 
 DATAOPS_SQLS = {
@@ -1070,4 +1099,5 @@ DATAOPS_SQLS = {
     "oov_rate": SQL_OOV_RATE,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "bpe_train": sql_bpe_train(),
+    "bpe_encode": sql_bpe_encode(),
 }

@@ -313,3 +313,39 @@ def test_bpe_greedy_scan_tiebreak_and_early_stop(spark):
     want_stop = [(1, "a", "a</w>", 3), (2, "a", "aa</w>", 2)]
     assert _bpe_rows(bpe_train_df(spark, stop_docs, 5)) == want_stop
     assert bpe_merges_reference(["aaa aaa", "aa"], 5) == want_stop
+
+
+def test_bpe_encode_real_documents_roundtrip_and_reference(spark):
+    """Spark train∘encode on the real sf0.001 documents equals the pure-
+    python reference composition row-for-row, and every word round-trips:
+    concatenating its tokens (EOW stripped) reconstructs the word."""
+    import os
+
+    from pl_marker_spark.bpe import (EOW, bpe_encode_df, bpe_encode_reference,
+                                     bpe_merges_reference, bpe_train_merges)
+
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    docs = docs.select("doc_id", "text").localCheckpoint()
+    merges = bpe_train_merges(docs, num_merges=8)
+    got = [
+        (r.doc_id, r.word_pos, r.tok_pos, r.token)
+        for r in bpe_encode_df(docs, merges).collect()
+    ]
+    texts = [(r.doc_id, r.text) for r in docs.collect()]
+    ref_merges = bpe_merges_reference([t for _, t in texts], 8)
+    assert merges == ref_merges
+    assert sorted(got) == sorted(bpe_encode_reference(texts, ref_merges))
+
+    words = {}
+    for doc_id, wp, tp, tok in got:
+        words.setdefault((doc_id, wp), []).append((tp, tok))
+    originals = {
+        (doc_id, wp): w
+        for doc_id, t in texts
+        for wp, w in enumerate(t.lower().split())
+    }
+    assert set(words) == set(originals)
+    for key, toks in words.items():
+        joined = "".join(t for _, t in sorted(toks))
+        assert joined == originals[key] + EOW
