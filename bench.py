@@ -140,7 +140,9 @@ def main() -> None:
         # round-4 training-example assembly + LM-quality family
         "doc_chunk", "seq_pack", "lm_xent_bucket",
         "mixture_weights", "semdedup", "vocab_build", "oov_rate",
-        "epoch_shuffle")
+        "epoch_shuffle",
+        # round-5 addition: graph k-core (fixed-round peeling)
+        "graph_kcore")
     for name in catalog_names:
         best = None
         for _ in range(reps):
@@ -150,6 +152,29 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+
+    if "catalog" in sections:
+        # round-5 tokenizer family, timed over the REAL sf corpus (the
+        # catalog twins use the pinned 36-doc corpus, which would measure
+        # driver-loop overhead, not the corpus-scale collapse/encode):
+        # train = 1 corpus->word-table shuffle + 12 vocab-sized pair aggs;
+        # encode = zero-shuffle scan with the merges baked into the plan.
+        from pl_marker_spark.bpe import bpe_encode_df, bpe_train_merges
+
+        docs_bpe = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        best_t = best_e = None
+        for _ in range(reps):
+            t0 = time.time()
+            merges = bpe_train_merges(docs_bpe, num_merges=12)
+            dt = time.time() - t0
+            best_t = dt if best_t is None else min(best_t, dt)
+            t0 = time.time()
+            bpe_encode_df(docs_bpe, merges).write.format("noop").mode(
+                "overwrite").save()
+            dt = time.time() - t0
+            best_e = dt if best_e is None else min(best_e, dt)
+        timings["bpe_train_sf"] = round(best_t, 3)
+        timings["bpe_encode_sf"] = round(best_e, 3)
 
     if "graph400k" in sections:
         # --- at-scale CC branch (round-3 VERDICT item #4): the kg corpus'
