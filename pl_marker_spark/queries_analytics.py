@@ -820,6 +820,229 @@ GROUP BY doc_id"""
     return sql
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter: build / merge law / membership probe
+# ---------------------------------------------------------------------------
+# The third sketch algebra after HLL (max) and CMS (+): Bloom filters merge
+# under bitwise OR. At 100 TB this is the set-membership primitive behind
+# broadcast decontamination / blocklist joins: each partition builds its
+# local filter in one map-side-combinable pass, the OR-merge is a 32-row
+# reduce, and the merged filter broadcasts to probe any stream without
+# shuffling the underlying set.
+
+BLOOM_M = 1024          # filter bits
+BLOOM_K = 4             # hash functions (4 disjoint md5 hex slices)
+BLOOM_WORD = 32         # bits per stored word -> 32 BIGINT-safe words
+
+
+def _bloom_positions(col):
+    """BLOOM_K bit positions for a token: disjoint 4-hex-char (16-bit)
+    slices of one md5, each mod BLOOM_M — the same integer-only hex math
+    as the HLL/CMS twins (identical md5 hex on both engines)."""
+    md5 = F.md5(col.cast("binary"))
+    return F.array(*[
+        (F.conv(F.substring(md5, 1 + 4 * j, 4), 16, 10).cast("long")
+         % BLOOM_M)
+        for j in range(BLOOM_K)])
+
+
+def _bloom_words(df_tokens):
+    """Sparse (word_idx, word) Bloom words over a `token` column. One
+    explode + one bit_or aggregate (map-side combinable: OR is
+    associative/commutative/idempotent); output is O(BLOOM_M/BLOOM_WORD)
+    rows regardless of corpus size. 32-bit words inside BIGINTs keep the
+    shift unsigned-safe in both engines."""
+    pos = df_tokens.select(F.explode(_bloom_positions(F.col("token")))
+                           .alias("p"))
+    return (
+        pos.select(F.expr(f"p DIV {BLOOM_WORD}").alias("word_idx"),
+                   F.expr(f"shiftleft(1L, int(p % {BLOOM_WORD}))")
+                   .alias("bit"))
+        .groupBy("word_idx").agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def _corpus_tokens(spark, sf_dir):
+    return (
+        _doc(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+
+
+def q_bloom_build(spark, sf_dir):
+    """Bloom filter over the distinct corpus vocabulary, materialized as
+    the full 32-row word spine (left join onto spark.range — absent words
+    are explicit 0 rows, never missing: the hll_merge -1-sentinel lesson
+    applied to the materialized shape)."""
+    words = _bloom_words(_corpus_tokens(spark, sf_dir))
+    spine = spark.range(BLOOM_M // BLOOM_WORD).select(
+        F.col("id").alias("word_idx"))
+    return (
+        spine.join(words, "word_idx", "left")
+        .select(F.col("word_idx").cast("long").alias("word_idx"),
+                F.coalesce("word", F.lit(0)).cast("long").alias("word"))
+    )
+
+
+def q_bloom_merge(spark, sf_dir):
+    """Bloom MERGEABILITY — the OR law: filters built independently per
+    doc_id-parity partition bitwise-OR-merge to exactly the whole-corpus
+    filter. Completes the distributive-algebra trio (HLL max, CMS +,
+    Bloom OR) that licenses partial aggregation at 100 TB; both plan
+    shapes are computed here and re-derived by the DuckDB twin. -1
+    sentinels mark parts with no bit in a word (a present part word is
+    always >= 1, so the sentinel is unambiguous)."""
+    toks = (
+        _doc(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2).cast("long").alias("part"),
+                F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    pos = toks.select(
+        "part", F.explode(_bloom_positions(F.col("token"))).alias("p"))
+    parts = (
+        pos.select("part",
+                   F.expr(f"p DIV {BLOOM_WORD}").alias("word_idx"),
+                   F.expr(f"shiftleft(1L, int(p % {BLOOM_WORD}))")
+                   .alias("bit"))
+        .groupBy("part", "word_idx").agg(F.bit_or("bit").alias("word"))
+    )
+    merged = parts.groupBy("word_idx").agg(
+        F.bit_or("word").alias("word_merged"))
+    even = parts.filter(F.col("part") == 0).select(
+        "word_idx", F.col("word").alias("word_even"))
+    odd = parts.filter(F.col("part") == 1).select(
+        "word_idx", F.col("word").alias("word_odd"))
+    whole = _bloom_words(_corpus_tokens(spark, sf_dir)).select(
+        "word_idx", F.col("word").alias("word_whole"))
+    return (
+        merged.join(even, "word_idx", "left").join(odd, "word_idx", "left")
+        .join(whole, "word_idx")
+        .select(
+            F.col("word_idx").cast("long").alias("word_idx"),
+            F.coalesce("word_even", F.lit(-1)).cast("long")
+            .alias("word_even"),
+            F.coalesce("word_odd", F.lit(-1)).cast("long").alias("word_odd"),
+            F.col("word_merged").cast("long").alias("word_merged"),
+            F.col("word_whole").cast("long").alias("word_whole"),
+            (F.col("word_merged") == F.col("word_whole"))
+            .cast("long").alias("mergeable"),
+        )
+    )
+
+
+def q_bloom_member(spark, sf_dir):
+    """Membership probe against the corpus Bloom filter — the broadcast
+    shape the filter exists for: the 32-row word table joins (AQE
+    broadcasts it) against the probes' exploded (word_idx, bit) demands;
+    a probe hits iff ALL BLOOM_K bits are set (min over bit tests).
+    Probes are every vocabulary token of the doc_id % 11 == 0 slice
+    (guaranteed present) plus the same tokens with an '-oov' suffix
+    (absent — any hit is a true false positive, identical in both engines
+    because the filter and hashes are deterministic). At scale the probe
+    side is the 100-TB stream and the filter side stays 32 rows — no
+    shuffle of the underlying set ever happens."""
+    base = (
+        _doc(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    probes = base.select(F.col("token").alias("probe")).unionAll(
+        base.select(F.concat("token", F.lit("-oov")).alias("probe")))
+    words = _bloom_words(_corpus_tokens(spark, sf_dir))
+    demand = (
+        probes.select("probe",
+                      F.explode(_bloom_positions(F.col("probe")))
+                      .alias("p"))
+        .select("probe",
+                F.expr(f"p DIV {BLOOM_WORD}").alias("word_idx"),
+                F.expr(f"int(p % {BLOOM_WORD})").alias("bit"))
+    )
+    hit = (F.coalesce(
+        F.expr(f"(word DIV shiftleft(1L, bit)) % 2"), F.lit(0)) == 1)
+    return (
+        demand.join(words, "word_idx", "left")
+        .select("probe", hit.cast("long").alias("bit_set"))
+        .groupBy("probe").agg(F.min("bit_set").cast("long").alias("hit"))
+    )
+
+
+def _sql_bloom_pos(src: str, token: str = "token") -> str:
+    """Position CTE body: one row per (…, p) for the BLOOM_K hash slices."""
+    return (f"SELECT *, (('0x' || substr(md5({token}), 1 + 4*j, 4))::BIGINT"
+            f" % {BLOOM_M}) AS p FROM {src},"
+            f" LATERAL (SELECT unnest([0,1,2,3]) AS j) g")
+
+
+def sql_bloom_build() -> str:
+    return f"""
+WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+              FROM documents),
+pos AS ({_sql_bloom_pos('toks')}),
+words AS (SELECT p // {BLOOM_WORD} AS word_idx,
+                 bit_or(1::BIGINT << (p % {BLOOM_WORD})::INT) AS word
+          FROM pos GROUP BY p // {BLOOM_WORD})
+SELECT s.word_idx::BIGINT AS word_idx, coalesce(w.word, 0)::BIGINT AS word
+FROM (SELECT unnest(generate_series(0, {BLOOM_M // BLOOM_WORD - 1}))
+      AS word_idx) s
+LEFT JOIN words w USING (word_idx)
+"""
+
+
+def sql_bloom_merge() -> str:
+    return f"""
+WITH toks AS (SELECT DISTINCT (doc_id % 2)::BIGINT AS part,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents),
+pos AS ({_sql_bloom_pos('toks')}),
+parts AS (SELECT part, p // {BLOOM_WORD} AS word_idx,
+                 bit_or(1::BIGINT << (p % {BLOOM_WORD})::INT) AS word
+          FROM pos GROUP BY part, p // {BLOOM_WORD}),
+merged AS (SELECT word_idx, bit_or(word) AS word_merged
+           FROM parts GROUP BY word_idx),
+whole AS (SELECT p // {BLOOM_WORD} AS word_idx,
+                 bit_or(1::BIGINT << (p % {BLOOM_WORD})::INT) AS word_whole
+          FROM (SELECT DISTINCT p FROM pos) q GROUP BY p // {BLOOM_WORD})
+SELECT m.word_idx::BIGINT AS word_idx,
+       coalesce(e.word, -1)::BIGINT AS word_even,
+       coalesce(o.word, -1)::BIGINT AS word_odd,
+       m.word_merged::BIGINT AS word_merged,
+       w.word_whole::BIGINT AS word_whole,
+       (m.word_merged = w.word_whole)::BIGINT AS mergeable
+FROM merged m
+LEFT JOIN (SELECT word_idx, word FROM parts WHERE part = 0) e
+  USING (word_idx)
+LEFT JOIN (SELECT word_idx, word FROM parts WHERE part = 1) o
+  USING (word_idx)
+JOIN whole w USING (word_idx)
+"""
+
+
+def sql_bloom_member() -> str:
+    return f"""
+WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+              FROM documents),
+pos AS ({_sql_bloom_pos('toks')}),
+words AS (SELECT p // {BLOOM_WORD} AS word_idx,
+                 bit_or(1::BIGINT << (p % {BLOOM_WORD})::INT) AS word
+          FROM pos GROUP BY p // {BLOOM_WORD}),
+base AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+         FROM documents WHERE doc_id % 11 = 0),
+probes AS (SELECT token AS probe FROM base
+           UNION ALL SELECT token || '-oov' FROM base),
+demand AS (SELECT probe, p // {BLOOM_WORD} AS word_idx,
+                  (p % {BLOOM_WORD})::INT AS bit
+           FROM ({_sql_bloom_pos('probes', 'probe')}) d)
+SELECT probe,
+       min(CASE WHEN coalesce((w.word // (1::BIGINT << bit)) % 2, 0) = 1
+           THEN 1 ELSE 0 END)::BIGINT AS hit
+FROM demand d LEFT JOIN words w USING (word_idx)
+GROUP BY probe
+"""
+
+
 ANALYTICS_QUERIES = {
     "kg_entity_pagerank": q_kg_entity_pagerank,
     "graph_degree_dist": q_graph_degree_dist,
@@ -830,6 +1053,9 @@ ANALYTICS_QUERIES = {
     "hll_merge": q_hll_merge,
     "cms_merge": q_cms_merge,
     "cms_freq": q_cms_freq,
+    "bloom_build": q_bloom_build,
+    "bloom_merge": q_bloom_merge,
+    "bloom_member": q_bloom_member,
     "heavy_hitters": q_heavy_hitters,
     "rollup_revenue": q_rollup_revenue,
     "percentile_groups": q_percentile_groups,
@@ -849,6 +1075,9 @@ def analytics_sqls() -> dict[str, str]:
         "hll_merge": sql_hll_merge(),
         "cms_merge": sql_cms_merge(),
         "cms_freq": sql_cms_freq(),
+        "bloom_build": sql_bloom_build(),
+        "bloom_merge": sql_bloom_merge(),
+        "bloom_member": sql_bloom_member(),
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
         "percentile_groups": SQL_PERCENTILE_GROUPS,

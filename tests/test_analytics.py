@@ -189,3 +189,48 @@ def test_kcore_matches_peel_to_convergence(spark):
     assert got == set(deg.items())
     all_nodes = {n for e in edges for n in e}
     assert got and len({d for d, _ in got}) < len(all_nodes)
+
+
+def test_bloom_matches_pure_python(spark):
+    """q_bloom_build equals a pure-python Bloom filter built from the same
+    md5 slice positions over the distinct corpus vocabulary — pins the
+    bit layout (word_idx = p DIV 32, bit = p % 32) independently of the
+    SQL twin."""
+    import hashlib
+
+    from pl_marker_spark.queries_analytics import (
+        BLOOM_K, BLOOM_M, BLOOM_WORD, q_bloom_build)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    vocab = {w for (t,) in docs.collect() for w in t.split(" ")}
+    words = [0] * (BLOOM_M // BLOOM_WORD)
+    for tok in vocab:
+        h = hashlib.md5(tok.encode()).hexdigest()
+        for j in range(BLOOM_K):
+            p = int(h[4 * j:4 * j + 4], 16) % BLOOM_M
+            words[p // BLOOM_WORD] |= 1 << (p % BLOOM_WORD)
+    got = {(r.word_idx, r.word) for r in q_bloom_build(spark, SF).collect()}
+    assert got == {(i, w) for i, w in enumerate(words)}
+    assert any(w for w in words)  # filter is non-degenerate
+
+
+def test_bloom_merge_law_and_membership(spark):
+    """The OR merge law holds on every word (mergeable == 1 throughout,
+    and merged == whole by value), and the membership probe has no false
+    negatives: every in-vocabulary probe hits; the '-oov' probes measure
+    the (deterministic) false-positive rate, which at |vocab| << m/k
+    should be far below 1."""
+    from pl_marker_spark.queries_analytics import q_bloom_member, q_bloom_merge
+
+    rows = q_bloom_merge(spark, SF).collect()
+    assert rows and all(r.mergeable == 1 for r in rows)
+    assert all(r.word_merged == r.word_whole for r in rows)
+    assert all((r.word_even | (0 if r.word_odd == -1 else r.word_odd))
+               == r.word_merged for r in rows if r.word_even != -1)
+
+    probes = q_bloom_member(spark, SF).collect()
+    present = [r for r in probes if not r.probe.endswith("-oov")]
+    absent = [r for r in probes if r.probe.endswith("-oov")]
+    assert present and all(r.hit == 1 for r in present)
+    fp = sum(r.hit for r in absent) / max(len(absent), 1)
+    assert fp < 0.5
