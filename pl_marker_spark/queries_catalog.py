@@ -846,6 +846,153 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+def _dup_gram_positions(spark, sf_dir):
+    """(doc_id, pos, gh): every 8-word n-gram start position whose gram
+    occurs in >=2 (and <=50 — the substr_dedup hot-shingle cap) distinct
+    documents. Shared by dup_span_merge; the gram strings never shuffle
+    (xxhash64 ids only)."""
+    d = (
+        _doc(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 8)
+    )
+    gpos = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(ws)-8),"
+                " i -> xxhash64(array_join(slice(ws, i+1, 8), ' ')))"
+            )
+        ).alias("pos", "gh"),
+    )
+    freq = (
+        gpos.select("doc_id", "gh").distinct()
+        .groupBy("gh").agg(F.count("*").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= 50))
+    )
+    return gpos.join(freq.select("gh"), "gh")
+
+
+def q_dup_span_merge(spark, sf_dir):
+    """The second half of Lee et al. 2021 exact-substring dedup (the half
+    substr_dedup's pair counting leaves open): merge each document's
+    duplicated 8-word windows into MAXIMAL duplicated spans — the spans a
+    dedup pass would actually cut out. Classic gaps-and-islands: windows
+    [pos, pos+7] sorted per doc chain into one island while consecutive
+    starts are <= 8 apart (fixed window length makes start-chaining exact
+    interval merging); island id = running sum of break flags. One gram
+    shuffle + one per-doc window sort — per-doc state only, no global
+    sort, so the shape survives any corpus size."""
+    starts = _dup_gram_positions(spark, sf_dir).select(
+        "doc_id", "pos").distinct()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > 8,
+                 F.lit(1)).otherwise(F.lit(0))
+    islands = starts.select(
+        "doc_id", "pos",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("island"))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").cast("long").alias("span_start"),
+             (F.max("pos") + 7).cast("long").alias("span_end"),
+             F.count("*").cast("long").alias("n_windows"))
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+SQL_DUP_SPAN_MERGE = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+           WHERE len(string_split(text,' ')) >= 8),
+g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws)-6)) AS i FROM w) x),
+f AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) dg
+      GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+s AS (SELECT DISTINCT doc_id, pos FROM g JOIN f USING (gram)),
+l AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk FROM s),
+isl AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM l)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + 7)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def q_containment_neardup(spark, sf_dir):
+    """Asymmetric n-gram CONTAINMENT C(A->B) = |grams(A) ∩ grams(B)| /
+    |grams(A)| — the quantity benchmark-contamination checks actually
+    want (Jaccard under-reports when one side is much shorter: a test
+    item fully embedded in a long document has high containment but low
+    Jaccard). Emits BOTH ordered directions per sharing pair. Shared-gram
+    counting rides the same capped hashed-gram join as substr_dedup; the
+    per-doc denominator is the UNCAPPED distinct-gram count (cap applies
+    to the pair search only, documented lower-bound semantics on
+    n_shared). Float discipline: containment rounded to 6dp, exact
+    integer numerators/denominators carried alongside."""
+    d = (
+        _doc(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 8)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws)-8),"
+                " i -> xxhash64(array_join(slice(ws, i+1, 8), ' ')))"
+            )
+        ).alias("gh"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    freq = grams.groupBy("gh").agg(F.count("*").alias("nd")).filter(
+        (F.col("nd") >= 2) & (F.col("nd") <= 50))
+    cand = grams.join(freq.select("gh"), "gh")
+    b = cand.select(F.col("gh").alias("b_gh"), F.col("doc_id").alias("b_id"))
+    shared = (
+        cand.alias("a")
+        .join(b, (F.col("a.gh") == F.col("b_gh"))
+              & (F.col("a.doc_id") != F.col("b_id")))
+        .groupBy(F.col("a.doc_id").alias("src_doc"),
+                 F.col("b_id").alias("dst_doc"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "src_doc"), "src_doc")
+        .select(
+            "src_doc", "dst_doc",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_grams").cast("long").alias("n_src_grams"),
+            F.round(F.col("n_shared") / F.col("n_grams"), 6)
+            .alias("containment"),
+        )
+    )
+
+
+SQL_CONTAINMENT = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+           WHERE len(string_split(text,' ')) >= 8),
+g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws)-6)) AS i FROM w) x),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+c AS (SELECT g.doc_id, g.gram FROM g JOIN f USING (gram)),
+shared AS (SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+                  count(*) AS n_shared
+           FROM c a JOIN c b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+SELECT src_doc::BIGINT AS src_doc, dst_doc::BIGINT AS dst_doc,
+       n_shared::BIGINT AS n_shared, s.n_grams::BIGINT AS n_src_grams,
+       round(n_shared / s.n_grams, 6) AS containment
+FROM shared JOIN sizes s ON s.doc_id = shared.src_doc
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k similarity search over the embedding column
     (baseline ANN; the LSH-bucketed variant is `minhash_neardup`)."""
@@ -1454,6 +1601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "gopher_rules": q_gopher_rules,
         "substr_dedup": q_substr_dedup,
+        "dup_span_merge": q_dup_span_merge,
+        "containment_neardup": q_containment_neardup,
         **DATAOPS_QUERIES,
         **ANALYTICS_QUERIES,
     }
@@ -1487,6 +1636,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster": SQL_DEDUP_CLUSTER,
         "gopher_rules": SQL_GOPHER,
         "substr_dedup": SQL_SUBSTR_DEDUP,
+        "dup_span_merge": SQL_DUP_SPAN_MERGE,
+        "containment_neardup": SQL_CONTAINMENT,
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf_topk": _sql_ann_ivf(),
         "semdedup": _sql_semdedup(),

@@ -480,3 +480,67 @@ def test_dedup_cluster_transitivity(spark):
         10: (10, 3, 1), 20: (10, 3, 0), 30: (10, 3, 0),
         40: (40, 2, 1), 50: (40, 2, 0),
     }
+
+
+def test_dup_span_merge_matches_brute_force(spark):
+    """Gaps-and-islands span merging equals brute-force interval merging
+    of the duplicated windows, computed in pure python from the same
+    corpus; every emitted span is maximal (merging is idempotent)."""
+    from collections import defaultdict
+
+    from pl_marker_spark.queries_catalog import q_dup_span_merge
+
+    sf = "/root/testdata/sf0.001"
+    docs = {r.doc_id: r.text.split(" ")
+            for r in spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    gram_docs = defaultdict(set)
+    positions = defaultdict(list)
+    for did, ws in docs.items():
+        for i in range(len(ws) - 7):
+            g = " ".join(ws[i:i + 8])
+            gram_docs[g].add(did)
+            positions[did].append((i, g))
+    expected = set()
+    for did, plist in positions.items():
+        starts = sorted({i for i, g in plist
+                         if 2 <= len(gram_docs[g]) <= 50})
+        if not starts:
+            continue
+        run = [starts[0]]
+        for p in starts[1:]:
+            if p - run[-1] > 8:
+                expected.add((did, run[0], run[-1] + 7, len(run)))
+                run = [p]
+            else:
+                run.append(p)
+        expected.add((did, run[0], run[-1] + 7, len(run)))
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in q_dup_span_merge(spark, sf).collect()}
+    assert got == expected and got
+    spans = defaultdict(list)
+    for did, s, e, _ in got:
+        spans[did].append((s, e))
+    for v in spans.values():
+        v.sort()
+        for (s1, e1), (s2, e2) in zip(v, v[1:]):
+            assert s2 > e1 + 1  # maximal: adjacent spans would have merged
+
+
+def test_containment_asymmetry_and_bounds(spark):
+    """Containment is directional: a doc fully embedded in a longer one
+    scores 1.0 in the embedded->host direction and < 1 in the reverse;
+    every value is in (0, 1] and n_shared <= n_src_grams."""
+    from pl_marker_spark.queries_catalog import q_containment_neardup
+
+    rows = q_containment_neardup(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_pair = {(r.src_doc, r.dst_doc): r for r in rows}
+    for (a, b), r in by_pair.items():
+        assert 0 < r.containment <= 1.0
+        assert 0 < r.n_shared <= r.n_src_grams
+        assert (b, a) in by_pair  # both directions always emitted
+        assert by_pair[(b, a)].n_shared == r.n_shared
+    # the corpus contains at least one genuinely asymmetric pair
+    assert any(abs(by_pair[(a, b)].containment
+                   - by_pair[(b, a)].containment) > 1e-9
+               for (a, b) in by_pair)
