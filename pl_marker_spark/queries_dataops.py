@@ -466,6 +466,48 @@ WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
 """
 
 
+_WSAMPLE_K = 32
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    Spirakis A-ES): each document draws u in (0, 1] from md5(doc_id)
+    (RNG-free, partition-stable — the stratified_sample discipline) and
+    the k largest keys u^(1/w) win, computed as ln(u)/w to dodge pow's
+    float noise (monotone-equivalent). Weight = token count, so long
+    documents are proportionally likelier — the mixture-sampling shape a
+    training pipeline needs when doc weights come from quality scores or
+    domain multipliers. Plan: one scan + TakeOrderedAndProject (top-k
+    per partition then k-way driver merge, never a global sort). Float
+    twin discipline: the emitted key is rounded to 6dp; selection order
+    uses the raw double with doc_id tie-break (keys are continuous md5
+    uniforms, so cross-engine ulp noise cannot reorder distinct keys)."""
+    d = _doc(spark, sf_dir, "documents")
+    w = F.size(F.split("text", " ")).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))
+                  .cast("binary")), 1, 15), 16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.pow(F.lit(2.0), F.lit(60))
+    return (
+        d.select("doc_id", w.cast("long").alias("weight"),
+                 (F.log(u) / w).alias("k"))
+        .orderBy(F.desc("k"), "doc_id").limit(_WSAMPLE_K)
+        .select("doc_id", "weight", F.round("k", 6).alias("sample_key"))
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, weight, round(k, 6) AS sample_key FROM (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS weight,
+         ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT
+             + 1)::DOUBLE / power(2.0, 60))
+           / len(string_split(text, ' ')) AS k
+  FROM documents) t
+ORDER BY k DESC, doc_id LIMIT {_WSAMPLE_K}
+"""
+
+
 # ---------- lexical retrieval: BM25 top-k + tf-idf distinctive terms -------
 
 # Okapi BM25 with the Lucene idf variant ln(1 + (N-df+0.5)/(df+0.5)),
@@ -1069,6 +1111,7 @@ DATAOPS_QUERIES = {
     "pii_scrub": q_pii_scrub,
     "decontam": q_decontam,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "bm25_topk": q_bm25_topk,
     "tfidf_terms": q_tfidf_terms,
     "doc_chunk": q_doc_chunk,
@@ -1089,6 +1132,7 @@ DATAOPS_SQLS = {
     "pii_scrub": SQL_PII_SCRUB,
     "decontam": SQL_DECONTAM,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "bm25_topk": SQL_BM25_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "doc_chunk": SQL_DOC_CHUNK,

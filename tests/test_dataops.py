@@ -349,3 +349,42 @@ def test_bpe_encode_real_documents_roundtrip_and_reference(spark):
     for key, toks in words.items():
         joined = "".join(t for _, t in sorted(toks))
         assert joined == originals[key] + EOW
+
+
+def test_weighted_sample_matches_python_aes(spark):
+    """The selected sample equals a pure-python Efraimidis–Spirakis draw
+    over the same corpus (same md5 uniforms, same ln(u)/w keys), and the
+    draw is genuinely weight-biased: the winners' mean weight exceeds the
+    corpus mean (heavier docs are likelier under A-ES)."""
+    import hashlib
+    import math
+
+    from pl_marker_spark.queries_dataops import _WSAMPLE_K, q_weighted_sample
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text").collect()
+    keys = {}
+    weights = {}
+    for r in docs:
+        w = len(r.text.split(" "))
+        h = int(hashlib.md5(f"ws:{r.doc_id}".encode()).hexdigest()[:15], 16)
+        keys[r.doc_id] = math.log((h + 1) / 2.0 ** 60) / w
+        weights[r.doc_id] = w
+    expect = sorted(keys, key=lambda d: (-keys[d], d))[:_WSAMPLE_K]
+    got = q_weighted_sample(spark, sf).collect()
+    assert [r.doc_id for r in sorted(got, key=lambda r: (-r.sample_key,
+                                                         r.doc_id))] == expect
+    for r in got:
+        assert r.weight == weights[r.doc_id]
+        assert abs(r.sample_key - round(keys[r.doc_id], 6)) < 1e-9
+    # Bias property of the key formula, on planted weights (the real
+    # corpus is near-uniform in length, so one 32-draw cannot separate):
+    # docs with w=50 must crowd out w=1 docs under the same md5 uniforms.
+    pk = {}
+    for i in range(200):
+        w = 50 if i % 2 else 1
+        h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:15], 16)
+        pk[i] = math.log((h + 1) / 2.0 ** 60) / w
+    top = sorted(pk, key=lambda d: (-pk[d], d))[:32]
+    assert sum(1 for d in top if d % 2) >= 28
