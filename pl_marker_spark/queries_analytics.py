@@ -821,6 +821,75 @@ GROUP BY doc_id"""
 
 
 # ---------------------------------------------------------------------------
+# Label-propagation communities (fixed-round, deterministic)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def q_graph_labelprop(spark, sf_dir):
+    """Community detection on the near-dup graph by synchronous label
+    propagation (Raghavan et al. 2007), made deterministic: labels start
+    as node ids; each round every node adopts the most frequent label
+    among its neighbors PLUS its own current label (the self-vote damps
+    the bipartite flip-flop synchronous LPA is known for), ties broken
+    by smallest label. Rounds pinned at R=3 so the DuckDB twin is a
+    mechanical chained-CTE unroll — the same fixed-round discipline as
+    kcore/pagerank.
+
+    Scale shape: the edge list is materialized once (ids only); each
+    round is one dst-keyed join to pull neighbor labels + one
+    map-side-combinable (node, label) count + one node-partitioned
+    row_number — per-round state is node-sized, re-checkpointed so the
+    plan depth stays constant across rounds. Unlike connected components
+    (dedup_cluster), LPA splits weakly-bridged clusters instead of
+    flooding through single spurious edges — the property you want when
+    one bad near-dup pair would otherwise glue two big dup families."""
+    e = _neardup_edges(spark, sf_dir).localCheckpoint()
+    und = e.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")) \
+        .unionAll(e.select(F.col("doc_b").alias("s"),
+                           F.col("doc_a").alias("d")))
+    labels = und.select(F.col("s").alias("doc")).distinct().select(
+        "doc", F.col("doc").alias("label")).localCheckpoint()
+    for _ in range(LPA_ROUNDS):
+        nbr = und.join(labels.withColumnRenamed("doc", "d"), "d").select(
+            F.col("s").alias("doc"), "label")
+        votes = nbr.unionAll(labels.select("doc", "label"))
+        cnt = votes.groupBy("doc", "label").agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("doc").orderBy(F.desc("cnt"), "label")
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("doc", "label")
+            .localCheckpoint()
+        )
+    return labels.select(F.col("doc").cast("long").alias("doc_id"),
+                         F.col("label").cast("long").alias("community"))
+
+
+def sql_graph_labelprop() -> str:
+    sql = f"""WITH e0 AS (SELECT * FROM {_sql_neardup_edges()}),
+und AS (SELECT doc_a AS s, doc_b AS d FROM e0
+        UNION ALL SELECT doc_b, doc_a FROM e0),
+l0 AS (SELECT DISTINCT s AS doc, s AS label FROM und)"""
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        sql += f""",
+c{r} AS (SELECT doc, label, count(*) AS cnt FROM (
+           SELECT u.s AS doc, l.label FROM und u
+           JOIN {prev} l ON l.doc = u.d
+           UNION ALL SELECT doc, label FROM {prev}) v
+         GROUP BY doc, label),
+l{r} AS (SELECT doc, label FROM (
+           SELECT doc, label, row_number() OVER (
+             PARTITION BY doc ORDER BY cnt DESC, label) AS rn FROM c{r}) x
+         WHERE rn = 1)"""
+        prev = f"l{r}"
+    sql += f"""
+SELECT doc::BIGINT AS doc_id, label::BIGINT AS community FROM {prev}"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Bloom filter: build / merge law / membership probe
 # ---------------------------------------------------------------------------
 # The third sketch algebra after HLL (max) and CMS (+): Bloom filters merge
@@ -1048,6 +1117,7 @@ ANALYTICS_QUERIES = {
     "graph_degree_dist": q_graph_degree_dist,
     "graph_triangles": q_graph_triangles,
     "graph_kcore": q_graph_kcore,
+    "graph_labelprop": q_graph_labelprop,
     "hll_registers": q_hll_registers,
     "hll_estimate": q_hll_estimate,
     "hll_merge": q_hll_merge,
@@ -1070,6 +1140,7 @@ def analytics_sqls() -> dict[str, str]:
         "graph_degree_dist": sql_graph_degree_dist(),
         "graph_triangles": sql_graph_triangles(),
         "graph_kcore": sql_graph_kcore(),
+        "graph_labelprop": sql_graph_labelprop(),
         "hll_registers": sql_hll_registers(),
         "hll_estimate": sql_hll_estimate(),
         "hll_merge": sql_hll_merge(),

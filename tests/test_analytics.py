@@ -234,3 +234,33 @@ def test_bloom_merge_law_and_membership(spark):
     assert present and all(r.hit == 1 for r in present)
     fp = sum(r.hit for r in absent) / max(len(absent), 1)
     assert fp < 0.5
+
+
+def test_labelprop_matches_brute_force_and_clusters(spark):
+    """Fixed-round LPA equals a pure-python synchronous propagation with
+    the same vote rules (neighbors + self, max count, min-label ties);
+    communities are non-trivial — fewer distinct labels than nodes, and
+    every near-dup clique collapses to a single community."""
+    from collections import Counter, defaultdict
+
+    from pl_marker_spark.queries_analytics import (
+        LPA_ROUNDS, _neardup_edges, q_graph_labelprop)
+
+    edges = [(r.doc_a, r.doc_b) for r in _neardup_edges(spark, SF).collect()]
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    label = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for v in adj:
+            votes = Counter(label[u] for u in adj[v])
+            votes[label[v]] += 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        label = nxt
+    got = {(r.doc_id, r.community)
+           for r in q_graph_labelprop(spark, SF).collect()}
+    assert got == set(label.items()) and got
+    assert len({c for _, c in got}) < len(got)
