@@ -1551,10 +1551,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .queries_dataops import DATAOPS_QUERIES
 
     # Ordering matters: the driver verifies at most the FIRST 50 entries in
-    # dict-iteration order, so the flagship kg_* pipeline rows, the
-    # real-weights variants, dedup/ANN, multimodal and coref come first;
-    # the dataops/analytics catalog (driver-green in round 4) trails.
-    return {
+    # dict-iteration order. Window policy (round 5): [1-24] flagship kg_*
+    # rows + real-weights variants + dedup/ANN + multimodal + coref (no
+    # driver record in r04 — must land in r05); [25-34] the ten NEW
+    # round-5 rows (bpe/bloom/kcore/labelprop/span-merge/containment/
+    # weighted-sample — never driver-verified); [35-50] reference-operator
+    # and dedup-core refreshers. Rows past 50 (sessionize/asof/funnel/
+    # token_count/quality_score/lang_id + the r4 dataops/analytics
+    # catalog) are all green in CORRECTNESS_r04.json and stay covered by
+    # the full pytest oracle gate. Python dicts keep FIRST-insertion
+    # order, so re-listing a dataops/analytics key later via ** does not
+    # move it out of the window.
+    head = {
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
         "kg_mentions_hf": q_kg_mentions_hf,
@@ -1579,6 +1587,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_cosine_topk": q_ann_cosine_topk,
+        # --- slots 25-34: new in round 5, never driver-verified ---
+        "dup_span_merge": q_dup_span_merge,
+        "containment_neardup": q_containment_neardup,
+        "weighted_sample": DATAOPS_QUERIES["weighted_sample"],
+        "bpe_train": DATAOPS_QUERIES["bpe_train"],
+        "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
+        "graph_kcore": ANALYTICS_QUERIES["graph_kcore"],
+        "graph_labelprop": ANALYTICS_QUERIES["graph_labelprop"],
+        "bloom_build": ANALYTICS_QUERIES["bloom_build"],
+        "bloom_merge": ANALYTICS_QUERIES["bloom_merge"],
+        "bloom_member": ANALYTICS_QUERIES["bloom_member"],
+        # --- slots 35-50: reference-operator + dedup-core refreshers ---
         "o8_inverse_gold": q_o8_inverse_gold,
         "c1_span_enum": q_c1_span_enum,
         "k1_pack_groups": q_k1_pack_groups,
@@ -1587,22 +1607,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_bio_spans": q_p8_bio_spans,
         "o12_chunk_f1": q_o12_chunk_f1,
         "o14_sorted_words": q_o14_sorted_words,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "funnel": q_funnel,
         "o11_micro_prf": q_o11_micro_prf,
         "o15_seed_stats": q_o15_seed_stats,
         "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "jaccard_neardup": q_jaccard_neardup,
         "dedup_cluster": q_dedup_cluster,
         "gopher_rules": q_gopher_rules,
         "substr_dedup": q_substr_dedup,
-        "dup_span_merge": q_dup_span_merge,
-        "containment_neardup": q_containment_neardup,
+    }
+    assert len(head) == 50, f"driver window misaligned: {len(head)}"
+    return {
+        **head,
+        # past the window: all green in CORRECTNESS_r04.json, still in
+        # the full pytest oracle gate
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "funnel": q_funnel,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
         **DATAOPS_QUERIES,
         **ANALYTICS_QUERIES,
     }
