@@ -553,6 +553,66 @@ def stream_hll_distinct(
     )
 
 
+def stream_bloom_filter(
+    spark: SparkSession, in_dir: str, out_dir: str, retain: int = 2,
+):
+    """Streaming Bloom filter: each micro-batch of the document feed
+    builds its own 32-word filter over the batch vocabulary (the exact
+    md5-slice math the ``bloom_build`` driver twin gates) and bitwise-ORs
+    it into the persisted filter — the streaming composition the
+    ``bloom_merge`` gate licenses (OR is associative/commutative/
+    idempotent, so any batching equals the one-shot filter). This is the
+    online form of a growing blocklist/decontamination set: membership
+    probes against the 32-row state never touch the underlying corpus.
+    State is the full word spine (absent word == 0, the OR identity) in
+    the same versioned-dir + atomic-pointer sink as
+    ``stream_upsert_latest`` (replay-idempotent, pruned to ``retain``
+    versions)."""
+    from .queries_analytics import BLOOM_M, BLOOM_WORD, _bloom_words
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    ptr = f"{out_dir}/_LATEST"
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        import os as _os
+
+        vdir = f"{out_dir}/state_v{batch_id}"
+        prev = None
+        if _os.path.exists(ptr):
+            with open(ptr) as f:
+                prev = f.read().strip()
+            if prev == vdir:
+                return  # replay of an already-merged batch
+        toks = batch_df.select(
+            F.explode(F.split("text", " ")).alias("token")).distinct()
+        words = _bloom_words(toks)
+        if prev:
+            words = (spark.read.parquet(prev).unionByName(words)
+                     .groupBy("word_idx").agg(F.bit_or("word").alias("word")))
+        spine = spark.range(BLOOM_M // BLOOM_WORD).select(
+            F.col("id").alias("word_idx"))
+        words = spine.join(words, "word_idx", "left").select(
+            F.col("word_idx").cast("long").alias("word_idx"),
+            F.coalesce("word", F.lit(0)).cast("long").alias("word"))
+        words.write.mode("overwrite").parquet(vdir)
+        tmp = f"{ptr}.tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        _os.replace(tmp, ptr)
+        _prune_state_versions(out_dir, retain)
+
+    return (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_minhash_neardup(
     spark: SparkSession, in_dir: str, out_dir: str,
     threshold: float = 0.5, retain: int = 2,

@@ -469,3 +469,56 @@ def test_stream_minhash_neardup_equals_batch(spark, tmp_path_factory):
     again = {(r.doc_a, r.doc_b, r.jaccard)
              for r in read_neardup_pairs(spark, outdir).collect()}
     assert again == got
+
+
+def test_stream_bloom_filter_merge_law(spark, tmp_path_factory):
+    """Cross-micro-batch OR-merging equals the one-shot bloom_build words
+    over the concatenated feed — the bloom_merge law carried through the
+    streaming path — and membership holds: every token ever streamed has
+    all its bits set in the final state."""
+    import datetime as dt
+    import hashlib
+
+    import pandas as pd
+
+    from pl_marker_spark.queries_analytics import (
+        BLOOM_K, BLOOM_M, BLOOM_WORD, _bloom_words)
+    from pl_marker_spark.streaming import read_upsert_state, stream_bloom_filter
+
+    base = str(tmp_path_factory.mktemp("sbloom"))
+    indir, outdir = f"{base}/in", f"{base}/out"
+    os.makedirs(indir)
+    t0 = dt.datetime(2026, 1, 1)
+    texts_a = [f"alpha beta gamma doc{i} epsilon" for i in range(20)]
+    texts_b = [f"zeta eta theta doc{i + 50} iota" for i in range(20)]
+    for name, mtime, texts, off in (("a", 1000, texts_a, 0),
+                                    ("b", 2000, texts_b, 100)):
+        pdf = pd.DataFrame(
+            [(off + i, t, t0 + dt.timedelta(seconds=i))
+             for i, t in enumerate(texts)],
+            columns=["doc_id", "text", "ts"])
+        p = f"{indir}/{name}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(p, (mtime, mtime))
+
+    q = stream_bloom_filter(spark, indir, outdir)
+    q.awaitTermination(300)
+    state = {r.word_idx: r.word
+             for r in read_upsert_state(spark, outdir).collect()}
+    assert set(state) == set(range(BLOOM_M // BLOOM_WORD))
+
+    from pyspark.sql import functions as F
+    all_docs = spark.createDataFrame(
+        [(t,) for t in texts_a + texts_b], ["text"])
+    one_shot = {r.word_idx: r.word for r in _bloom_words(
+        all_docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .distinct()).collect()}
+    assert {k: v for k, v in state.items() if v} == one_shot
+
+    vocab = {w for t in texts_a + texts_b for w in t.split(" ")}
+    for tok in vocab:  # no false negatives, ever
+        h = hashlib.md5(tok.encode()).hexdigest()
+        for j in range(BLOOM_K):
+            p = int(h[4 * j:4 * j + 4], 16) % BLOOM_M
+            assert state[p // BLOOM_WORD] >> (p % BLOOM_WORD) & 1 == 1
