@@ -141,8 +141,10 @@ def main() -> None:
         "doc_chunk", "seq_pack", "lm_xent_bucket",
         "mixture_weights", "semdedup", "vocab_build", "oov_rate",
         "epoch_shuffle",
-        # round-5 addition: graph k-core (fixed-round peeling)
-        "graph_kcore")
+        # round-5 additions: graph k-core + LPA communities, Lee-et-al
+        # span merging, containment, A-ES sampling, bloom probe
+        "graph_kcore", "graph_labelprop", "dup_span_merge",
+        "containment_neardup", "weighted_sample", "bloom_member")
     for name in catalog_names:
         best = None
         for _ in range(reps):
