@@ -228,6 +228,28 @@ def main() -> None:
         timings["pagerank_400k_i6"] = pr_times[6]
         extras["pagerank_per_iter_ratio"] = round(pr_times[6] / pr_times[2], 3)
 
+        # --- Label propagation at graph scale (round 5): same 400k-edge
+        # ring graph, 2 vs 6 rounds — with the edge list materialized once
+        # and labels re-checkpointed per round, the r6/r2 ratio stays near
+        # the flat-iteration bound like pagerank's. Sanity: every ring is
+        # one near-clique community family, so the label count must land
+        # well below the node count (a broken vote would leave ~1 label
+        # per node). -------------------------------------------------------
+        from pl_marker_spark.graphops import label_propagation
+
+        lpa_times = {}
+        for rounds in (2, 6):
+            t0 = time.time()
+            lab = label_propagation(pr_und, rounds=rounds, a="a", b="b")
+            n_labels = lab.select("label").distinct().count()
+            lpa_times[rounds] = round(time.time() - t0, 3)
+        timings["labelprop_400k_r2"] = lpa_times[2]
+        timings["labelprop_400k_r6"] = lpa_times[6]
+        extras["labelprop_per_round_ratio"] = round(
+            lpa_times[6] / lpa_times[2], 3)
+        extras["labelprop_400k_labels"] = n_labels
+        assert n_labels < n_nodes // 2, f"labelprop degenerate: {n_labels}"
+
     if "vec100k" in sections:
         # --- IVF / SemDeDup at 100k vectors (round-4 VERDICT item #8): the sf
         # embeddings table is 2,000 vectors — constant-overhead territory for

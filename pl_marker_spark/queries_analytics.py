@@ -845,24 +845,11 @@ def q_graph_labelprop(spark, sf_dir):
     (dedup_cluster), LPA splits weakly-bridged clusters instead of
     flooding through single spurious edges — the property you want when
     one bad near-dup pair would otherwise glue two big dup families."""
-    e = _neardup_edges(spark, sf_dir).localCheckpoint()
-    und = e.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")) \
-        .unionAll(e.select(F.col("doc_b").alias("s"),
-                           F.col("doc_a").alias("d")))
-    labels = und.select(F.col("s").alias("doc")).distinct().select(
-        "doc", F.col("doc").alias("label")).localCheckpoint()
-    for _ in range(LPA_ROUNDS):
-        nbr = und.join(labels.withColumnRenamed("doc", "d"), "d").select(
-            F.col("s").alias("doc"), "label")
-        votes = nbr.unionAll(labels.select("doc", "label"))
-        cnt = votes.groupBy("doc", "label").agg(F.count("*").alias("cnt"))
-        w = Window.partitionBy("doc").orderBy(F.desc("cnt"), "label")
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("doc", "label")
-            .localCheckpoint()
-        )
-    return labels.select(F.col("doc").cast("long").alias("doc_id"),
+    from .graphops import label_propagation
+
+    labels = label_propagation(_neardup_edges(spark, sf_dir),
+                               rounds=LPA_ROUNDS)
+    return labels.select(F.col("node").cast("long").alias("doc_id"),
                          F.col("label").cast("long").alias("community"))
 
 
