@@ -1099,6 +1099,226 @@ GROUP BY probe
 """
 
 
+# ---------------------------------------------------------------------------
+# HDR-style histogram: the mergeable QUANTILE sketch (build + merge law +
+# quantile estimates with an in-row error bound)
+# ---------------------------------------------------------------------------
+
+HIST_PREC_BITS = 3   # sub-bucket resolution: bucket width / lo <= 2^-3
+
+
+def _hist_values(spark, sf_dir):
+    """Sketch input: floor(l_extendedprice) as BIGINT (floor on doubles is
+    exact in both engines — never round(), whose half-way ties differ),
+    plus the l_orderkey-parity partition id used by the merge-law gate."""
+    return _doc(spark, sf_dir, "lineitem").select(
+        F.floor("l_extendedprice").cast("long").alias("v"),
+        (F.col("l_orderkey") % 2).cast("long").alias("part"),
+    )
+
+
+def _hist_buckets(df):
+    """HDR bucketing, integer-only: a value of bit-length L keeps its top
+    HIST_PREC_BITS+1 bits (shift = max(L-4, 0)), so every bucket's width
+    is <= lo/2^3 = 12.5% relative error — the bound hist_quantile reports
+    per row. Same base-2 digit-count idiom as the HLL rho math (identical
+    in DuckDB as length(bin(v)))."""
+    return (
+        df.withColumn(
+            "_s",
+            F.greatest(
+                F.length(F.conv(F.col("v").cast("string"), 10, 2))
+                - (HIST_PREC_BITS + 1),
+                F.lit(0)).cast("int"))
+        .withColumn("_w", F.expr("shiftleft(1L, _s)"))
+        .withColumn("bucket_lo", F.expr("(v DIV _w) * _w").cast("long"))
+        .withColumn("bucket_hi",
+                    F.expr("(v DIV _w) * _w + _w - 1").cast("long"))
+        .drop("_s", "_w")
+    )
+
+
+_SQL_HIST_BUCKETS = f"""
+v AS (SELECT floor(l_extendedprice)::BIGINT AS v,
+             (l_orderkey % 2)::BIGINT AS part FROM lineitem),
+s AS (SELECT *, greatest(length(bin(v)) - {HIST_PREC_BITS + 1}, 0)::INT AS sh
+      FROM v),
+b AS (SELECT v, part,
+             ((v // (1::BIGINT << sh)) * (1::BIGINT << sh))::BIGINT
+               AS bucket_lo,
+             ((v // (1::BIGINT << sh)) * (1::BIGINT << sh)
+              + (1::BIGINT << sh) - 1)::BIGINT AS bucket_hi
+      FROM s)"""
+
+
+def q_hist_build(spark, sf_dir):
+    """HDR histogram over lineitem prices: one map-side-combinable groupBy
+    produces an O(#buckets) table (tens of rows for any corpus size — the
+    bucket count grows with the VALUE RANGE, never with row count). This
+    is the quantile sketch a 100-TB pipeline keeps instead of sorting:
+    counts add across partitions (see hist_merge), and any quantile is
+    answered from the cumulative counts with a <=2^-3 relative error
+    bound (see hist_quantile)."""
+    return (
+        _hist_buckets(_hist_values(spark, sf_dir))
+        .groupBy("bucket_lo", "bucket_hi")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def sql_hist_build() -> str:
+    return f"""
+WITH {_SQL_HIST_BUCKETS}
+SELECT bucket_lo, bucket_hi, count(*)::BIGINT AS cnt
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_hist_merge(spark, sf_dir):
+    """Histogram MERGEABILITY — the + law on bucket counts: histograms
+    built independently per l_orderkey-parity partition sum-merge to
+    exactly the whole-corpus histogram. Completes the distributive sketch
+    algebra the engine gates (HLL max / CMS + / Bloom OR / histogram +),
+    i.e. every sketch family the pipeline would roll up via partial
+    aggregation at 100 TB has its merge law verified in two engines. -1
+    sentinels for parts with no value in a bucket (a present count is
+    >= 1, so the sentinel is unambiguous; never null — the driver's
+    canonical sort chokes on nulls)."""
+    parts = (
+        _hist_buckets(_hist_values(spark, sf_dir))
+        .groupBy("part", "bucket_lo")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    merged = parts.groupBy("bucket_lo").agg(
+        F.sum("cnt").alias("cnt_merged"))
+    even = parts.filter(F.col("part") == 0).select(
+        "bucket_lo", F.col("cnt").alias("cnt_even"))
+    odd = parts.filter(F.col("part") == 1).select(
+        "bucket_lo", F.col("cnt").alias("cnt_odd"))
+    whole = q_hist_build(spark, sf_dir).select(
+        "bucket_lo", F.col("cnt").alias("cnt_whole"))
+    return (
+        merged.join(even, "bucket_lo", "left")
+        .join(odd, "bucket_lo", "left").join(whole, "bucket_lo")
+        .select(
+            F.col("bucket_lo").cast("long").alias("bucket_lo"),
+            F.coalesce("cnt_even", F.lit(-1)).cast("long")
+            .alias("cnt_even"),
+            F.coalesce("cnt_odd", F.lit(-1)).cast("long").alias("cnt_odd"),
+            F.col("cnt_merged").cast("long").alias("cnt_merged"),
+            F.col("cnt_whole").cast("long").alias("cnt_whole"),
+            (F.col("cnt_merged") == F.col("cnt_whole"))
+            .cast("long").alias("mergeable"),
+        )
+    )
+
+
+def sql_hist_merge() -> str:
+    return f"""
+WITH {_SQL_HIST_BUCKETS},
+parts AS (SELECT part, bucket_lo, count(*)::BIGINT AS cnt
+          FROM b GROUP BY 1, 2),
+merged AS (SELECT bucket_lo, sum(cnt)::BIGINT AS cnt_merged
+           FROM parts GROUP BY 1),
+whole AS (SELECT bucket_lo, count(*)::BIGINT AS cnt_whole
+          FROM b GROUP BY 1)
+SELECT m.bucket_lo::BIGINT AS bucket_lo,
+       coalesce(e.cnt, -1)::BIGINT AS cnt_even,
+       coalesce(o.cnt, -1)::BIGINT AS cnt_odd,
+       m.cnt_merged::BIGINT AS cnt_merged,
+       w.cnt_whole::BIGINT AS cnt_whole,
+       (m.cnt_merged = w.cnt_whole)::BIGINT AS mergeable
+FROM merged m
+LEFT JOIN (SELECT bucket_lo, cnt FROM parts WHERE part = 0) e
+  USING (bucket_lo)
+LEFT JOIN (SELECT bucket_lo, cnt FROM parts WHERE part = 1) o
+  USING (bucket_lo)
+JOIN whole w USING (bucket_lo)
+"""
+
+
+# quantile targets as EXACT rationals — target rank = ceil(num·N/den) in
+# pure integer math, so no engine ever multiplies N by an inexact double
+HIST_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def q_hist_quantile(spark, sf_dir):
+    """Quantiles FROM the histogram, verified against the exact answer:
+    for each target rank (integer rational math — never ceil(q·N) on a
+    double) the estimate is the first bucket whose cumulative count
+    reaches the rank; the row also carries the exact rank-statistic value
+    and a ``within`` flag proving the bucket contains it (cumulative-
+    count order == value order, so within must be 1 — gated in both
+    engines, which is precisely the sketch's error-bound contract).
+
+    Scale shape: the histogram side is O(#buckets) after one map-side-
+    combined pass — the cumulative window and the 3-row quantile join run
+    on tens of rows. The exact companion does a global rank (one sort) —
+    at 100 TB you keep ONLY the sketch path; the exact path exists here
+    because this gate's whole point is to certify the sketch against it."""
+    hist = q_hist_build(spark, sf_dir)
+    n = hist.agg(F.sum("cnt").alias("n"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket_lo")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    qs = spark.createDataFrame(list(HIST_QS), ["qname", "num", "den"])
+    targets = qs.crossJoin(F.broadcast(n)).select(
+        "qname",
+        F.expr("(num * n + den - 1) DIV den").cast("long").alias("target"))
+    est = (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
+        .groupBy("qname", "target")
+        .agg(F.min("bucket_lo").alias("est_lo"))
+        .join(hist.select("bucket_lo", "bucket_hi"),
+              F.col("est_lo") == F.col("bucket_lo"))
+        .drop("bucket_lo")
+    )
+    vals = _hist_values(spark, sf_dir).select("v")
+    ranked = vals.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v")))
+    return (
+        est.join(ranked, F.col("rk") == F.col("target"))
+        .select(
+            "qname", F.col("target").cast("long").alias("target"),
+            F.col("est_lo").cast("long").alias("est_lo"),
+            F.col("bucket_hi").cast("long").alias("est_hi"),
+            F.col("v").cast("long").alias("exact_val"),
+            ((F.col("v") >= F.col("est_lo"))
+             & (F.col("v") <= F.col("bucket_hi")))
+            .cast("long").alias("within"),
+        )
+    )
+
+
+def sql_hist_quantile() -> str:
+    qs = ", ".join(f"('{nm}', {num}, {den})" for nm, num, den in HIST_QS)
+    return f"""
+WITH {_SQL_HIST_BUCKETS},
+hist AS (SELECT bucket_lo, bucket_hi, count(*)::BIGINT AS cnt
+         FROM b GROUP BY 1, 2),
+n AS (SELECT sum(cnt)::BIGINT AS n FROM hist),
+cum AS (SELECT *, sum(cnt) OVER (ORDER BY bucket_lo
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum FROM hist),
+qs(qname, num, den) AS (VALUES {qs}),
+targets AS (SELECT qname, ((num * n.n + den - 1) // den)::BIGINT AS target
+            FROM qs, n),
+est AS (SELECT t.qname, t.target, min(c.bucket_lo) AS est_lo
+        FROM targets t JOIN cum c ON c.cum >= t.target
+        GROUP BY 1, 2),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM b)
+SELECT e.qname, e.target::BIGINT AS target,
+       e.est_lo::BIGINT AS est_lo, h.bucket_hi::BIGINT AS est_hi,
+       r.v::BIGINT AS exact_val,
+       (r.v >= e.est_lo AND r.v <= h.bucket_hi)::BIGINT AS within
+FROM est e
+JOIN hist h ON h.bucket_lo = e.est_lo
+JOIN ranked r ON r.rk = e.target
+"""
+
+
 ANALYTICS_QUERIES = {
     "kg_entity_pagerank": q_kg_entity_pagerank,
     "graph_degree_dist": q_graph_degree_dist,
@@ -1113,6 +1333,9 @@ ANALYTICS_QUERIES = {
     "bloom_build": q_bloom_build,
     "bloom_merge": q_bloom_merge,
     "bloom_member": q_bloom_member,
+    "hist_build": q_hist_build,
+    "hist_merge": q_hist_merge,
+    "hist_quantile": q_hist_quantile,
     "heavy_hitters": q_heavy_hitters,
     "rollup_revenue": q_rollup_revenue,
     "percentile_groups": q_percentile_groups,
@@ -1136,6 +1359,9 @@ def analytics_sqls() -> dict[str, str]:
         "bloom_build": sql_bloom_build(),
         "bloom_merge": sql_bloom_merge(),
         "bloom_member": sql_bloom_member(),
+        "hist_build": sql_hist_build(),
+        "hist_merge": sql_hist_merge(),
+        "hist_quantile": sql_hist_quantile(),
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
         "percentile_groups": SQL_PERCENTILE_GROUPS,
