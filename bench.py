@@ -144,7 +144,10 @@ def main() -> None:
         # round-5 additions: graph k-core + LPA communities, Lee-et-al
         # span merging, containment, A-ES sampling, bloom probe
         "graph_kcore", "graph_labelprop", "dup_span_merge",
-        "containment_neardup", "weighted_sample", "bloom_member")
+        "containment_neardup", "weighted_sample", "bloom_member",
+        # round-5 session-2 additions: histogram quantile sketch,
+        # PMI collocations, bigram-LM quality scoring
+        "hist_quantile", "pmi_pairs", "bigram_lm_ce")
     for name in catalog_names:
         best = None
         for _ in range(reps):

@@ -315,6 +315,29 @@ CMS_W = 64                     # columns per row
 CMS_PROBES = ("the", "data", "join", "merge", "zzz_absent")
 
 
+def _cms_cell(tok_col, r):
+    """Salted md5 cell index for hash row ``r`` — identical hex math in
+    the DuckDB twins."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"r{r}:"), tok_col)
+                                    .cast("binary")), 1, 15),
+                  16, 10).cast("long") % CMS_W
+
+
+def cms_cells_from_tokens(toks):
+    """Sparse (r, c, cnt) CMS cells over a ``token`` column: one explode +
+    one map-side-combined sum. Counts add across any partitioning — the
+    + algebra the cms_merge twin gates and stream_cms_freq composes."""
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), _cms_cell(F.col("token"), r).alias("c"))
+        for r in range(CMS_D)])).alias("rc")
+    return (
+        toks.select(rows)
+        .groupBy(F.col("rc.r").cast("long").alias("r"),
+                 F.col("rc.c").cast("long").alias("c"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
 def q_cms_freq(spark, sf_dir):
     """Count-min sketch (d=4 × w=64): build the cell table in one pass
     (each token lands in 4 salted md5 cells; map-side-combined sum), then
@@ -325,24 +348,12 @@ def q_cms_freq(spark, sf_dir):
     gate (counts only); overestimation (est ≥ exact) is property-tested."""
     toks = _doc(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("token"))
-
-    def cell(tok_col, r):
-        return F.conv(F.substring(F.md5(F.concat(F.lit(f"r{r}:"), tok_col)
-                                        .cast("binary")), 1, 15),
-                      16, 10).cast("long") % CMS_W
-
-    rows = F.explode(F.array(*[
-        F.struct(F.lit(r).alias("r"), cell(F.col("token"), r).alias("c"))
-        for r in range(CMS_D)])).alias("rc")
-    cells = (
-        toks.select(rows)
-        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
-        .agg(F.count("*").alias("cnt"))
-    )
+    cells = cms_cells_from_tokens(toks)
     probes = spark.createDataFrame([(t,) for t in CMS_PROBES], ["token"])
     probe_cells = probes.select(
         "token", F.explode(F.array(*[
-            F.struct(F.lit(r).alias("r"), cell(F.col("token"), r).alias("c"))
+            F.struct(F.lit(r).alias("r"),
+                     _cms_cell(F.col("token"), r).alias("c"))
             for r in range(CMS_D)])).alias("rc"))
     est = (
         probe_cells.join(

@@ -1104,6 +1104,140 @@ def sql_bpe_encode() -> str:
     )
 
 
+# ---------- PMI collocations (Church & Hanks 1990) --------------------------
+
+PMI_MIN_COUNT = 5   # collocation support floor: pairs seen fewer times are
+                    # PMI noise (the classic sparse-count pathology)
+
+
+def _bigrams(spark, sf_dir):
+    d = _doc(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws"))
+    b = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")
+    return (d.filter(F.size("ws") >= 2)
+            .select("doc_id", F.explode(b).alias("b"))
+            .select("doc_id", "b.w1", "b.w2"))
+
+
+_SQL_BIGRAMS = """
+bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+            LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+       WHERE len(ws) >= 2)"""
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation detector (Church & Hanks 1990) a corpus-analysis pipeline
+    runs to find multiword expressions worth protecting from tokenization
+    and dedup shingling. pmi = ln(P(w1,w2) / (P(w1)·P(w2))) with pair
+    probabilities over bigram positions and unigram probabilities over
+    all tokens; pairs below PMI_MIN_COUNT are dropped (the standard
+    sparse-count guard).
+
+    Scale shape: two map-side-combinable counts (pairs, unigrams); the
+    pair table then joins the vocab-sized unigram table on w1 and w2 —
+    at 100 TB the unigram side is broadcastable (vocabulary ≪ corpus)
+    and the two 1-row totals are literal broadcasts. The PMI ratio is
+    evaluated in doubles with one fixed association order, so both
+    engines round the same IEEE value to 6dp (no BIGINT product —
+    cp·T² overflows 64 bits at petabyte token counts)."""
+    bi = _bigrams(spark, sf_dir)
+    cp = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("pair_cnt"))
+    toks = _doc(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w"))
+    cu = toks.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    t = cu.agg(F.sum("cnt").cast("long").alias("t"))
+    p = bi.agg(F.count("*").cast("long").alias("p"))
+    pmi = F.round(
+        F.log((F.col("pair_cnt").cast("double") * F.col("t") * F.col("t"))
+              / (F.col("p").cast("double") * F.col("c1") * F.col("c2"))), 6)
+    return (
+        cp.filter(F.col("pair_cnt") >= PMI_MIN_COUNT)
+        .join(cu.select(F.col("w").alias("w1"), F.col("cnt").alias("c1")),
+              "w1")
+        .join(cu.select(F.col("w").alias("w2"), F.col("cnt").alias("c2")),
+              "w2")
+        .crossJoin(F.broadcast(t)).crossJoin(F.broadcast(p))
+        .select("w1", "w2", "pair_cnt",
+                F.col("c1").cast("long").alias("c1"),
+                F.col("c2").cast("long").alias("c2"),
+                pmi.alias("pmi"))
+    )
+
+
+SQL_PMI_PAIRS = f"""
+WITH {_SQL_BIGRAMS},
+cp AS (SELECT w1, w2, count(*)::BIGINT AS pair_cnt FROM bg GROUP BY 1, 2),
+toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+cu AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+t AS (SELECT sum(cnt)::BIGINT AS t FROM cu),
+p AS (SELECT count(*)::BIGINT AS p FROM bg)
+SELECT cp.w1, cp.w2, cp.pair_cnt,
+       u1.cnt::BIGINT AS c1, u2.cnt::BIGINT AS c2,
+       round(ln((cp.pair_cnt::DOUBLE * t.t * t.t)
+                / (p.p::DOUBLE * u1.cnt * u2.cnt)), 6) AS pmi
+FROM cp
+JOIN cu u1 ON u1.w = cp.w1
+JOIN cu u2 ON u2.w = cp.w2, t, p
+WHERE cp.pair_cnt >= {PMI_MIN_COUNT}
+"""
+
+
+# ---------- bigram LM cross-entropy (add-one smoothing) ---------------------
+
+
+def q_bigram_lm_ce(spark, sf_dir):
+    """Per-document cross-entropy under an add-one-smoothed bigram LM
+    trained on the corpus itself — the second-order companion to
+    lm_xent_bucket's unigram CCNet score (a bigram model separates
+    shuffled-token spam from fluent text, which unigram statistics
+    cannot). P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V) with context counts
+    over bigram-left positions and V the corpus vocabulary size; each
+    document scores the tf-weighted mean of -ln P over its bigrams.
+
+    Scale shape: same as lm_xent_bucket — the per-(doc, bigram) tf agg is
+    the one wide shuffle; the model tables (pair counts, context counts)
+    are vocabulary-scale and join back hashed (broadcastable at 100 TB);
+    V and nothing else crosses as a literal. Docs with fewer than 2
+    tokens carry no bigram and are excluded in both engines."""
+    bi = _bigrams(spark, sf_dir)
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    v = (_doc(spark, sf_dir, "documents")
+         .select(F.explode(F.split("text", " ")).alias("w"))
+         .agg(F.countDistinct("w").cast("long").alias("v")))
+    tf = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("double").alias("tf"))
+    lp = F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")))
+    return (
+        tf.join(c2, ["w1", "w2"]).join(c1, "w1").crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(F.col("tf") * lp) / F.sum("tf"), 6).alias("ce"),
+             F.sum("tf").cast("long").alias("n_bigrams"))
+        .select("doc_id", "n_bigrams", "ce")
+    )
+
+
+SQL_BIGRAM_LM_CE = f"""
+WITH {_SQL_BIGRAMS},
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT w)::BIGINT AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+tf AS (SELECT doc_id, w1, w2, count(*)::DOUBLE AS tf
+       FROM bg GROUP BY 1, 2, 3)
+SELECT tf.doc_id,
+       sum(tf.tf)::BIGINT AS n_bigrams,
+       round(-sum(tf.tf * ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)))
+             / sum(tf.tf), 6) AS ce
+FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+GROUP BY tf.doc_id
+"""
+
+
 DATAOPS_QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "c4_filters": q_c4_filters,
@@ -1123,6 +1257,8 @@ DATAOPS_QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "pmi_pairs": q_pmi_pairs,
+    "bigram_lm_ce": q_bigram_lm_ce,
 }
 
 DATAOPS_SQLS = {
@@ -1144,4 +1280,6 @@ DATAOPS_SQLS = {
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "bpe_train": sql_bpe_train(),
     "bpe_encode": sql_bpe_encode(),
+    "pmi_pairs": SQL_PMI_PAIRS,
+    "bigram_lm_ce": SQL_BIGRAM_LM_CE,
 }

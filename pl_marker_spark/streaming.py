@@ -613,6 +613,64 @@ def stream_bloom_filter(
     )
 
 
+def stream_cms_freq(
+    spark: SparkSession, in_dir: str, out_dir: str, retain: int = 2,
+):
+    """Streaming count-min sketch: each micro-batch's token cells (the
+    exact salted-md5 cell math the ``cms_freq`` driver twin gates)
+    sum-merge into the persisted sketch — the streaming composition the
+    ``cms_merge`` gate licenses (+ is associative/commutative, so any
+    batching equals the one-shot sketch). This is the online frequency
+    oracle over an unbounded feed: point estimates for the whole history
+    are answered from the O(d·w) state with no reference to past batches.
+    State is the full d×w cell spine (absent cell == 0, the + identity)
+    in the same versioned-dir + atomic-pointer sink as
+    ``stream_upsert_latest`` (replay-idempotent, pruned to ``retain``
+    versions)."""
+    from .queries_analytics import CMS_D, CMS_W, cms_cells_from_tokens
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    ptr = f"{out_dir}/_LATEST"
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        import os as _os
+
+        vdir = f"{out_dir}/state_v{batch_id}"
+        prev = None
+        if _os.path.exists(ptr):
+            with open(ptr) as f:
+                prev = f.read().strip()
+            if prev == vdir:
+                return  # replay of an already-merged batch
+        cells = cms_cells_from_tokens(batch_df.select(
+            F.explode(F.split("text", " ")).alias("token")))
+        if prev:
+            cells = (spark.read.parquet(prev).unionByName(cells)
+                     .groupBy("r", "c").agg(F.sum("cnt").alias("cnt")))
+        spine = spark.range(CMS_D * CMS_W).select(
+            F.expr(f"id DIV {CMS_W}").cast("long").alias("r"),
+            (F.col("id") % CMS_W).cast("long").alias("c"))
+        cells = spine.join(cells, ["r", "c"], "left").select(
+            "r", "c", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+        cells.write.mode("overwrite").parquet(vdir)
+        tmp = f"{ptr}.tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        _os.replace(tmp, ptr)
+        _prune_state_versions(out_dir, retain)
+
+    return (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_minhash_neardup(
     spark: SparkSession, in_dir: str, out_dir: str,
     threshold: float = 0.5, retain: int = 2,

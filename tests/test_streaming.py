@@ -522,3 +522,59 @@ def test_stream_bloom_filter_merge_law(spark, tmp_path_factory):
         for j in range(BLOOM_K):
             p = int(h[4 * j:4 * j + 4], 16) % BLOOM_M
             assert state[p // BLOOM_WORD] >> (p % BLOOM_WORD) & 1 == 1
+
+
+def test_stream_cms_freq_merge_law(spark, tmp_path_factory):
+    """Cross-micro-batch cell summing equals the one-shot batch sketch
+    over the concatenated feed — the + merge law (driver-gated by
+    cms_merge) carried through the streaming path — and the CMS
+    overestimate contract holds against exact token counts."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pl_marker_spark.queries_analytics import (
+        CMS_D, CMS_W, cms_cells_from_tokens)
+    from pl_marker_spark.streaming import read_upsert_state, stream_cms_freq
+
+    base = str(tmp_path_factory.mktemp("scms"))
+    indir, outdir = f"{base}/in", f"{base}/out"
+    os.makedirs(indir)
+    t0 = dt.datetime(2026, 1, 1)
+    texts_a = [f"alpha beta gamma doc{i} alpha" for i in range(20)]
+    texts_b = [f"alpha zeta eta doc{i + 50} theta" for i in range(20)]
+    for name, mtime, texts, off in (("a", 1000, texts_a, 0),
+                                    ("b", 2000, texts_b, 100)):
+        pdf = pd.DataFrame(
+            [(off + i, t, t0 + dt.timedelta(seconds=i))
+             for i, t in enumerate(texts)],
+            columns=["doc_id", "text", "ts"])
+        p = f"{indir}/{name}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(p, (mtime, mtime))
+
+    q = stream_cms_freq(spark, indir, outdir)
+    q.awaitTermination(300)
+    state = {(r.r, r.c): r.cnt
+             for r in read_upsert_state(spark, outdir).collect()}
+    # the persisted state is the FULL d x w cell spine (absent = 0)
+    assert set(state) == {(r, c) for r in range(CMS_D) for c in range(CMS_W)}
+
+    all_docs = spark.createDataFrame(
+        [(t,) for t in texts_a + texts_b], ["text"])
+    one_shot = {(r.r, r.c): r.cnt for r in cms_cells_from_tokens(
+        all_docs.select(F.explode(F.split("text", " ")).alias("token"))
+    ).collect()}
+    assert {k: v for k, v in state.items() if v} == one_shot
+
+    # point estimates from the merged state overestimate, never under:
+    # 'alpha' appears twice per batch-a doc and once per batch-b doc
+    import hashlib
+    est = min(
+        state[(r, int(hashlib.md5(f"r{r}:alpha".encode())
+                      .hexdigest()[:15], 16) % CMS_W)]
+        for r in range(CMS_D))
+    assert est >= 2 * len(texts_a) + len(texts_b)
