@@ -181,6 +181,27 @@ def main() -> None:
         timings["bpe_train_sf"] = round(best_t, 3)
         timings["bpe_encode_sf"] = round(best_e, 3)
 
+        # unigram-LM tokenizer over the same real corpus: train = 1
+        # corpus collapse + seed explode + 2 Arrow-batched EM rounds over
+        # the vocab-sized word table; encode = distinct-word Viterbi +
+        # broadcast dictionary join (corpus side scan+posexplode only).
+        from pl_marker_spark.unigram import (
+            unigram_encode_df, unigram_train_pieces)
+
+        best_t = best_e = None
+        for _ in range(reps):
+            t0 = time.time()
+            pieces = unigram_train_pieces(docs_bpe)
+            dt = time.time() - t0
+            best_t = dt if best_t is None else min(best_t, dt)
+            t0 = time.time()
+            unigram_encode_df(docs_bpe, pieces).write.format("noop").mode(
+                "overwrite").save()
+            dt = time.time() - t0
+            best_e = dt if best_e is None else min(best_e, dt)
+        timings["unigram_train_sf"] = round(best_t, 3)
+        timings["unigram_encode_sf"] = round(best_e, 3)
+
     if "graph400k" in sections:
         # --- at-scale CC branch (round-3 VERDICT item #4): the kg corpus'
         # similarity graph is tiny (hundreds of edges → driver union-find), so

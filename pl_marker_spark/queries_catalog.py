@@ -1553,15 +1553,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver verifies at most the FIRST 50 entries in
     # dict-iteration order. Window policy (round 5): [1-24] flagship kg_*
     # rows + real-weights variants + dedup/ANN + multimodal + coref (no
-    # driver record in r04 — must land in r05); [25-34] the ten NEW
-    # round-5 rows (bpe/bloom/kcore/labelprop/span-merge/containment/
-    # weighted-sample — never driver-verified); [35-50] reference-operator
-    # and dedup-core refreshers. Rows past 50 (sessionize/asof/funnel/
-    # token_count/quality_score/lang_id + the r4 dataops/analytics
-    # catalog) are all green in CORRECTNESS_r04.json and stay covered by
-    # the full pytest oracle gate. Python dicts keep FIRST-insertion
-    # order, so re-listing a dataops/analytics key later via ** does not
-    # move it out of the window.
+    # driver record in r04 — must land in r05); [25-34] the ten round-5
+    # rows (bpe/bloom/kcore/labelprop/span-merge/containment/
+    # weighted-sample — never driver-verified); [35-41] the seven late-
+    # round-5 rows (unigram tokenizer, histogram sketch, PMI, bigram LM —
+    # also never driver-verified); [42-50] reference-operator and
+    # dedup-core refreshers. Rows past 50 are all green in
+    # CORRECTNESS_r04.json and stay covered by the full pytest oracle
+    # gate. Python dicts keep FIRST-insertion order, so re-listing a
+    # dataops/analytics key later via ** does not move it out of the
+    # window.
     head = {
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
@@ -1598,23 +1599,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_build": ANALYTICS_QUERIES["bloom_build"],
         "bloom_merge": ANALYTICS_QUERIES["bloom_merge"],
         "bloom_member": ANALYTICS_QUERIES["bloom_member"],
-        # --- slots 35-50: reference-operator + dedup-core refreshers ---
+        # --- slots 35-41: new this session, never driver-verified
+        # (unigram tokenizer, histogram quantile sketch, PMI, bigram LM)
+        "unigram_train": DATAOPS_QUERIES["unigram_train"],
+        "unigram_encode": DATAOPS_QUERIES["unigram_encode"],
+        "hist_build": ANALYTICS_QUERIES["hist_build"],
+        "hist_merge": ANALYTICS_QUERIES["hist_merge"],
+        "hist_quantile": ANALYTICS_QUERIES["hist_quantile"],
+        "pmi_pairs": DATAOPS_QUERIES["pmi_pairs"],
+        "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
+        # --- slots 42-50: reference-operator + dedup-core refreshers ---
         "o8_inverse_gold": q_o8_inverse_gold,
         "c1_span_enum": q_c1_span_enum,
         "k1_pack_groups": q_k1_pack_groups,
         "p4_prefix_sum": q_p4_prefix_sum,
         "o13_topk": q_o13_topk,
         "p8_bio_spans": q_p8_bio_spans,
-        "o12_chunk_f1": q_o12_chunk_f1,
-        "o14_sorted_words": q_o14_sorted_words,
-        "o11_micro_prf": q_o11_micro_prf,
-        "o15_seed_stats": q_o15_seed_stats,
         "dedup_exact": q_dedup_exact,
-        "fingerprint": q_fingerprint,
         "jaccard_neardup": q_jaccard_neardup,
         "dedup_cluster": q_dedup_cluster,
-        "gopher_rules": q_gopher_rules,
-        "substr_dedup": q_substr_dedup,
     }
     assert len(head) == 50, f"driver window misaligned: {len(head)}"
     return {
@@ -1627,6 +1630,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "o12_chunk_f1": q_o12_chunk_f1,
+        "o14_sorted_words": q_o14_sorted_words,
+        "o11_micro_prf": q_o11_micro_prf,
+        "o15_seed_stats": q_o15_seed_stats,
+        "fingerprint": q_fingerprint,
+        "gopher_rules": q_gopher_rules,
+        "substr_dedup": q_substr_dedup,
         **DATAOPS_QUERIES,
         **ANALYTICS_QUERIES,
     }

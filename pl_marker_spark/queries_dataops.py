@@ -1104,6 +1104,73 @@ def sql_bpe_encode() -> str:
     )
 
 
+# ---------- unigram-LM tokenizer training (Kudo 2018) -----------------------
+
+
+def q_unigram_train(spark, sf_dir):
+    """Distributed unigram-LM (SentencePiece-style) tokenizer training:
+    the piece table learned from the pinned deterministic corpus
+    (unigram.py — like bpe_train, the query synthesizes its own input
+    because oracle_sql() is one static string). Plan shape per
+    unigram.py: one corpus→word-frequency collapse, a JVM substring-seed
+    explode, then per EM round one Arrow-batched Viterbi over the
+    vocab-sized word table + one map-side-combined count agg. The twin is
+    the independent memoized-recursion reference as VALUES; both sides
+    score with exact Fractions, so the gate is exact equality."""
+    from .bpe import bpe_corpus
+    from .unigram import unigram_train_df
+
+    docs = spark.createDataFrame(bpe_corpus(), "doc_id int, text string")
+    return unigram_train_df(spark, docs)
+
+
+def sql_unigram_train() -> str:
+    import math
+
+    from .bpe import bpe_corpus
+    from .oracle_values import _values_sql
+    from .unigram import unigram_train_reference
+
+    pieces = unigram_train_reference([t for _, t in bpe_corpus()])
+    t = sum(c for _, _, c in pieces)
+    rows = [(r, p, c, round(math.log(c / t), 6)) for r, p, c in pieces]
+    return _values_sql(
+        rows,
+        ["rank", "piece", "cnt", "logprob"],
+        ["INTEGER", "VARCHAR", "BIGINT", "DOUBLE"],
+    )
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Viterbi segmentation of the pinned corpus under pieces the
+    DISTRIBUTED trainer just learned — train∘encode composed, like
+    bpe_encode. Encode is the dictionary-join shape: distinct words get
+    one vocab-sized Viterbi pass, the (word → pieces) dictionary
+    broadcasts back onto word positions, and the corpus-scale side is
+    scan + posexplode with zero python."""
+    from .bpe import bpe_corpus
+    from .unigram import unigram_encode_df, unigram_train_pieces
+
+    docs = spark.createDataFrame(bpe_corpus(), "doc_id int, text string")
+    pieces = unigram_train_pieces(docs)
+    return unigram_encode_df(docs, pieces)
+
+
+def sql_unigram_encode() -> str:
+    from .bpe import bpe_corpus
+    from .oracle_values import _values_sql
+    from .unigram import unigram_encode_reference, unigram_train_reference
+
+    corpus = bpe_corpus()
+    pieces = unigram_train_reference([t for _, t in corpus])
+    rows = unigram_encode_reference(corpus, pieces)
+    return _values_sql(
+        rows,
+        ["doc_id", "word_pos", "tok_pos", "piece"],
+        ["INTEGER", "INTEGER", "INTEGER", "VARCHAR"],
+    )
+
+
 # ---------- PMI collocations (Church & Hanks 1990) --------------------------
 
 PMI_MIN_COUNT = 5   # collocation support floor: pairs seen fewer times are
@@ -1259,6 +1326,8 @@ DATAOPS_QUERIES = {
     "bpe_encode": q_bpe_encode,
     "pmi_pairs": q_pmi_pairs,
     "bigram_lm_ce": q_bigram_lm_ce,
+    "unigram_train": q_unigram_train,
+    "unigram_encode": q_unigram_encode,
 }
 
 DATAOPS_SQLS = {
@@ -1282,4 +1351,6 @@ DATAOPS_SQLS = {
     "bpe_encode": sql_bpe_encode(),
     "pmi_pairs": SQL_PMI_PAIRS,
     "bigram_lm_ce": SQL_BIGRAM_LM_CE,
+    "unigram_train": sql_unigram_train(),
+    "unigram_encode": sql_unigram_encode(),
 }

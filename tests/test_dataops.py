@@ -388,3 +388,65 @@ def test_weighted_sample_matches_python_aes(spark):
         pk[i] = math.log((h + 1) / 2.0 ** 60) / w
     top = sorted(pk, key=lambda d: (-pk[d], d))[:32]
     assert sum(1 for d in top if d % 2) >= 28
+
+
+# ---------- unigram-LM tokenizer training (unigram.py) ----------------------
+
+
+def test_unigram_matches_reference_on_real_documents(spark):
+    """The distributed hard-EM trainer and the memoized-recursion
+    reference learn the identical piece table from the real sf0.001
+    documents corpus — exact-Fraction scoring makes the agreement exact,
+    never approximate."""
+    import os
+
+    import pandas as pd
+
+    from pl_marker_spark.unigram import (
+        unigram_train_pieces, unigram_train_reference)
+
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = unigram_train_pieces(docs)
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    want = unigram_train_reference(texts["text"].tolist())
+    assert got == want and len(got) > 10
+
+
+def test_unigram_viterbi_preference_and_roundtrip(spark):
+    """Hand-computed segmentation pins the Viterbi order: on 'ab ab' the
+    seeds a/b/ab all count 2 (prob 1/3 each), so segmenting 'ab' as the
+    single piece (prob 1/3, count 1) beats ('a','b') (prob 1/9) — fewer
+    pieces never decides here, probability does. Also: every single
+    character survives training (coverage), and concatenating a word's
+    pieces reproduces the word."""
+    from pl_marker_spark.unigram import (
+        unigram_encode_df, unigram_encode_reference,
+        unigram_train_pieces, unigram_train_reference)
+
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id int, text string")
+    pieces = unigram_train_pieces(docs)
+    assert pieces == unigram_train_reference(["ab ab"])
+    by_piece = {p: c for _, p, c in pieces}
+    assert set(by_piece) >= {"a", "b", "ab"}     # chars never pruned
+    assert by_piece["ab"] == 2                   # viterbi picked 'ab' twice
+    assert by_piece["a"] == 1 and by_piece["b"] == 1  # Laplace char floor
+
+    enc = sorted(tuple(r) for r in
+                 unigram_encode_df(docs, pieces).collect())
+    assert enc == sorted(unigram_encode_reference([(0, "ab ab")], pieces))
+    assert enc == [(0, 0, 0, "ab"), (0, 1, 0, "ab")]
+
+    # roundtrip on a mixed corpus: pieces concatenate back to each word
+    corpus = [(0, "tokenization needs subword units"),
+              (1, "units need tokenization")]
+    docs2 = spark.createDataFrame(corpus, "doc_id int, text string")
+    p2 = unigram_train_pieces(docs2)
+    rows = unigram_encode_reference(corpus, p2)
+    from collections import defaultdict
+    acc = defaultdict(list)
+    for d, wp, tp, piece in rows:
+        acc[(d, wp)].append((tp, piece))
+    for (d, wp), v in acc.items():
+        word = corpus[d][1].lower().split()[wp]
+        assert "".join(p for _, p in sorted(v)) == word
