@@ -1305,6 +1305,78 @@ GROUP BY tf.doc_id
 """
 
 
+# ---------- corpus drift: pairwise Jensen-Shannon divergence ----------------
+
+
+def q_jsd_drift(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between per-source unigram token
+    distributions — the drift monitor a corpus-intake pipeline runs to
+    catch a source whose content shifted (and the symmetric, bounded
+    [0, ln 2] alternative to raw KL). Decomposition used here: terms
+    present in both sources contribute 0.5·p·ln(2p/(p+q)) +
+    0.5·q·ln(2q/(p+q)); terms private to one source contribute exactly
+    0.5·ln 2 times their probability mass, which equals
+    0.5·ln 2·(1−shared_mass) per side — so the one-sided tail needs NO
+    anti-join, just the shared-mass sums the equi-join already produces.
+
+    Scale shape: one map-side-combined (source, term) count, per-source
+    totals broadcast back, then ONE term-keyed equi-self-join restricted
+    to src_a < src_b (vocab-sized rows, never corpus-sized) and a per-pair
+    map-side-combinable sum. Float discipline: the per-term contributions
+    are O(1e-3) magnitudes summed into O(1) — both engines' arbitrary sum
+    orders agree far below the 6dp round."""
+    tf = (
+        _doc(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    p = tf.join(F.broadcast(tot), "source").select(
+        "source", "term", (F.col("cnt") / F.col("tot")).alias("p"))
+    a = p.select(F.col("source").alias("src_a"), "term",
+                 F.col("p").alias("pa"))
+    b = p.select(F.col("source").alias("src_b"), "term",
+                 F.col("p").alias("pb"))
+    both = a.join(b, "term").filter(F.col("src_a") < F.col("src_b"))
+    contrib = (
+        0.5 * F.col("pa") * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+        + 0.5 * F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        both.groupBy("src_a", "src_b")
+        .agg(F.sum(contrib).alias("jsd_both"),
+             F.sum("pa").alias("sh_a"), F.sum("pb").alias("sh_b"),
+             F.count("*").cast("long").alias("n_shared_terms"))
+        .select(
+            "src_a", "src_b", "n_shared_terms",
+            F.round(F.col("jsd_both")
+                    + 0.5 * ln2 * ((1 - F.col("sh_a")) + (1 - F.col("sh_b"))),
+                    6).alias("jsd"),
+        )
+    )
+
+
+SQL_JSD_DRIFT = """
+WITH tf AS (SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+c AS (SELECT source, term, count(*)::BIGINT AS cnt FROM tf GROUP BY 1, 2),
+tot AS (SELECT source, sum(cnt) AS tot FROM c GROUP BY 1),
+p AS (SELECT c.source, c.term, c.cnt / tot.tot AS p
+      FROM c JOIN tot USING (source)),
+shared AS (SELECT a.source AS src_a, b.source AS src_b,
+                  a.p AS pa, b.p AS pb
+           FROM p a JOIN p b ON a.term = b.term AND a.source < b.source)
+SELECT src_a, src_b, count(*)::BIGINT AS n_shared_terms,
+       round(sum(0.5 * pa * ln(2 * pa / (pa + pb))
+                 + 0.5 * pb * ln(2 * pb / (pa + pb)))
+             + 0.5 * ln(2.0) * ((1 - sum(pa)) + (1 - sum(pb))), 6) AS jsd
+FROM shared
+GROUP BY 1, 2
+"""
+
+
 DATAOPS_QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "c4_filters": q_c4_filters,
@@ -1328,6 +1400,7 @@ DATAOPS_QUERIES = {
     "bigram_lm_ce": q_bigram_lm_ce,
     "unigram_train": q_unigram_train,
     "unigram_encode": q_unigram_encode,
+    "jsd_drift": q_jsd_drift,
 }
 
 DATAOPS_SQLS = {
@@ -1353,4 +1426,5 @@ DATAOPS_SQLS = {
     "bigram_lm_ce": SQL_BIGRAM_LM_CE,
     "unigram_train": sql_unigram_train(),
     "unigram_encode": sql_unigram_encode(),
+    "jsd_drift": SQL_JSD_DRIFT,
 }

@@ -671,6 +671,68 @@ def stream_cms_freq(
     )
 
 
+def stream_hist_lengths(
+    spark: SparkSession, in_dir: str, out_dir: str, retain: int = 2,
+):
+    """Streaming HDR histogram of document token counts: each micro-batch
+    buckets its lengths with the exact integer HDR math the ``hist_build``
+    twin gates and sum-merges the counts into the persisted histogram —
+    the streaming composition the ``hist_merge`` gate licenses. Quantiles
+    of the WHOLE stream so far (p50/p95 length, the stats a corpus-intake
+    monitor tracks) are answered from the state's cumulative counts at
+    ≤2⁻³ relative error, without ever re-reading history. Completes the
+    streaming sketch family (HLL distinct / CMS frequency / Bloom
+    membership / histogram quantiles). State is sparse by design — the
+    bucket key space is unbounded (it grows with the VALUE RANGE), so
+    there is no fixed spine; absence == 0 is the + identity, and readers
+    aggregate with coalesce-free sums over whatever rows exist. Same
+    versioned-dir + atomic-pointer sink as ``stream_upsert_latest``
+    (replay-idempotent, pruned to ``retain`` versions)."""
+    from .queries_analytics import _hist_buckets
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    ptr = f"{out_dir}/_LATEST"
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        import os as _os
+
+        vdir = f"{out_dir}/state_v{batch_id}"
+        prev = None
+        if _os.path.exists(ptr):
+            with open(ptr) as f:
+                prev = f.read().strip()
+            if prev == vdir:
+                return  # replay of an already-merged batch
+        vals = batch_df.select(
+            F.size(F.split("text", " ")).cast("long").alias("v"))
+        hist = (
+            _hist_buckets(vals)
+            .groupBy("bucket_lo", "bucket_hi")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        if prev:
+            hist = (spark.read.parquet(prev).unionByName(hist)
+                    .groupBy("bucket_lo", "bucket_hi")
+                    .agg(F.sum("cnt").cast("long").alias("cnt")))
+        hist.write.mode("overwrite").parquet(vdir)
+        tmp = f"{ptr}.tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        _os.replace(tmp, ptr)
+        _prune_state_versions(out_dir, retain)
+
+    return (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_minhash_neardup(
     spark: SparkSession, in_dir: str, out_dir: str,
     threshold: float = 0.5, retain: int = 2,

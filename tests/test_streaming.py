@@ -578,3 +578,61 @@ def test_stream_cms_freq_merge_law(spark, tmp_path_factory):
                       .hexdigest()[:15], 16) % CMS_W)]
         for r in range(CMS_D))
     assert est >= 2 * len(texts_a) + len(texts_b)
+
+
+def test_stream_hist_lengths_merge_law(spark, tmp_path_factory):
+    """Cross-micro-batch count summing equals the one-shot histogram over
+    the concatenated feed (the + law, driver-gated by hist_merge, carried
+    through the streaming path), and a p50 read off the merged state's
+    cumulative counts brackets the true median length."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pl_marker_spark.queries_analytics import _hist_buckets
+    from pl_marker_spark.streaming import read_upsert_state, stream_hist_lengths
+
+    base = str(tmp_path_factory.mktemp("shist"))
+    indir, outdir = f"{base}/in", f"{base}/out"
+    os.makedirs(indir)
+    t0 = dt.datetime(2026, 1, 1)
+    # batch a: short docs (3-12 tokens); batch b: long docs (40-98 tokens)
+    texts_a = [" ".join(["w"] * (3 + (i * 7) % 10)) for i in range(25)]
+    texts_b = [" ".join(["w"] * (40 + (i * 13) % 59)) for i in range(25)]
+    for name, mtime, texts, off in (("a", 1000, texts_a, 0),
+                                    ("b", 2000, texts_b, 100)):
+        pdf = pd.DataFrame(
+            [(off + i, t, t0 + dt.timedelta(seconds=i))
+             for i, t in enumerate(texts)],
+            columns=["doc_id", "text", "ts"])
+        p = f"{indir}/{name}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(p, (mtime, mtime))
+
+    q = stream_hist_lengths(spark, indir, outdir)
+    q.awaitTermination(300)
+    state = {(r.bucket_lo, r.bucket_hi): r.cnt
+             for r in read_upsert_state(spark, outdir).collect()}
+
+    all_docs = spark.createDataFrame(
+        [(t,) for t in texts_a + texts_b], ["text"])
+    one_shot = {(r.bucket_lo, r.bucket_hi): r.cnt for r in (
+        _hist_buckets(all_docs.select(
+            F.size(F.split("text", " ")).cast("long").alias("v")))
+        .groupBy("bucket_lo", "bucket_hi")
+        .agg(F.count("*").cast("long").alias("cnt"))).collect()}
+    assert state == one_shot
+    assert sum(state.values()) == 50
+
+    # p50 from cumulative counts brackets the exact median
+    lengths = sorted(len(t.split(" ")) for t in texts_a + texts_b)
+    exact_p50 = lengths[(50 + 1) // 2 - 1]   # rank ceil(0.5*50) = 25
+    cum = 0
+    for (lo, hi), c in sorted(state.items()):
+        cum += c
+        if cum >= 25:
+            assert lo <= exact_p50 <= hi
+            break
