@@ -1065,6 +1065,34 @@ def _sql_semdedup() -> str:
     return SQL_SEMDEDUP
 
 
+def _q_sq_encode(spark, sf_dir):
+    """int8 scalar-quantization encode law (exact-integer gate) — see
+    ann_ivf.q_sq_encode for the code math and parity argument."""
+    from .ann_ivf import q_sq_encode
+
+    return q_sq_encode(spark, sf_dir)
+
+
+def _q_sq_ann_topk(spark, sf_dir):
+    """Asymmetric-distance top-k over int8 SQ codes (Jegou et al. 2011
+    ADC) — the 4x-smaller storage side of ANN; see ann_ivf.q_sq_ann_topk."""
+    from .ann_ivf import q_sq_ann_topk
+
+    return q_sq_ann_topk(spark, sf_dir)
+
+
+def _sql_sq_encode() -> str:
+    from .ann_ivf import SQL_SQ_ENCODE
+
+    return SQL_SQ_ENCODE
+
+
+def _sql_sq_ann() -> str:
+    from .ann_ivf import SQL_SQ_ANN
+
+    return SQL_SQ_ANN
+
+
 # ---------- model-dependent entries (oracle = materialized python oracle) --
 # The packed-marker pipeline is the engine under test — its DuckDB twin is
 # the single-process oracle (oracle_ref + oracle_graph) rendered as a VALUES
@@ -1637,6 +1665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "gopher_rules": q_gopher_rules,
         "substr_dedup": q_substr_dedup,
+        "sq_encode": _q_sq_encode,
+        "sq_ann_topk": _q_sq_ann_topk,
         **DATAOPS_QUERIES,
         **ANALYTICS_QUERIES,
     }
@@ -1680,6 +1710,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming": _sql_simhash_hamming(),
         "simhash_hamming_k5": _sql_simhash_hamming(5),
         "embedding_neardup": _sql_embedding_neardup(),
+        "sq_encode": _sql_sq_encode(),
+        "sq_ann_topk": _sql_sq_ann(),
         **_kg_sqls(),
     }
 

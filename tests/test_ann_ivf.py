@@ -121,3 +121,52 @@ def test_semdedup_gate_profile_nontrivial():
     n_drop = sum(1 for r in rows if r[3] == 0)
     assert 0 < n_dup < len(rows)
     assert 0 < n_drop < n_dup  # every drop has a dup, not every dup drops
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_sq_recall_vs_bruteforce(sf):
+    """int8 SQ asymmetric search must be a near-noop on ranking: 64-dim
+    quantization error is ~0.4% per component, so recall@10 vs the exact
+    float baseline should be near-perfect (floor 0.9). Runs on the DuckDB
+    twins, which are exact-equal to the Spark plans (oracle gate)."""
+    from pl_marker_spark.ann_ivf import SQL_SQ_ANN
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'/root/testdata/{sf}/embeddings.parquet'"
+    )
+    bf = _pairs(con, queries_catalog.oracle_sql()["ann_cosine_topk"])
+    sq = _pairs(con, SQL_SQ_ANN)
+    recall = len(bf & sq) / len(bf)
+    assert recall >= 0.9, f"SQ recall@10 {recall:.3f} < 0.9 at {sf}"
+
+
+def test_sq_reconstruction_error_bound():
+    """Round-to-nearest law: every reconstructed component is within
+    scale/2 of the original, and the max-abs component saturates to
+    exactly +/-127 (so the code range is fully used)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    bad, n = con.execute("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e),
+c AS (SELECT vec_id, v, scale,
+             list_transform(v, x -> floor(x / scale + 0.5)::INT) AS codes
+      FROM s)
+SELECT sum(CASE WHEN err > scale / 2 * 1.0000001 OR n_sat = 0
+                  OR mx > 127 OR mn < -127 THEN 1 ELSE 0 END),
+       count(*)
+FROM (SELECT vec_id, scale,
+             list_max(list_transform(range(1, len(v) + 1),
+                      i -> abs(v[i] - codes[i] * scale))) AS err,
+             len(list_filter(codes, cd -> abs(cd) = 127)) AS n_sat,
+             list_max(codes) AS mx, list_min(codes) AS mn
+      FROM c) x
+""").fetchone()
+    assert n > 0 and bad == 0
