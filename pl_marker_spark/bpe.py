@@ -89,13 +89,15 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(syms, a: str, b: str):
+def _apply_merge(syms, a: str, b: str, merged: str | None = None):
     """Left-to-right non-overlapping replacement of adjacent (a, b) with
-    the fused symbol a+b, as a JVM-side fold. Equivalent to the scan-and-
-    skip loop of the reference implementation: after fusing, the fused
-    token sits at the accumulator tail and (being a+b, never equal to a
-    unless b is empty) cannot chain into the next comparison."""
-    merged = a + b
+    the fused symbol (a+b by default; wordpiece.py passes a + b without
+    the '##' continuation prefix), as a JVM-side fold. Equivalent to the
+    scan-and-skip loop of the reference implementation: after fusing, the
+    fused token sits at the accumulator tail and (being longer than a)
+    cannot chain into the next comparison."""
+    if merged is None:
+        merged = a + b
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),

@@ -1377,6 +1377,76 @@ GROUP BY 1, 2
 """
 
 
+# ---------- WordPiece tokenizer (Schuster & Nakajima 2012; BERT) ------------
+
+
+def q_wordpiece_train(spark, sf_dir):
+    """Distributed WordPiece merge training on the pinned tokenizer
+    corpus — BPE's plan shape with the likelihood-gain argmax
+    cnt/(ca*cb) (wordpiece.py; the vocabulary algorithm behind the
+    reference's own BertTokenizer, run_ner.py:556). Like bpe_train /
+    unigram_train the query synthesizes its pinned input, so one static
+    VALUES oracle is valid at every sf."""
+    from .bpe import bpe_corpus
+    from .wordpiece import wordpiece_train_merges
+
+    docs = spark.createDataFrame(bpe_corpus(), "doc_id int, text string")
+    merges = wordpiece_train_merges(docs)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string,"
+        " pair_count bigint",
+    )
+
+
+def sql_wordpiece_train() -> str:
+    from .bpe import bpe_corpus
+    from .oracle_values import _values_sql
+    from .wordpiece import wordpiece_train_reference
+
+    rows = wordpiece_train_reference([t for _, t in bpe_corpus()])
+    return _values_sql(
+        rows,
+        ["rank", "left", "right", "merged", "pair_count"],
+        ["INTEGER", "VARCHAR", "VARCHAR", "VARCHAR", "BIGINT"],
+    )
+
+
+def q_wordpiece_encode(spark, sf_dir):
+    """Greedy longest-match-first segmentation (BERT's WordPiece
+    `tokenize`) of the pinned corpus under the vocabulary the DISTRIBUTED
+    trainer just learned — train∘encode composed. Encode is the
+    dictionary-join shape: distinct words get one bounded greedy scan,
+    the (word → pieces) dictionary broadcasts onto word positions, and
+    the corpus-scale side is scan + posexplode with zero python."""
+    from .bpe import bpe_corpus
+    from .wordpiece import (wordpiece_encode_df, wordpiece_train_merges,
+                            wordpiece_vocab)
+
+    docs = spark.createDataFrame(bpe_corpus(), "doc_id int, text string")
+    merges = wordpiece_train_merges(docs)
+    return wordpiece_encode_df(docs, wordpiece_vocab(docs, merges))
+
+
+def sql_wordpiece_encode() -> str:
+    from .bpe import bpe_corpus
+    from .oracle_values import _values_sql
+    from .wordpiece import (wordpiece_encode_reference,
+                            wordpiece_train_reference,
+                            wordpiece_vocab_reference)
+
+    corpus = bpe_corpus()
+    texts = [t for _, t in corpus]
+    merges = wordpiece_train_reference(texts)
+    vocab = wordpiece_vocab_reference(texts, merges)
+    rows = wordpiece_encode_reference(corpus, vocab)
+    return _values_sql(
+        rows,
+        ["doc_id", "word_pos", "tok_pos", "piece"],
+        ["INTEGER", "INTEGER", "INTEGER", "VARCHAR"],
+    )
+
+
 DATAOPS_QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "c4_filters": q_c4_filters,
@@ -1401,6 +1471,8 @@ DATAOPS_QUERIES = {
     "unigram_train": q_unigram_train,
     "unigram_encode": q_unigram_encode,
     "jsd_drift": q_jsd_drift,
+    "wordpiece_train": q_wordpiece_train,
+    "wordpiece_encode": q_wordpiece_encode,
 }
 
 DATAOPS_SQLS = {
@@ -1427,4 +1499,6 @@ DATAOPS_SQLS = {
     "unigram_train": sql_unigram_train(),
     "unigram_encode": sql_unigram_encode(),
     "jsd_drift": SQL_JSD_DRIFT,
+    "wordpiece_train": sql_wordpiece_train(),
+    "wordpiece_encode": sql_wordpiece_encode(),
 }

@@ -450,3 +450,103 @@ def test_unigram_viterbi_preference_and_roundtrip(spark):
     for (d, wp), v in acc.items():
         word = corpus[d][1].lower().split()[wp]
         assert "".join(p for _, p in sorted(v)) == word
+
+
+def test_wordpiece_matches_reference_on_real_documents(spark):
+    """The distributed likelihood-argmax trainer and the Counter-based
+    reference learn the identical merge table from the real sf0.001
+    documents corpus (the IEEE-score + lexicographic order is engine-
+    independent)."""
+    import os
+
+    import pandas as pd
+
+    from pl_marker_spark.wordpiece import (wordpiece_train_merges,
+                                           wordpiece_train_reference)
+
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = wordpiece_train_merges(docs, num_merges=8)
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    want = wordpiece_train_reference(texts["text"].tolist(), 8)
+    assert got == want and len(got) == 8
+
+
+def test_wordpiece_likelihood_argmax_and_greedy_encode(spark):
+    """Hand-computed corpus pins the WordPiece specifics: (a) the
+    likelihood score prefers the RARE-symbol pair (##a,##b) over the
+    higher-raw-count-competitive (a,##a) that plain BPE would tie on —
+    2/(4*3) == 2/(3*4) broken lexicographically toward '##a'; (b) greedy
+    longest-match-first encode uses the FINAL vocab, not merge order;
+    (c) any uncoverable word becomes [UNK] whole."""
+    from pl_marker_spark.wordpiece import (WP_UNK, _greedy_pieces,
+                                           wordpiece_encode_df,
+                                           wordpiece_train_merges,
+                                           wordpiece_train_reference,
+                                           wordpiece_vocab)
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab ab")], "doc_id int, text string")
+    merges = wordpiece_train_merges(docs, num_merges=1)
+    assert merges == [(1, "##a", "##b", "##ab", 2)]
+    assert wordpiece_train_reference(["aaab aaab ab"], 1) == merges
+
+    vocab = wordpiece_vocab(docs, merges)
+    assert vocab == ["##a", "##ab", "##b", "a"]
+    # longest match first: 'aaab' -> a ##a ##ab (not a ##a ##a ##b)
+    rows = sorted(
+        tuple(r) for r in wordpiece_encode_df(docs, vocab).collect())
+    assert rows == [(0, 0, 0, "a"), (0, 0, 1, "##a"), (0, 0, 2, "##ab"),
+                    (0, 1, 0, "a"), (0, 1, 1, "##a"), (0, 1, 2, "##ab"),
+                    (0, 2, 0, "a"), (0, 2, 1, "##b")]
+    # uncoverable word -> [UNK]; over-long word -> [UNK]
+    assert _greedy_pieces("axb", set(vocab)) == [WP_UNK]
+    assert _greedy_pieces("a" * 101, set(vocab)) == [WP_UNK]
+
+
+def test_wordpiece_encode_real_documents_roundtrip_and_reference(spark):
+    """Spark train∘encode on real sf0.001 documents equals the reference
+    composition row-for-row, and every non-UNK word round-trips (pieces
+    concatenate, '##' stripped, to the word)."""
+    import os
+
+    import pandas as pd
+
+    from pl_marker_spark.wordpiece import (WP_UNK, wordpiece_encode_df,
+                                           wordpiece_encode_reference,
+                                           wordpiece_train_merges,
+                                           wordpiece_train_reference,
+                                           wordpiece_vocab,
+                                           wordpiece_vocab_reference)
+
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    docs = docs.select("doc_id", "text").localCheckpoint()
+    merges = wordpiece_train_merges(docs, num_merges=8)
+    vocab = wordpiece_vocab(docs, merges)
+    got = sorted(tuple(r)
+                 for r in wordpiece_encode_df(docs, vocab).collect())
+
+    pdf = docs.toPandas()
+    corpus = list(zip(pdf["doc_id"].tolist(), pdf["text"].tolist()))
+    ref_merges = wordpiece_train_reference(pdf["text"].tolist(), 8)
+    assert merges == ref_merges
+    want = sorted(wordpiece_encode_reference(
+        corpus, wordpiece_vocab_reference(pdf["text"].tolist(), ref_merges)))
+    assert got == want
+
+    # roundtrip: group pieces by (doc, word) and reassemble
+    by_word: dict = {}
+    for doc_id, wp, tp, piece in got:
+        by_word.setdefault((doc_id, wp), []).append((tp, piece))
+    texts = dict(corpus)
+    n_checked = 0
+    for (doc_id, wp), pieces in by_word.items():
+        word = texts[doc_id].lower().split()[wp]
+        ps = [p for _, p in sorted(pieces)]
+        if ps == [WP_UNK]:
+            continue
+        assert "".join(p[2:] if p.startswith("##") else p
+                       for p in ps) == word
+        n_checked += 1
+    assert n_checked > 0
