@@ -494,3 +494,78 @@ rk AS (SELECT q_id, vec_id, sim,
 SELECT q_id, vec_id, round(sim, 6) AS sim, rk::BIGINT AS rk
 FROM rk WHERE rk <= {TOP_K}
 """
+
+
+def ivf_sq_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
+                nprobe: int = NPROBE, top_k: int = TOP_K,
+                n_queries: int = N_QUERIES) -> DataFrame:
+    """IVF x SQ composed — the production ANN shape (FAISS's IVF,SQ8
+    index): the coarse quantizer prunes WHICH inverted lists a query
+    scans (nprobe cells), and the lists themselves hold int8 SQ codes of
+    the unit vectors, so the scan reads 4x fewer bytes and reconstructs
+    code*scale JVM-side. Queries stay full-precision (asymmetric
+    distance). Same probe->members equi-join as ivf_topk; ONLY the
+    stored payload changed, so any recall delta vs ivf_topk is pure
+    quantization error (measured ~none — see tests)."""
+    e, ranked = rank_cells(spark, sf_dir, k_cells=k_cells)
+    asn = ranked.filter(F.col("crk") == 1).select("vec_id", "cell")
+    probes = ranked.filter(
+        (F.col("crk") <= nprobe) & (F.col("vec_id") < n_queries)
+    ).select(F.col("vec_id").alias("q_id"), F.col("uv").alias("qv"), "cell")
+    # the inverted-list payload: int8 codes of the unit vectors,
+    # reconstructed on read (reconstruction is not unit-norm, so the
+    # cosine re-normalizes by |ruv|; |qv| = 1 by construction)
+    sq = (
+        e.withColumn(
+            "scale",
+            F.array_max(F.transform("uv", lambda x: F.abs(x)))
+            / F.lit(float(SQ_LEVELS)))
+        .select(
+            "vec_id",
+            F.expr("transform(uv, x ->"
+                   " cast(floor(x / scale + 0.5d) as int) * scale)")
+            .alias("ruv"))
+    )
+    cand = probes.join(asn, "cell").filter(F.col("q_id") != F.col("vec_id"))
+    scored = cand.join(sq, "vec_id").select(
+        "q_id", "vec_id",
+        F.round(_dot(F.col("qv"), F.col("ruv"))
+                / F.sqrt(_dot(F.col("ruv"), F.col("ruv"))), 6).alias("sim"))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= top_k)
+        .select("q_id", "vec_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_ivf_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ at the pinned twin profile (seed init, one Lloyd round,
+    nprobe=2, int8 codes in the inverted lists)."""
+    return ivf_sq_topk(spark, sf_dir)
+
+
+SQL_IVF_SQ = _SQL_QUANTIZER + f""",
+sqs AS (SELECT vec_id, uv,
+               list_max(list_transform(uv, x -> abs(x)))
+                 / {float(SQ_LEVELS)!r} AS scale
+        FROM u),
+sq AS (SELECT vec_id,
+              list_transform(uv, x -> floor(x / scale + 0.5)::INT * scale)
+                AS ruv
+       FROM sqs),
+probes AS (SELECT vec_id AS q_id, uv AS qv, cell
+           FROM rk WHERE crk <= {NPROBE} AND vec_id < {N_QUERIES}),
+cand AS (SELECT p.q_id, p.qv, a.vec_id
+         FROM probes p JOIN asn a ON a.cell = p.cell AND a.vec_id != p.q_id),
+scored AS (SELECT c2.q_id, c2.vec_id,
+                  round(list_dot_product(c2.qv, s.ruv)
+                        / sqrt(list_dot_product(s.ruv, s.ruv)), 6) AS sim
+           FROM cand c2 JOIN sq s USING (vec_id)),
+ranked2 AS (SELECT q_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, vec_id) AS rk2
+            FROM scored)
+SELECT q_id, vec_id, sim, rk2::BIGINT AS rk
+FROM ranked2 WHERE rk2 <= {TOP_K}
+"""

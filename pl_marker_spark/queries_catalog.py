@@ -1081,6 +1081,20 @@ def _q_sq_ann_topk(spark, sf_dir):
     return q_sq_ann_topk(spark, sf_dir)
 
 
+def _q_ivf_sq_topk(spark, sf_dir):
+    """IVF x SQ composed (the FAISS IVF,SQ8 shape): probe-pruned scan
+    over int8-coded inverted lists — see ann_ivf.ivf_sq_topk."""
+    from .ann_ivf import q_ivf_sq_topk
+
+    return q_ivf_sq_topk(spark, sf_dir)
+
+
+def _sql_ivf_sq() -> str:
+    from .ann_ivf import SQL_IVF_SQ
+
+    return SQL_IVF_SQ
+
+
 def _sql_sq_encode() -> str:
     from .ann_ivf import SQL_SQ_ENCODE
 
@@ -1667,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dedup": q_substr_dedup,
         "sq_encode": _q_sq_encode,
         "sq_ann_topk": _q_sq_ann_topk,
+        "ivf_sq_topk": _q_ivf_sq_topk,
         **DATAOPS_QUERIES,
         **ANALYTICS_QUERIES,
     }
@@ -1712,6 +1727,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _sql_embedding_neardup(),
         "sq_encode": _sql_sq_encode(),
         "sq_ann_topk": _sql_sq_ann(),
+        "ivf_sq_topk": _sql_ivf_sq(),
         **_kg_sqls(),
     }
 

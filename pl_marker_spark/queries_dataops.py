@@ -1377,6 +1377,72 @@ GROUP BY 1, 2
 """
 
 
+# ---------- Zipf power-law fit: corpus-health regression ---------------------
+
+ZIPF_TOP = 64  # rank window: fit over the head of the distribution
+
+
+def q_zipf_slope(spark, sf_dir):
+    """OLS fit of ln(freq) on ln(rank) over the top-ZIPF_TOP terms — the
+    Zipf power-law slope (≈ -1 for natural language; Piantadosi 2014).
+    A corpus-intake monitor tracks it per source/snapshot: boilerplate
+    and template spam flatten the head (slope → 0), dedup failures
+    steepen it. Scale shape: ONE map-side-combined term count, a
+    TakeOrderedAndProject top-R (no global sort), then the rank window
+    and the closed-form OLS aggregate run over ≤R rows. Float
+    discipline: both engines evaluate ln on identical BIGINT counts and
+    aggregate ≤R O(1)-magnitude terms — agreement far below the 6dp
+    round; slope uses the n·Σxy − Σx·Σy form so no mean subtraction
+    order enters."""
+    tf = (
+        _doc(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    xy = tf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    n = F.count("*").cast("double")
+    agg = xy.agg(
+        n.alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"),
+    )
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH tf AS (SELECT term, count(*)::BIGINT AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents) t
+            GROUP BY term
+            ORDER BY cnt DESC, term LIMIT {ZIPF_TOP}),
+xy AS (SELECT ln(row_number() OVER (ORDER BY cnt DESC, term)::DOUBLE) AS x,
+              ln(cnt::DOUBLE) AS y
+       FROM tf),
+a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy)
+SELECT n::BIGINT AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM a
+"""
+
+
 # ---------- WordPiece tokenizer (Schuster & Nakajima 2012; BERT) ------------
 
 
@@ -1473,6 +1539,7 @@ DATAOPS_QUERIES = {
     "jsd_drift": q_jsd_drift,
     "wordpiece_train": q_wordpiece_train,
     "wordpiece_encode": q_wordpiece_encode,
+    "zipf_slope": q_zipf_slope,
 }
 
 DATAOPS_SQLS = {
@@ -1501,4 +1568,5 @@ DATAOPS_SQLS = {
     "jsd_drift": SQL_JSD_DRIFT,
     "wordpiece_train": sql_wordpiece_train(),
     "wordpiece_encode": sql_wordpiece_encode(),
+    "zipf_slope": SQL_ZIPF_SLOPE,
 }

@@ -170,3 +170,25 @@ FROM (SELECT vec_id, scale,
       FROM c) x
 """).fetchone()
     assert n > 0 and bad == 0
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_ivf_sq_recall_matches_ivf(sf):
+    """The composed IVF+SQ index must recover (almost) exactly what plain
+    IVF recovers — the probe set is identical, so any delta is int8
+    quantization flipping an in-cell ranking. Measured: identical top-10
+    sets. Floor: >= 95% agreement, and >= the plain-IVF brute-force floor."""
+    from pl_marker_spark.ann_ivf import SQL_ANN_IVF, SQL_IVF_SQ
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'/root/testdata/{sf}/embeddings.parquet'"
+    )
+    ivf = _pairs(con, SQL_ANN_IVF)
+    ivf_sq = _pairs(con, SQL_IVF_SQ)
+    agree = len(ivf & ivf_sq) / len(ivf)
+    assert agree >= 0.95, f"IVF+SQ/IVF agreement {agree:.3f} at {sf}"
+    bf = _pairs(con, queries_catalog.oracle_sql()["ann_cosine_topk"])
+    recall = len(bf & ivf_sq) / len(bf)
+    assert recall >= 0.7, f"IVF+SQ recall@10 {recall:.3f} at {sf}"
