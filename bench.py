@@ -147,7 +147,10 @@ def main() -> None:
         "containment_neardup", "weighted_sample", "bloom_member",
         # round-5 session-2 additions: histogram quantile sketch,
         # PMI collocations, bigram-LM quality scoring
-        "hist_quantile", "pmi_pairs", "bigram_lm_ce")
+        "hist_quantile", "pmi_pairs", "bigram_lm_ce",
+        # round-5 session-3 additions: JSD source drift, Zipf head fit,
+        # int8 SQ asymmetric search + the IVF,SQ8 composed index
+        "jsd_drift", "zipf_slope", "sq_ann_topk", "ivf_sq_topk")
     for name in catalog_names:
         best = None
         for _ in range(reps):
@@ -201,6 +204,28 @@ def main() -> None:
             best_e = dt if best_e is None else min(best_e, dt)
         timings["unigram_train_sf"] = round(best_t, 3)
         timings["unigram_encode_sf"] = round(best_e, 3)
+
+        # WordPiece over the same real corpus: train = BPE's plan shape
+        # with the likelihood argmax (per merge: pair agg + symbol agg,
+        # both vocab-sized); encode = distinct-word greedy scan +
+        # broadcast dictionary join (corpus side scan+posexplode only).
+        from pl_marker_spark.wordpiece import (
+            wordpiece_encode_df, wordpiece_train_merges, wordpiece_vocab)
+
+        best_t = best_e = None
+        for _ in range(reps):
+            t0 = time.time()
+            wp_merges = wordpiece_train_merges(docs_bpe, num_merges=12)
+            dt = time.time() - t0
+            best_t = dt if best_t is None else min(best_t, dt)
+            wp_vocab = wordpiece_vocab(docs_bpe, wp_merges)
+            t0 = time.time()
+            wordpiece_encode_df(docs_bpe, wp_vocab).write.format("noop") \
+                .mode("overwrite").save()
+            dt = time.time() - t0
+            best_e = dt if best_e is None else min(best_e, dt)
+        timings["wordpiece_train_sf"] = round(best_t, 3)
+        timings["wordpiece_encode_sf"] = round(best_e, 3)
 
     if "graph400k" in sections:
         # --- at-scale CC branch (round-3 VERDICT item #4): the kg corpus'
@@ -325,6 +350,21 @@ def main() -> None:
             n_hit = topk.select("q_id", "vec_id").join(bf, ["q_id", "vec_id"]) \
                 .count()
             extras["ann_ivf_100k_recall_at_10"] = round(n_hit / n_topk, 4)
+            # IVF,SQ8 composed at the same N: identical probe set, int8
+            # inverted-list payload — the timing shows the scan-side cost
+            # and the recall shows quantization is rank-neutral here
+            from pl_marker_spark.ann_ivf import ivf_sq_topk
+
+            t0 = time.time()
+            topk_sq = ivf_sq_topk(spark, ivf_dir, k_cells=k100, nprobe=4,
+                                  n_queries=64)
+            n_topk_sq = topk_sq.count()
+            timings["ann_ivf_sq_100k"] = round(time.time() - t0, 3)
+            n_hit_sq = (topk_sq.select("q_id", "vec_id")
+                        .join(bf, ["q_id", "vec_id"]).count())
+            extras["ann_ivf_sq_100k_recall_at_10"] = round(
+                n_hit_sq / n_topk_sq, 4)
+
             t0 = time.time()
             sem = semdedup(spark, ivf_dir, k_cells=k100, tau=0.95)
             n_keep = sem.agg(F.sum("keep")).collect()[0][0]
