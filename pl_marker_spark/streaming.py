@@ -733,6 +733,95 @@ def stream_hist_lengths(
     )
 
 
+def stream_source_drift(
+    spark: SparkSession, in_dir: str, out_dir: str, retain: int = 2,
+):
+    """Streaming corpus-drift monitor: the online form of the
+    ``jsd_drift`` twin. Each micro-batch's (source, term) token counts
+    sum-merge into the persisted state (the + algebra again), so any
+    batch boundary can answer "how far apart are my sources NOW, over
+    everything ingested so far" via ``drift_jsd_from_state`` — without
+    re-reading history. State is vocab-sized per source (the same bound
+    the batch query's self-join rides), NOT corpus-sized: the intake
+    stream collapses into it. Same versioned-dir + atomic-pointer sink
+    as the other streaming sketches (replay-idempotent, pruned to
+    ``retain`` versions)."""
+    docs = (
+        spark.readStream.schema("doc_id long, text string, source string,"
+                                " ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    ptr = f"{out_dir}/_LATEST"
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        import os as _os
+
+        vdir = f"{out_dir}/state_v{batch_id}"
+        prev = None
+        if _os.path.exists(ptr):
+            with open(ptr) as f:
+                prev = f.read().strip()
+            if prev == vdir:
+                return  # replay of an already-merged batch
+        tf = (
+            batch_df.select(
+                "source", F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("source", "term")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        if prev:
+            tf = (spark.read.parquet(prev).unionByName(tf)
+                  .groupBy("source", "term")
+                  .agg(F.sum("cnt").cast("long").alias("cnt")))
+        tf.write.mode("overwrite").parquet(vdir)
+        tmp = f"{ptr}.tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        _os.replace(tmp, ptr)
+        _prune_state_versions(out_dir, retain)
+
+    return (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{out_dir}/_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def drift_jsd_from_state(state: DataFrame) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence from a ``stream_source_drift``
+    state table (source, term, cnt) — the same shared-mass decomposition
+    as the batch ``jsd_drift`` twin (terms private to one source
+    contribute exactly ½·ln2·(1−shared_mass), so no anti-join): one
+    term-keyed equi-self-join over the vocab-sized state."""
+    tot = state.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    p = state.join(F.broadcast(tot), "source").select(
+        "source", "term", (F.col("cnt") / F.col("tot")).alias("p"))
+    a = p.select(F.col("source").alias("src_a"), "term",
+                 F.col("p").alias("pa"))
+    b = p.select(F.col("source").alias("src_b"), "term",
+                 F.col("p").alias("pb"))
+    both = a.join(b, "term").filter(F.col("src_a") < F.col("src_b"))
+    contrib = (
+        0.5 * F.col("pa") * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+        + 0.5 * F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        both.groupBy("src_a", "src_b")
+        .agg(F.sum(contrib).alias("jsd_both"),
+             F.sum("pa").alias("sh_a"), F.sum("pb").alias("sh_b"),
+             F.count("*").cast("long").alias("n_shared_terms"))
+        .select(
+            "src_a", "src_b", "n_shared_terms",
+            F.round(F.col("jsd_both")
+                    + 0.5 * ln2 * ((1 - F.col("sh_a")) + (1 - F.col("sh_b"))),
+                    6).alias("jsd"),
+        )
+    )
+
+
 def stream_minhash_neardup(
     spark: SparkSession, in_dir: str, out_dir: str,
     threshold: float = 0.5, retain: int = 2,

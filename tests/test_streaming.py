@@ -636,3 +636,78 @@ def test_stream_hist_lengths_merge_law(spark, tmp_path_factory):
         if cum >= 25:
             assert lo <= exact_p50 <= hi
             break
+
+
+def test_stream_source_drift_merge_law_and_jsd(spark, tmp_path_factory):
+    """Cross-micro-batch (source, term) count summing equals the one-shot
+    counts over the concatenated feed, and the JSD read off the merged
+    state matches an independent pure-python JSD over the full union
+    vocabulary (the shared-mass decomposition vs the direct per-term
+    sum — different formulas, same value)."""
+    import datetime as dt
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from pl_marker_spark.streaming import (drift_jsd_from_state,
+                                           read_upsert_state,
+                                           stream_source_drift)
+
+    base = str(tmp_path_factory.mktemp("sdrift"))
+    indir, outdir = f"{base}/in", f"{base}/out"
+    os.makedirs(indir)
+    t0 = dt.datetime(2026, 1, 1)
+    # batch a: srcA skews "spam buy", srcB balanced; batch b shifts srcA
+    batch_a = [("srcA", "spam buy spam click buy"),
+               ("srcB", "the quick brown fox jumps"),
+               ("srcA", "buy now spam offer")]
+    batch_b = [("srcA", "the spam report the update"),
+               ("srcB", "the slow green fox sleeps"),
+               ("srcB", "fox and fox again")]
+    for name, mtime, rows, off in (("a", 1000, batch_a, 0),
+                                   ("b", 2000, batch_b, 100)):
+        pdf = pd.DataFrame(
+            [(off + i, t, s, t0 + dt.timedelta(seconds=i))
+             for i, (s, t) in enumerate(rows)],
+            columns=["doc_id", "text", "source", "ts"])
+        p = f"{indir}/{name}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(p, (mtime, mtime))
+
+    q = stream_source_drift(spark, indir, outdir)
+    q.awaitTermination(300)
+    state = read_upsert_state(spark, outdir)
+    got_counts = {(r.source, r.term): r.cnt for r in state.collect()}
+
+    want_counts: Counter = Counter()
+    for s, t in batch_a + batch_b:
+        for w in t.split(" "):
+            want_counts[(s, w)] += 1
+    assert got_counts == dict(want_counts)
+
+    # JSD from state vs an independent direct per-term python sum
+    rows = drift_jsd_from_state(state).collect()
+    assert len(rows) == 1
+    got = rows[0]
+    assert (got.src_a, got.src_b) == ("srcA", "srcB")
+    tot = Counter()
+    for (s, _), c in want_counts.items():
+        tot[s] += c
+    vocab = {w for _, w in want_counts}
+    jsd = 0.0
+    n_shared = 0
+    for w in vocab:
+        pa = want_counts[("srcA", w)] / tot["srcA"]
+        pb = want_counts[("srcB", w)] / tot["srcB"]
+        if pa and pb:
+            n_shared += 1
+        m = (pa + pb) / 2
+        if pa:
+            jsd += 0.5 * pa * math.log(pa / m)
+        if pb:
+            jsd += 0.5 * pb * math.log(pb / m)
+    assert got.n_shared_terms == n_shared
+    assert abs(got.jsd - jsd) < 1e-6
+    assert 0.0 < got.jsd <= math.log(2.0) + 1e-9
