@@ -150,7 +150,10 @@ def main() -> None:
         "hist_quantile", "pmi_pairs", "bigram_lm_ce",
         # round-5 session-3 additions: JSD source drift, Zipf head fit,
         # int8 SQ asymmetric search + the IVF,SQ8 composed index
-        "jsd_drift", "zipf_slope", "sq_ann_topk", "ivf_sq_topk")
+        "jsd_drift", "zipf_slope", "sq_ann_topk", "ivf_sq_topk",
+        # round-5 session-4 additions: PQ ADC search (LUT scan over
+        # integer codes), cohort retention rollup
+        "pq_ann_topk", "retention_cohorts")
     for name in catalog_names:
         best = None
         for _ in range(reps):
@@ -364,6 +367,21 @@ def main() -> None:
                         .join(bf, ["q_id", "vec_id"]).count())
             extras["ann_ivf_sq_100k_recall_at_10"] = round(
                 n_hit_sq / n_topk_sq, 4)
+
+            # PQ ADC at the same N: the corpus scan touches only integer
+            # codes via the broadcast (m, code) LUT join — the timing is
+            # dominated by codebook train + encode (two narrow passes);
+            # recall at 16 bits is the documented compression trade
+            from pl_marker_spark.pq import pq_ann_topk
+
+            t0 = time.time()
+            topk_pq = pq_ann_topk(spark, ivf_dir, n_queries=64)
+            n_topk_pq = topk_pq.count()
+            timings["ann_pq_100k"] = round(time.time() - t0, 3)
+            n_hit_pq = (topk_pq.select("q_id", "vec_id")
+                        .join(bf, ["q_id", "vec_id"]).count())
+            extras["ann_pq_100k_recall_at_10"] = round(
+                n_hit_pq / n_topk_pq, 4)
 
             t0 = time.time()
             sem = semdedup(spark, ivf_dir, k_cells=k100, tau=0.95)

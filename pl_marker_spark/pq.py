@@ -1,0 +1,246 @@
+"""Product quantization (PQ) ANN — the third storage-compression point
+on the quantization curve beside int8 scalar quantization (`ann_ivf.
+q_sq_encode`, 8 bits/dim) and IVF×SQ (`ann_ivf.ivf_sq_topk`): each unit
+vector is split into M subspaces, each subspace gets its own K-centroid
+k-means codebook, and a vector is stored as M small integer codes —
+M·log2(K) bits total (the pinned profile: 4 subspaces × 16 centroids =
+16 bits for a 64-dim vector, a 128× compression over float64).
+
+Shape (the one that survives 100 TB):
+  1. codebook train: the M×K codebook is VOCAB-sized (64 rows × 16
+     floats here) and broadcast everywhere — the PQ contract mirrors
+     the IVF one: the quantizer fits in memory, the coded corpus does
+     not. Training is the same distributed pattern as
+     ``ann_ivf.rank_cells``: seed init from the first K vectors'
+     subvectors, then per-(subspace, code, dim) component means via
+     posexplode + groupBy — a map-side-combinable aggregation, never a
+     driver-side kmeans.
+  2. encode: one narrow pass — each (vector, subspace) row ranks the
+     broadcast codebook by rounded L2 distance (tie-broken on code id)
+     and keeps the argmin. No shuffle on the corpus side beyond the
+     subspace explode (M rows per vector, ids + 16 floats each).
+  3. ADC search (asymmetric distance): the classic PQ trick — the
+     query precomputes a LUT of (subspace, code) partial dot products
+     (N_q × M × K rows, broadcast), and scanning the coded corpus is a
+     broadcast equi-join on (m, code) + a 4-term groupBy sum. The
+     corpus-scale side touches ONLY integer codes; no float vector
+     ever enters the scan — this is why PQ is the billion-vector
+     format (FAISS IVF,PQ): bytes scanned per candidate = M codes.
+     Subspaces are orthogonal coordinate blocks, so |reconstruction|²
+     = Σ_m |c_{m,code_m}|², giving exact cosine against the
+     reconstruction from the same LUT (cn2 column).
+
+Floating-point twin discipline (same as ann_ivf): every cross-engine
+ranking key is rounded to 6 decimals before ranking (subspace L2
+distances, centroid components, final sims) with deterministic
+tie-breaks (code id, vec_id).
+
+Recall at the pinned 16-bit profile is intentionally coarse (it is a
+compression twin, not a quality profile); the quality knobs (m_pq=8 →
+32 bits, lloyd_rounds≥2) are recall-floor-tested in tests/test_pq.py.
+
+No reference-file counterpart: the reference (thunlp/PL-Marker) has no
+ANN component; this belongs to the training-data-pipeline family the
+graft adds (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .ann_ivf import N_QUERIES, TOP_K, _dot, _unit
+
+M_PQ = 4      # subspaces (pinned twin profile: 4 × 16-dim)
+K_PQ = 16     # centroids per subspace -> 4-bit codes, 16 bits/vector
+DIM = 64      # embedding dim of the synthetic corpus (asserted on read)
+
+
+def _subvectors(e: DataFrame, m_pq: int, sub: int) -> DataFrame:
+    """(vec_id, uv) -> (vec_id, m, sv): explode each unit vector into
+    its M coordinate-block subvectors. Literal slice bounds keep the
+    whole thing one generator projection (zero shuffle)."""
+    blocks = F.array(*[
+        F.struct(F.lit(m).cast("long").alias("m"),
+                 F.slice("uv", m * sub + 1, sub).alias("sv"))
+        for m in range(m_pq)
+    ])
+    return e.select("vec_id", F.explode(blocks).alias("b")).select(
+        "vec_id", "b.m", "b.sv")
+
+
+def pq_codebook_codes(
+    spark: SparkSession, sf_dir: str, *, m_pq: int = M_PQ,
+    k_pq: int = K_PQ, lloyd_rounds: int = 1, n_dim: int = DIM,
+):
+    """Train the per-subspace codebooks and encode the corpus. Returns
+    ``(codes, cb)``: codes = (vec_id, m, code, d2) with d2 the rounded
+    squared L2 of the kept assignment; cb = (m, code, cv) broadcast-
+    sized. Seed init (subvectors of the first k_pq vectors) + a
+    distributed Lloyd round per subspace — the ``ann_ivf.rank_cells``
+    pattern applied M times in one plan."""
+    if n_dim % m_pq:
+        raise ValueError(f"pq: dim {n_dim} not divisible by m_pq {m_pq}")
+    sub_d = n_dim // m_pq
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        _unit(F.transform("embedding", lambda x: x.cast("double"))).alias("uv"),
+    )
+    sub = _subvectors(e, m_pq, sub_d)
+    cb = sub.filter(F.col("vec_id") < k_pq).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv"))
+
+    def assign(cb_df: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        ranked = sub.join(F.broadcast(cb_df), "m").select(
+            "vec_id", "m", "code", "sv", F.round(d2, 6).alias("d2"))
+        wv = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+        return (ranked.withColumn("rk", F.row_number().over(wv))
+                .filter(F.col("rk") == 1))
+
+    for _ in range(lloyd_rounds):
+        a_r = assign(cb).select("m", "code", "sv")
+        cb = (
+            a_r.select("m", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "code", "pos").agg(F.avg("x").alias("cx"))
+            .groupBy("m", "code").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                    lambda s: F.round(s["cx"], 6),
+                ).alias("cv"))
+        )
+        if lloyd_rounds > 1:
+            cb = cb.localCheckpoint()
+
+    # the trained codebook is M*K rows but its LINEAGE is a corpus-wide
+    # aggregation, and the ANN path references it twice (encode join +
+    # query LUT) — materialize once so the training subtree never
+    # re-evaluates (the semdedup lesson, ann_ivf.py:305)
+    cb = cb.localCheckpoint()
+    codes = assign(cb).select("vec_id", "m", "code", "d2")
+    return codes, cb
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ encode law at the pinned profile: one (vec_id, subspace)
+    row per code — exact-integer code assignments plus the rounded
+    per-subspace quantization distortion."""
+    codes, _ = pq_codebook_codes(spark, sf_dir)
+    return codes.select(
+        "vec_id", F.col("m").cast("long").alias("m"),
+        F.col("code").cast("long").alias("code"), "d2")
+
+
+def pq_ann_topk(
+    spark: SparkSession, sf_dir: str, *, m_pq: int = M_PQ,
+    k_pq: int = K_PQ, lloyd_rounds: int = 1, top_k: int = TOP_K,
+    n_queries: int = N_QUERIES, n_dim: int = DIM,
+) -> DataFrame:
+    """ADC top-k over PQ codes: full-precision query subvectors build a
+    broadcast LUT of partial dots against the codebook; the coded corpus
+    is scanned via an (m, code) broadcast equi-join + a groupBy sum —
+    the corpus side never touches a float vector."""
+    codes, cb = pq_codebook_codes(
+        spark, sf_dir, m_pq=m_pq, k_pq=k_pq,
+        lloyd_rounds=lloyd_rounds, n_dim=n_dim)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        _unit(F.transform("embedding", lambda x: x.cast("double"))).alias("uv"),
+    )
+    qsub = _subvectors(
+        e.filter(F.col("vec_id") < n_queries), m_pq, n_dim // m_pq
+    ).select(F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv"))
+    lut = qsub.join(cb, "m").select(
+        "q_id", "m", "code",
+        _dot(F.col("qsv"), F.col("cv")).alias("pdot"),
+        _dot(F.col("cv"), F.col("cv")).alias("cn2"))
+    scored = (
+        codes.select("vec_id", "m", "code")
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pdot").alias("num"), F.sum("cn2").alias("rn2"))
+        .select("q_id", "vec_id",
+                F.round(F.col("num") / F.sqrt(F.col("rn2")), 6).alias("sim"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= top_k)
+        .select("q_id", "vec_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k at the pinned twin profile (M=4, K=16, one Lloyd
+    round, LUT scan)."""
+    return pq_ann_topk(spark, sf_dir)
+
+
+_SUB = DIM // M_PQ
+
+# shared PQ CTE chain: unit vectors -> subspace explode -> seed codebook
+# -> one Lloyd round per subspace -> final argmin codes. The SQL twin of
+# pq_codebook_codes(); SQL_PQ_ENCODE and SQL_PQ_ANN compose from it.
+_SQL_PQ = f"""\
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+      FROM e),
+ms AS (SELECT UNNEST(range({M_PQ})) AS m),
+sub AS (SELECT vec_id, m,
+               uv[(m*{_SUB}+1):(m*{_SUB}+{_SUB})] AS sv
+        FROM u, ms),
+cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {K_PQ}),
+d0 AS (SELECT s.vec_id, s.m, c.code,
+              round(list_sum(list_transform(range(1, {_SUB}+1),
+                    i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS d2
+       FROM sub s JOIN cb0 c ON c.m = s.m),
+a0 AS (SELECT vec_id, m, code
+       FROM (SELECT vec_id, m, code,
+                    row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY d2, code) AS rk
+             FROM d0)
+       WHERE rk = 1),
+ux AS (SELECT a.m, a.code, UNNEST(s.sv) AS x,
+              UNNEST(range(1, {_SUB}+1)) AS pos
+       FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m),
+cx AS (SELECT m, code, pos, avg(x) AS c FROM ux GROUP BY m, code, pos),
+cb AS (SELECT m, code, list(round(c, 6) ORDER BY pos) AS cv
+       FROM cx GROUP BY m, code),
+d1 AS (SELECT s.vec_id, s.m, c.code,
+              round(list_sum(list_transform(range(1, {_SUB}+1),
+                    i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS d2
+       FROM sub s JOIN cb c ON c.m = s.m),
+codes AS (SELECT vec_id, m, code, d2
+          FROM (SELECT vec_id, m, code, d2,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2, code) AS rk
+                FROM d1)
+          WHERE rk = 1)"""
+
+SQL_PQ_ENCODE = _SQL_PQ + """
+SELECT vec_id, m::BIGINT AS m, code::BIGINT AS code, d2 FROM codes
+"""
+
+SQL_PQ_ANN = _SQL_PQ + f""",
+qsub AS (SELECT vec_id AS q_id, m, sv AS qsv
+         FROM sub WHERE vec_id < {N_QUERIES}),
+lut AS (SELECT q.q_id, c.m, c.code,
+               list_dot_product(q.qsv, c.cv) AS pdot,
+               list_dot_product(c.cv, c.cv) AS cn2
+        FROM qsub q JOIN cb c ON c.m = q.m),
+scored AS (SELECT l.q_id, k.vec_id,
+                  round(sum(l.pdot) / sqrt(sum(l.cn2)), 6) AS sim
+           FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+           WHERE l.q_id != k.vec_id
+           GROUP BY l.q_id, k.vec_id),
+fin AS (SELECT q_id, vec_id, sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM scored)
+SELECT q_id, vec_id, sim, rk::BIGINT AS rk FROM fin WHERE rk <= {TOP_K}
+"""

@@ -277,6 +277,55 @@ FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
 """
 
 
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention — the canonical product-analytics rollup: users
+    cohorted by first-activity week, retention = distinct users active
+    k weeks after their cohort week. Weeks are anchored at the corpus's
+    earliest event and derived purely from µs DIFFERENCES (integer
+    `div`, never float division or calendar truncation), so the output
+    is tz-invariant like every other events query. Spark plan: ONE
+    user-keyed shuffle — the per-user week set and the per-user min
+    week come from the same groupBy partitioning (co-partitioned join),
+    then a distinct + count over (cohort, offset, user), both
+    map-side-combinable. At 100 TB this is the shape you want: no
+    windows, no self-join on the raw event stream, the distinct runs
+    over user-weeks (≤ 5 rows/user here), not events."""
+    us = _epoch_us("ts")
+    e = _doc(spark, sf_dir, "events").select("user_id", us.alias("us"))
+    m0 = e.agg(F.min("us").alias("m0"))
+    wk = e.crossJoin(F.broadcast(m0)).select(
+        "user_id",
+        F.expr(f"(us - m0) div {_WEEK_US}").alias("wk")).distinct()
+    fw = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        wk.join(fw, "user_id")
+        .select("user_id", "cohort_week",
+                (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(F.col("cohort_week").cast("long").alias("cohort_week"),
+                F.col("week_offset").cast("long").alias("week_offset"),
+                "n_users")
+    )
+
+
+SQL_RETENTION = f"""
+WITH us AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (SELECT min(us) AS m0 FROM us),
+wk AS (SELECT DISTINCT user_id, (us - m0) // {_WEEK_US} AS wk FROM us, m),
+fw AS (SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY user_id),
+r AS (SELECT w.user_id, f.cohort_week, w.wk - f.cohort_week AS week_offset
+      FROM wk w JOIN fw f USING (user_id))
+SELECT cohort_week::BIGINT AS cohort_week,
+       week_offset::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM r GROUP BY 1, 2
+"""
+
+
 def q_p8_bio_spans(spark, sf_dir):
     """P8: BIO→span conversion expressed relationally (run_ner.py:193-219)
     — lag window marks run starts, running sum assigns run ids, groupBy
@@ -1095,6 +1144,37 @@ def _sql_ivf_sq() -> str:
     return SQL_IVF_SQ
 
 
+def _q_pq_encode(spark, sf_dir):
+    """Product-quantization encode law (M=4 subspaces x K=16 centroids,
+    16-bit codes): exact-integer code assignments + rounded per-subspace
+    distortion — see pq.q_pq_encode for the codebook-train parity
+    argument."""
+    from .pq import q_pq_encode
+
+    return q_pq_encode(spark, sf_dir)
+
+
+def _q_pq_ann_topk(spark, sf_dir):
+    """PQ ADC top-k: broadcast (subspace, code) lookup table + groupBy
+    sum — the corpus scan touches only integer codes; see
+    pq.pq_ann_topk."""
+    from .pq import q_pq_ann_topk
+
+    return q_pq_ann_topk(spark, sf_dir)
+
+
+def _sql_pq_encode() -> str:
+    from .pq import SQL_PQ_ENCODE
+
+    return SQL_PQ_ENCODE
+
+
+def _sql_pq_ann() -> str:
+    from .pq import SQL_PQ_ANN
+
+    return SQL_PQ_ANN
+
+
 def _sql_sq_encode() -> str:
     from .ann_ivf import SQL_SQ_ENCODE
 
@@ -1619,14 +1699,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_unidirect": q_kg_triples_unidirect,
         "semdedup": _q_semdedup,
         "multimodal_resize": q_multimodal_resize,
-        "multimodal_phash": q_multimodal_phash,
-        "multimodal_audiofp": q_multimodal_audiofp,
         "o17_coref_conll": q_o17_coref_conll,
         "o17_coref_metrics": q_o17_coref_metrics,
         "minhash_neardup": q_minhash_neardup,
         "simhash_buckets": q_simhash_buckets,
         "simhash_hamming": q_simhash_hamming,
-        "simhash_hamming_k5": q_simhash_hamming_k5,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1650,11 +1727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantile": ANALYTICS_QUERIES["hist_quantile"],
         "pmi_pairs": DATAOPS_QUERIES["pmi_pairs"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
-        # --- slots 42-50: the seven session-3 rows (never driver-
-        # verified: SQ family, WordPiece, JSD drift, Zipf fit — all
-        # sf0.01-spot-checked) + the two refreshers whose code paths
-        # CHANGED this round (o8 ord_col semantics; o13's candidate
-        # packer was batch-flattened) ---
+        # --- slots 39-48: the session-3/4 rows (never driver-verified:
+        # SQ + PQ quantization families, WordPiece, JSD drift, Zipf fit,
+        # cohort retention — all sf0.01-spot-checked) ---
         "sq_encode": _q_sq_encode,
         "sq_ann_topk": _q_sq_ann_topk,
         "ivf_sq_topk": _q_ivf_sq_topk,
@@ -1662,6 +1737,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": DATAOPS_QUERIES["wordpiece_encode"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
         "zipf_slope": DATAOPS_QUERIES["zipf_slope"],
+        "pq_encode": _q_pq_encode,
+        "pq_ann_topk": _q_pq_ann_topk,
+        "retention_cohorts": q_retention_cohorts,
+        # --- slots 49-50: refreshers whose code paths CHANGED this
+        # round (o8 ord_col semantics; o13's candidate packer was
+        # batch-flattened) ---
         "o8_inverse_gold": q_o8_inverse_gold,
         "o13_topk": q_o13_topk,
     }
@@ -1683,6 +1764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "gopher_rules": q_gopher_rules,
         "substr_dedup": q_substr_dedup,
+        # demoted variant rows (r03-green, code paths unchanged; their
+        # family heads — multimodal_resize, simhash_hamming — stay in
+        # the window; still in the full pytest oracle gate)
+        "multimodal_phash": q_multimodal_phash,
+        "multimodal_audiofp": q_multimodal_audiofp,
+        "simhash_hamming_k5": q_simhash_hamming_k5,
         # demoted refreshers (r04-green, code paths unchanged; still in
         # the full pytest oracle gate)
         "c1_span_enum": q_c1_span_enum,
@@ -1738,6 +1825,9 @@ def oracle_sql() -> dict[str, str]:
         "sq_encode": _sql_sq_encode(),
         "sq_ann_topk": _sql_sq_ann(),
         "ivf_sq_topk": _sql_ivf_sq(),
+        "pq_encode": _sql_pq_encode(),
+        "pq_ann_topk": _sql_pq_ann(),
+        "retention_cohorts": SQL_RETENTION,
         **_kg_sqls(),
     }
 
