@@ -383,6 +383,21 @@ def main() -> None:
             extras["ann_pq_100k_recall_at_10"] = round(
                 n_hit_pq / n_topk_pq, 4)
 
+            # IVF,PQ composed at the same N: identical probe set, integer
+            # PQ codes in the inverted lists — the FAISS billion-vector
+            # index shape end-to-end
+            from pl_marker_spark.pq import ivf_pq_topk
+
+            t0 = time.time()
+            topk_ivfpq = ivf_pq_topk(spark, ivf_dir, k_cells=k100,
+                                     nprobe=4, n_queries=64)
+            n_topk_ivfpq = topk_ivfpq.count()
+            timings["ann_ivf_pq_100k"] = round(time.time() - t0, 3)
+            n_hit_ivfpq = (topk_ivfpq.select("q_id", "vec_id")
+                           .join(bf, ["q_id", "vec_id"]).count())
+            extras["ann_ivf_pq_100k_recall_at_10"] = round(
+                n_hit_ivfpq / n_topk_ivfpq, 4)
+
             t0 = time.time()
             sem = semdedup(spark, ivf_dir, k_cells=k100, tau=0.95)
             n_keep = sem.agg(F.sum("keep")).collect()[0][0]

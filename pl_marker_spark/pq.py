@@ -182,36 +182,36 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUB = DIM // M_PQ
 
-# shared PQ CTE chain: unit vectors -> subspace explode -> seed codebook
-# -> one Lloyd round per subspace -> final argmin codes. The SQL twin of
-# pq_codebook_codes(); SQL_PQ_ENCODE and SQL_PQ_ANN compose from it.
-_SQL_PQ = f"""\
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-u AS (SELECT vec_id,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
-      FROM e),
+# PQ CTE chain (assumes `u(vec_id, uv)` is already defined): subspace
+# explode -> seed codebook -> one Lloyd round per subspace -> final
+# argmin codes. The SQL twin of pq_codebook_codes(); SQL_PQ_ENCODE /
+# SQL_PQ_ANN prepend the plain unit-vector CTEs, SQL_IVF_PQ prepends
+# ann_ivf._SQL_QUANTIZER (which defines the same `u`) — internal CTE
+# names are pq_-prefixed to avoid collisions with the quantizer chain.
+_SQL_PQ_CHAIN = f"""\
 ms AS (SELECT UNNEST(range({M_PQ})) AS m),
 sub AS (SELECT vec_id, m,
                uv[(m*{_SUB}+1):(m*{_SUB}+{_SUB})] AS sv
         FROM u, ms),
-cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {K_PQ}),
-d0 AS (SELECT s.vec_id, s.m, c.code,
+pq_cb0 AS (SELECT m, vec_id AS code, sv AS cv
+           FROM sub WHERE vec_id < {K_PQ}),
+pq_d0 AS (SELECT s.vec_id, s.m, c.code,
               round(list_sum(list_transform(range(1, {_SUB}+1),
                     i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS d2
-       FROM sub s JOIN cb0 c ON c.m = s.m),
-a0 AS (SELECT vec_id, m, code
+       FROM sub s JOIN pq_cb0 c ON c.m = s.m),
+pq_a0 AS (SELECT vec_id, m, code
        FROM (SELECT vec_id, m, code,
                     row_number() OVER (PARTITION BY vec_id, m
                                        ORDER BY d2, code) AS rk
-             FROM d0)
+             FROM pq_d0)
        WHERE rk = 1),
-ux AS (SELECT a.m, a.code, UNNEST(s.sv) AS x,
+pq_ux AS (SELECT a.m, a.code, UNNEST(s.sv) AS x,
               UNNEST(range(1, {_SUB}+1)) AS pos
-       FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m),
-cx AS (SELECT m, code, pos, avg(x) AS c FROM ux GROUP BY m, code, pos),
+       FROM pq_a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m),
+pq_cx AS (SELECT m, code, pos, avg(x) AS c FROM pq_ux GROUP BY m, code, pos),
 cb AS (SELECT m, code, list(round(c, 6) ORDER BY pos) AS cv
-       FROM cx GROUP BY m, code),
-d1 AS (SELECT s.vec_id, s.m, c.code,
+       FROM pq_cx GROUP BY m, code),
+pq_d1 AS (SELECT s.vec_id, s.m, c.code,
               round(list_sum(list_transform(range(1, {_SUB}+1),
                     i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS d2
        FROM sub s JOIN cb c ON c.m = s.m),
@@ -219,8 +219,15 @@ codes AS (SELECT vec_id, m, code, d2
           FROM (SELECT vec_id, m, code, d2,
                        row_number() OVER (PARTITION BY vec_id, m
                                           ORDER BY d2, code) AS rk
-                FROM d1)
+                FROM pq_d1)
           WHERE rk = 1)"""
+
+_SQL_PQ = f"""\
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+      FROM e),
+{_SQL_PQ_CHAIN}"""
 
 SQL_PQ_ENCODE = _SQL_PQ + """
 SELECT vec_id, m::BIGINT AS m, code::BIGINT AS code, d2 FROM codes
@@ -237,6 +244,98 @@ scored AS (SELECT l.q_id, k.vec_id,
                   round(sum(l.pdot) / sqrt(sum(l.cn2)), 6) AS sim
            FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
            WHERE l.q_id != k.vec_id
+           GROUP BY l.q_id, k.vec_id),
+fin AS (SELECT q_id, vec_id, sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM scored)
+SELECT q_id, vec_id, sim, rk::BIGINT AS rk FROM fin WHERE rk <= {TOP_K}
+"""
+
+
+def ivf_pq_topk(
+    spark: SparkSession, sf_dir: str, *, k_cells: int | None = None,
+    nprobe: int | None = None, m_pq: int = M_PQ, k_pq: int = K_PQ,
+    lloyd_rounds: int = 1, top_k: int = TOP_K,
+    n_queries: int = N_QUERIES, n_dim: int = DIM,
+) -> DataFrame:
+    """IVF x PQ composed — the FAISS IVF,PQ billion-vector shape (the
+    `by_residual=False` variant: one GLOBAL PQ codebook, not per-cell
+    residual codebooks, so the coarse and fine quantizers compose as
+    independent, independently-tested stages): the coarse quantizer
+    prunes WHICH inverted lists a query scans, and the lists hold M
+    integer PQ codes per vector — the probed scan is an (q, m, code)
+    broadcast LUT join + groupBy sum over ids+codes only. Per candidate
+    the scan reads M small ints; no float vector ever enters the
+    probe-scan side. Any recall delta vs pq_ann_topk (same codes, full
+    scan) is pure probe pruning; any delta vs ivf_topk (same probes,
+    float payload) is pure quantization."""
+    from .ann_ivf import K_CELLS, NPROBE, rank_cells
+
+    k_cells = K_CELLS if k_cells is None else k_cells
+    nprobe = NPROBE if nprobe is None else nprobe
+    _, ranked = rank_cells(spark, sf_dir, k_cells=k_cells)
+    asn = ranked.filter(F.col("crk") == 1).select("vec_id", "cell")
+    probes = ranked.filter(
+        (F.col("crk") <= nprobe) & (F.col("vec_id") < n_queries)
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    codes, cb = pq_codebook_codes(
+        spark, sf_dir, m_pq=m_pq, k_pq=k_pq,
+        lloyd_rounds=lloyd_rounds, n_dim=n_dim)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        _unit(F.transform("embedding", lambda x: x.cast("double"))).alias("uv"),
+    )
+    qsub = _subvectors(
+        e.filter(F.col("vec_id") < n_queries), m_pq, n_dim // m_pq
+    ).select(F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv"))
+    lut = qsub.join(cb, "m").select(
+        "q_id", "m", "code",
+        _dot(F.col("qsv"), F.col("cv")).alias("pdot"),
+        _dot(F.col("cv"), F.col("cv")).alias("cn2"))
+    cand = probes.join(asn, "cell").filter(F.col("q_id") != F.col("vec_id"))
+    scored = (
+        cand.join(codes.select("vec_id", "m", "code"), "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pdot").alias("num"), F.sum("cn2").alias("rn2"))
+        .select("q_id", "vec_id",
+                F.round(F.col("num") / F.sqrt(F.col("rn2")), 6).alias("sim"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= top_k)
+        .select("q_id", "vec_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ at the pinned twin profile (coarse: seed init + one Lloyd
+    round, nprobe=2; fine: global M=4 x K=16 PQ codebook, LUT scan)."""
+    return ivf_pq_topk(spark, sf_dir)
+
+
+def _sql_ivf_pq() -> str:
+    from .ann_ivf import _SQL_QUANTIZER, NPROBE
+
+    return _SQL_QUANTIZER + f""",
+{_SQL_PQ_CHAIN},
+probes AS (SELECT vec_id AS q_id, cell
+           FROM rk WHERE crk <= {NPROBE} AND vec_id < {N_QUERIES}),
+qsub AS (SELECT vec_id AS q_id, m, sv AS qsv
+         FROM sub WHERE vec_id < {N_QUERIES}),
+lut AS (SELECT q.q_id, c.m, c.code,
+               list_dot_product(q.qsv, c.cv) AS pdot,
+               list_dot_product(c.cv, c.cv) AS cn2
+        FROM qsub q JOIN cb c ON c.m = q.m),
+cand AS (SELECT p.q_id, a.vec_id
+         FROM probes p JOIN asn a ON a.cell = p.cell AND a.vec_id != p.q_id),
+scored AS (SELECT l.q_id, k.vec_id,
+                  round(sum(l.pdot) / sqrt(sum(l.cn2)), 6) AS sim
+           FROM cand n JOIN codes k ON k.vec_id = n.vec_id
+                JOIN lut l ON l.q_id = n.q_id AND l.m = k.m
+                          AND l.code = k.code
            GROUP BY l.q_id, k.vec_id),
 fin AS (SELECT q_id, vec_id, sim,
                row_number() OVER (PARTITION BY q_id

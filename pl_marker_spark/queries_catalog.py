@@ -1175,6 +1175,21 @@ def _sql_pq_ann() -> str:
     return SQL_PQ_ANN
 
 
+def _q_ivf_pq_topk(spark, sf_dir):
+    """IVF x PQ composed (the FAISS IVF,PQ shape, by_residual=False):
+    probe-pruned scan over integer PQ codes via the broadcast LUT —
+    see pq.ivf_pq_topk."""
+    from .pq import q_ivf_pq_topk
+
+    return q_ivf_pq_topk(spark, sf_dir)
+
+
+def _sql_ivf_pq_s() -> str:
+    from .pq import _sql_ivf_pq
+
+    return _sql_ivf_pq()
+
+
 def _sql_sq_encode() -> str:
     from .ann_ivf import SQL_SQ_ENCODE
 
@@ -1767,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted variant rows (r03-green, code paths unchanged; their
         # family heads — multimodal_resize, simhash_hamming — stay in
         # the window; still in the full pytest oracle gate)
+        "ivf_pq_topk": _q_ivf_pq_topk,
         "multimodal_phash": q_multimodal_phash,
         "multimodal_audiofp": q_multimodal_audiofp,
         "simhash_hamming_k5": q_simhash_hamming_k5,
@@ -1827,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_sq_topk": _sql_ivf_sq(),
         "pq_encode": _sql_pq_encode(),
         "pq_ann_topk": _sql_pq_ann(),
+        "ivf_pq_topk": _sql_ivf_pq_s(),
         "retention_cohorts": SQL_RETENTION,
         **_kg_sqls(),
     }

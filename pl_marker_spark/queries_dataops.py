@@ -1305,6 +1305,62 @@ GROUP BY tf.doc_id
 """
 
 
+# ---------- Kneser-Ney smoothed bigram LM -----------------------------------
+
+KN_DISCOUNT = 0.75   # the standard absolute discount (Chen & Goodman 1999)
+KN_TOP = 32          # pinned output: top-32 bigrams by count
+
+
+def q_kneser_ney_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing an
+    n-gram LM-data pipeline actually ships (Chen & Goodman 1999): the
+    discounted bigram estimate backs off to the CONTINUATION probability
+    (how many distinct contexts a word follows) rather than raw unigram
+    frequency. p_kn(w2|w1) = (max(c(w1,w2)−D, 0) + D·N1+(w1,•)·
+    N1+(•,w2)/B) / c(w1,•), D = 0.75, B = distinct bigram types. Output
+    pinned to the top-KN_TOP bigrams by count (ties on the words).
+
+    Scale shape: everything derives from ONE hashed-bigram groupBy (the
+    c2 table) — c1 / N1+(w1,•) / N1+(•,w2) / B are re-aggregations of
+    that vocab-scale table, never second corpus scans; the scalar B is
+    a literal broadcast and the final ranking is a TakeOrderedAndProject
+    (top-K without a global sort). Float discipline: the formula is one
+    fixed left-associated expression evaluated identically in both
+    engines from exact integer counts, rounded at 6dp."""
+    bi = _bigrams(spark, sf_dir)
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"),
+                              F.count("*").cast("long").alias("n1f"))
+    n1c = c2.groupBy("w2").agg(F.count("*").cast("long").alias("n1c"))
+    b = c2.agg(F.count("*").cast("long").alias("b"))
+    p_kn = F.round(
+        (F.greatest(F.col("c2") - KN_DISCOUNT, F.lit(0.0))
+         + KN_DISCOUNT * F.col("n1f") * F.col("n1c") / F.col("b"))
+        / F.col("c1"), 6)
+    return (
+        c2.join(c1, "w1").join(n1c, "w2").crossJoin(F.broadcast(b))
+        .select("w1", "w2", "c2", "c1", "n1f", "n1c", p_kn.alias("p_kn"))
+        .orderBy(F.desc("c2"), "w1", "w2")
+        .limit(KN_TOP)
+    )
+
+
+SQL_KNESER_NEY = f"""
+WITH {_SQL_BIGRAMS},
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS n1f
+       FROM c2 GROUP BY w1),
+n1c AS (SELECT w2, count(*)::BIGINT AS n1c FROM c2 GROUP BY w2),
+b AS (SELECT count(*)::BIGINT AS b FROM c2)
+SELECT w1, w2, c2, c1, n1f, n1c,
+       round((greatest(c2 - {KN_DISCOUNT}, 0.0)
+              + {KN_DISCOUNT} * n1f * n1c / b) / c1, 6) AS p_kn
+FROM c2 JOIN c1 USING (w1) JOIN n1c USING (w2), b
+ORDER BY c2 DESC, w1, w2
+LIMIT {KN_TOP}
+"""
+
+
 # ---------- corpus drift: pairwise Jensen-Shannon divergence ----------------
 
 
@@ -1534,6 +1590,7 @@ DATAOPS_QUERIES = {
     "bpe_encode": q_bpe_encode,
     "pmi_pairs": q_pmi_pairs,
     "bigram_lm_ce": q_bigram_lm_ce,
+    "kneser_ney_bigram": q_kneser_ney_bigram,
     "unigram_train": q_unigram_train,
     "unigram_encode": q_unigram_encode,
     "jsd_drift": q_jsd_drift,
@@ -1563,6 +1620,7 @@ DATAOPS_SQLS = {
     "bpe_encode": sql_bpe_encode(),
     "pmi_pairs": SQL_PMI_PAIRS,
     "bigram_lm_ce": SQL_BIGRAM_LM_CE,
+    "kneser_ney_bigram": SQL_KNESER_NEY,
     "unigram_train": sql_unigram_train(),
     "unigram_encode": sql_unigram_encode(),
     "jsd_drift": SQL_JSD_DRIFT,
