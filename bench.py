@@ -370,12 +370,17 @@ def main() -> None:
 
             # PQ ADC at the same N: the corpus scan touches only integer
             # codes via the broadcast (m, code) LUT join — the timing is
-            # dominated by codebook train + encode (two narrow passes);
-            # recall at 16 bits is the documented compression trade
+            # dominated by codebook train + encode (two narrow passes).
+            # Code bits must scale with log2(N): the 16-bit pinned twin
+            # profile has a 65k code space ≈ the corpus size, and top-10
+            # ranking collapses into code-collision ties (measured 0.03
+            # recall at 100k) — so the scale profile is M=16 (64-bit
+            # codes, still 8x smaller than float64), the same sizing rule
+            # FAISS applies (m grows with the corpus, not the dim).
             from pl_marker_spark.pq import pq_ann_topk
 
             t0 = time.time()
-            topk_pq = pq_ann_topk(spark, ivf_dir, n_queries=64)
+            topk_pq = pq_ann_topk(spark, ivf_dir, m_pq=16, n_queries=64)
             n_topk_pq = topk_pq.count()
             timings["ann_pq_100k"] = round(time.time() - t0, 3)
             n_hit_pq = (topk_pq.select("q_id", "vec_id")
@@ -384,13 +389,14 @@ def main() -> None:
                 n_hit_pq / n_topk_pq, 4)
 
             # IVF,PQ composed at the same N: identical probe set, integer
-            # PQ codes in the inverted lists — the FAISS billion-vector
-            # index shape end-to-end
+            # PQ codes (64-bit, same sizing rule as above) in the
+            # inverted lists — the FAISS billion-vector index shape
+            # end-to-end
             from pl_marker_spark.pq import ivf_pq_topk
 
             t0 = time.time()
             topk_ivfpq = ivf_pq_topk(spark, ivf_dir, k_cells=k100,
-                                     nprobe=4, n_queries=64)
+                                     nprobe=4, m_pq=16, n_queries=64)
             n_topk_ivfpq = topk_ivfpq.count()
             timings["ann_ivf_pq_100k"] = round(time.time() - t0, 3)
             n_hit_ivfpq = (topk_ivfpq.select("q_id", "vec_id")

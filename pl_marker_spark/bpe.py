@@ -185,23 +185,30 @@ def bpe_encode_df(
 ) -> DataFrame:
     """Tokenize a corpus with a learned merge table -> (id, word_pos,
     tok_pos, token) rows, in the dictionary-join shape: the chained
-    merge folds run once per DISTINCT word (a vocab-sized table), and
-    the (word → tokens) dictionary broadcast-joins back onto word
-    positions — the corpus-scale side is scan + posexplode only.
+    merge folds run once per DISTINCT word (a vocab-sized table), the
+    dictionary is MATERIALIZED, and the (word → tokens) mapping
+    broadcast-joins back onto word positions — the corpus-scale side is
+    scan + posexplode only.
 
-    Measured: the previous form baked the folds into the per-OCCURRENCE
-    projection (zero shuffle, but the 12-merge fold chain re-ran on
-    every repeated word) and took 18.3 s over the sf0.1 corpus; the
-    dictionary join runs the folds corpus-frequency-times fewer and the
-    broadcast adds no shuffle on the corpus side — wordpiece_encode_sf's
-    identical shape measures 0.7 s on the same corpus. Everything stays
-    JVM-side; the fold chain itself is unchanged (word_tokens_expr)."""
+    Measured on the sf0.1 corpus (270k word positions): the original
+    per-OCCURRENCE form (folds baked into the projection) took 18.3 s;
+    the dictionary join WITHOUT materialization still took 17.8 s —
+    Catalyst keeps the 12-nested-aggregate fold expression inside the
+    broadcast subtree of the join stage's codegen, and the compile/eval
+    cost of that expression dominates regardless of how few rows it
+    logically runs over. localCheckpoint()ing the vocab-sized dictionary
+    (the thing a 100-TB pipeline would persist anyway — it IS the
+    tokenizer artifact) cuts the encode to 0.76 s (24×): the corpus
+    stage then joins against 31 plain materialized rows. Same lesson as
+    the PQ codebook (pq.py): small table, corpus-sized lineage —
+    materialize once."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
     )
     w = docs.select(id_col, F.posexplode(words).alias("word_pos", "word"))
     dic = w.select("word").distinct().select(
-        "word", word_tokens_expr(F.col("word"), merges).alias("toks"))
+        "word", word_tokens_expr(F.col("word"), merges).alias("toks"),
+    ).localCheckpoint()
     return (
         w.join(F.broadcast(dic), "word")
         .select(
