@@ -152,8 +152,11 @@ def main() -> None:
         # int8 SQ asymmetric search + the IVF,SQ8 composed index
         "jsd_drift", "zipf_slope", "sq_ann_topk", "ivf_sq_topk",
         # round-5 session-4 additions: PQ ADC search (LUT scan over
-        # integer codes), cohort retention rollup
-        "pq_ann_topk", "retention_cohorts")
+        # integer codes), cohort retention rollup, Kneser-Ney bigram LM
+        # (the KG materialization rows kg_mention_entity/alias/
+        # provenance/conf are excluded like kg_entity_pagerank — they
+        # re-run the full KG pipeline, already the flagship timing)
+        "pq_ann_topk", "retention_cohorts", "kneser_ney_bigram")
     for name in catalog_names:
         best = None
         for _ in range(reps):

@@ -169,6 +169,10 @@ def graph_oracle(refined, triples, turn_words):
 
     # edges: mention span -> entity via (label, surface); triples melted
     ent_of = {(v["label"], v["surface"]): v["entity_id"] for v in vocab}
+    mention_entity = sorted(
+        (c, t, s, e, label, surface, ent_of[(label, surface)])
+        for c, t, s, e, label, surface in surfaces
+    )
     span_entity = {
         (c, t, s, e): ent_of[(label, surface)]
         for c, t, s, e, label, surface in surfaces
@@ -187,6 +191,7 @@ def graph_oracle(refined, triples, turn_words):
     return {
         "vocab": vocab,
         "sim_edges": sorted(sim_edges),
+        "mention_entity": mention_entity,
         "nodes": sorted(nodes),
         "edges": sorted(edges),
     }

@@ -384,6 +384,13 @@ def kg_oracle_sqls() -> dict[str, str]:
             ["src_id", "dst_id", "pred", "weight", "score_sum"],
             ["BIGINT", "BIGINT", "VARCHAR", "BIGINT", "DOUBLE"],
         ),
+        "kg_mention_entity": _values_sql(
+            g["mention_entity"],
+            ["conv_id", "turn_idx", "start", "end", "label", "surface",
+             "entity_id"],
+            ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "VARCHAR",
+             "VARCHAR", "BIGINT"],
+        ),
     }
 
 

@@ -1266,6 +1266,180 @@ def q_kg_graph_edges(spark, sf_dir):
     )
 
 
+def q_kg_mention_entity(spark, sf_dir):
+    """Entity-link stage output materialized: every refined mention with
+    its surface form and the canonical entity id the blocking + MinHash-LSH
+    + Jaccard-verify + connected-components chain assigned it
+    (pipeline/link.py + pipeline/cc.py; north-rule entity-link stage, no
+    reference equivalent). This is the table the coref writer, the edge
+    resolver and the provenance queries all consume — gating it directly
+    pins the link/CC boundary, not just its downstream aggregates. Oracle:
+    VALUES twin from the independent single-process graph oracle
+    (oracle_graph.graph_oracle, union-find + dict loops)."""
+    me = _pipeline_outputs(spark, sf_dir)["mention_entity"]
+    return me.select(
+        "conv_id", "turn_idx", "start", "end", "label", "surface",
+        F.col("entity_id").cast("long").alias("entity_id"),
+    )
+
+
+def q_kg_canonical_alias(spark, sf_dir):
+    """Canonicalization materialize: the per-entity ranked alias table —
+    every (surface, label) that linked into a canonical entity, with its
+    mention support and a deterministic salience rank (n_mentions desc,
+    surface asc, label asc — the same ordering graph.build_graph uses to
+    pick canonical_name, so rank 1 IS the node's canonical name; a pytest
+    invariant pins that). Plan shape: one map-side-combinable groupBy over
+    mention_entity + a window ranking partitioned by entity_id — at 100 TB
+    the alias table is O(|vocab|), orders of magnitude below the mention
+    table, and the window partitions by entity so no global sort exists."""
+    me = _pipeline_outputs(spark, sf_dir)["mention_entity"]
+    per = me.groupBy("entity_id", "label", "surface").agg(
+        F.count("*").alias("n_mentions"))
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("n_mentions"), F.asc("surface"), F.asc("label"))
+    return per.withColumn("alias_rank", F.row_number().over(w)).select(
+        F.col("entity_id").cast("long").alias("entity_id"),
+        "surface", "label",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("alias_rank").cast("long").alias("alias_rank"),
+    )
+
+
+def q_kg_triple_provenance(spark, sf_dir):
+    """Per-canonical-triple lineage (north rule: 'graph materialization …
+    with per-partition lineage and triple-count metrics'): for each
+    (src_id, dst_id, pred) edge of the KG, the evidence trail — how many
+    extracted triples support it (== kg_graph_edges.weight, a pytest
+    invariant pins the equality), how many distinct conversations and
+    (conv, turn) sites, and the first/last conversation id. Resolution
+    reuses the melt-join-pivot discipline of graph.build_graph (the
+    span→entity map is joined exactly ONCE; a naive double self-join of the
+    same mention_entity instance silently duplicates under Spark 4.1 —
+    see rel.refine_types). At scale: one |triples|-size shuffle for the
+    melt-join + one map-side-combinable agg; the span→entity map is the
+    mention table projected to 5 narrow columns."""
+    out = _pipeline_outputs(spark, sf_dir)
+    t = out["triples"]
+    me = out["mention_entity"].select(
+        "conv_id", "turn_idx", "start", "end", "entity_id").distinct()
+    melted = t.select(
+        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("slot"), F.col("s1").alias("start"),
+                     F.col("e1").alias("end")),
+            F.struct(F.lit(1).alias("slot"), F.col("s2").alias("start"),
+                     F.col("e2").alias("end")),
+        )).alias("x"),
+    ).select("conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score",
+             "x.slot", "x.start", "x.end")
+    resolved = (
+        melted.join(me, ["conv_id", "turn_idx", "start", "end"], "inner")
+        .groupBy("conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score")
+        .agg(
+            F.max(F.when(F.col("slot") == 0, F.col("entity_id"))).alias("src_id"),
+            F.max(F.when(F.col("slot") == 1, F.col("entity_id"))).alias("dst_id"),
+        )
+        .filter(F.col("src_id").isNotNull() & F.col("dst_id").isNotNull())
+    )
+    return resolved.groupBy("src_id", "dst_id", "pred").agg(
+        F.count("*").cast("long").alias("support"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.countDistinct(F.concat_ws("#", "conv_id", "turn_idx"))
+         .cast("long").alias("n_sites"),
+        F.min("conv_id").alias("first_conv"),
+        F.max("conv_id").alias("last_conv"),
+    )
+
+
+def q_kg_triple_conf(spark, sf_dir):
+    """Triple confidence calibration via pointwise mutual information:
+    conf(s,p,o) = ln( W·w(s,p,o) / (w_out(s)·w_in(o)) ) where w is the
+    edge's extraction support and W the total — edges whose endpoints
+    co-occur more than their marginal activity predicts score positive,
+    promiscuous-entity edges (hubs that attach to everything) score
+    negative. The standard count-based confidence used to rank
+    distant-supervision KG edges. Numerics: all products stay in exact
+    integer arithmetic; ONE double division then ln, rounded 6dp (the
+    float-twin discipline). Plan shape at 100 TB: two map-side-combinable
+    marginal aggs (each O(|V|)) broadcast-joined back onto the edge list +
+    a 1-row total cross join — no |E|-scale shuffle beyond the scan."""
+    e = _pipeline_outputs(spark, sf_dir)["edges"].select(
+        "src_id", "dst_id", "pred", F.col("weight").cast("long").alias("weight"))
+    wout = e.groupBy("src_id").agg(F.sum("weight").alias("w_out"))
+    win = e.groupBy("dst_id").agg(F.sum("weight").alias("w_in"))
+    total = e.agg(F.sum("weight").alias("w_total"))
+    return (
+        e.join(F.broadcast(wout), "src_id")
+         .join(F.broadcast(win), "dst_id")
+         .crossJoin(F.broadcast(total))
+         .select(
+             "src_id", "dst_id", "pred", "weight",
+             F.round(F.log(
+                 (F.col("w_total") * F.col("weight")).cast("double")
+                 / (F.col("w_out") * F.col("w_in")).cast("double")), 6)
+              .alias("conf"))
+    )
+
+
+def _sql_kg_canonical_alias() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH me AS ({kg["kg_mention_entity"]}),
+per AS (SELECT entity_id, label, surface, count(*) AS n_mentions
+        FROM me GROUP BY entity_id, label, surface)
+SELECT entity_id, surface, label, n_mentions,
+       row_number() OVER (PARTITION BY entity_id
+                          ORDER BY n_mentions DESC, surface ASC, label ASC)
+         AS alias_rank
+FROM per
+"""
+
+
+def _sql_kg_triple_provenance() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH t AS ({kg["kg_triples"]}),
+me AS (SELECT DISTINCT conv_id, turn_idx, "start", "end", entity_id
+       FROM ({kg["kg_mention_entity"]}) m),
+res AS (
+  SELECT t.conv_id, t.turn_idx, t.pred,
+         m1.entity_id AS src_id, m2.entity_id AS dst_id
+  FROM t
+  JOIN me m1 ON t.conv_id = m1.conv_id AND t.turn_idx = m1.turn_idx
+            AND t.s1 = m1."start" AND t.e1 = m1."end"
+  JOIN me m2 ON t.conv_id = m2.conv_id AND t.turn_idx = m2.turn_idx
+            AND t.s2 = m2."start" AND t.e2 = m2."end")
+SELECT src_id, dst_id, pred,
+       count(*) AS support,
+       count(DISTINCT conv_id) AS n_convs,
+       count(DISTINCT conv_id || '#' || turn_idx::VARCHAR) AS n_sites,
+       min(conv_id) AS first_conv,
+       max(conv_id) AS last_conv
+FROM res GROUP BY src_id, dst_id, pred
+"""
+
+
+def _sql_kg_triple_conf() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS (SELECT src_id, dst_id, pred, weight FROM ({kg["kg_graph_edges"]}) g),
+wo AS (SELECT src_id, sum(weight) AS w_out FROM e GROUP BY src_id),
+wi AS (SELECT dst_id, sum(weight) AS w_in FROM e GROUP BY dst_id),
+tot AS (SELECT sum(weight) AS w_total FROM e)
+SELECT e.src_id, e.dst_id, e.pred, e.weight,
+       round(ln((w_total * weight)::DOUBLE / (w_out * w_in)::DOUBLE), 6)
+         AS conf
+FROM e JOIN wo USING (src_id) JOIN wi USING (dst_id) CROSS JOIN tot
+"""
+
+
 def _variant_outputs(spark, variant: str) -> dict:
     """Extraction-only pipeline run for a variant profile (levpair /
     roberta / unidirect — oracle_values.variant_configs); memoized like
@@ -1688,18 +1862,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .queries_dataops import DATAOPS_QUERIES
 
     # Ordering matters: the driver verifies at most the FIRST 50 entries in
-    # dict-iteration order. Window policy (round 5): [1-24] flagship kg_*
-    # rows + real-weights variants + dedup/ANN + multimodal + coref (no
-    # driver record in r04 — must land in r05); [25-34] the ten round-5
-    # rows (bpe/bloom/kcore/labelprop/span-merge/containment/
-    # weighted-sample — never driver-verified); [35-41] the seven late-
-    # round-5 rows (unigram tokenizer, histogram sketch, PMI, bigram LM —
-    # also never driver-verified); [42-50] reference-operator and
-    # dedup-core refreshers. Rows past 50 are all green in
-    # CORRECTNESS_r04.json and stay covered by the full pytest oracle
-    # gate. Python dicts keep FIRST-insertion order, so re-listing a
-    # dataops/analytics key later via ** does not move it out of the
-    # window.
+    # dict-iteration order. Window policy (round 5, session 4): [1-12]
+    # flagship kg_* rows incl. the four session-4 KG materialization rows
+    # (mention_entity / alias / provenance / conf); [13-28] real-weights
+    # variants + dedup/ANN + multimodal + coref (no driver record in r04 —
+    # must land in r05); [29-50] every other round-5 row that has never
+    # been driver-verified (bpe/bloom/kcore/labelprop/span-merge/
+    # containment/weighted-sample/unigram/hist/PMI/bigram+KN LM/SQ+PQ/
+    # wordpiece/jsd/zipf/retention). Demotion policy: merge-law variants
+    # (hist_merge, bloom_merge — joining hll_merge/cms_merge) and
+    # compositions whose parts are both inside (ivf_sq_topk) sit past the
+    # window with the r04-green refreshers (o8, o13); all stay covered by
+    # the full pytest oracle gate. Python dicts keep FIRST-insertion
+    # order, so re-listing a dataops/analytics key later via ** does not
+    # move it out of the window.
     head = {
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
@@ -1709,6 +1885,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_stage_mentions": q_kg_two_stage_mentions,
         "kg_graph_nodes": q_kg_graph_nodes,
         "kg_graph_edges": q_kg_graph_edges,
+        # --- session-4 KG materialization rows (never driver-verified):
+        # entity-link boundary, canonicalization alias table, per-triple
+        # lineage, PMI confidence ---
+        "kg_mention_entity": q_kg_mention_entity,
+        "kg_canonical_alias": q_kg_canonical_alias,
+        "kg_triple_provenance": q_kg_triple_provenance,
+        "kg_triple_conf": q_kg_triple_conf,
         "kg_triples_levpair": q_kg_triples_levpair,
         "kg_mentions_roberta": q_kg_mentions_roberta,
         "kg_triples_unidirect": q_kg_triples_unidirect,
@@ -1731,23 +1914,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": ANALYTICS_QUERIES["graph_kcore"],
         "graph_labelprop": ANALYTICS_QUERIES["graph_labelprop"],
         "bloom_build": ANALYTICS_QUERIES["bloom_build"],
-        "bloom_merge": ANALYTICS_QUERIES["bloom_merge"],
         "bloom_member": ANALYTICS_QUERIES["bloom_member"],
         # --- slots 35-41: new this session, never driver-verified
         # (unigram tokenizer, histogram quantile sketch, PMI, bigram LM)
         "unigram_train": DATAOPS_QUERIES["unigram_train"],
         "unigram_encode": DATAOPS_QUERIES["unigram_encode"],
         "hist_build": ANALYTICS_QUERIES["hist_build"],
-        "hist_merge": ANALYTICS_QUERIES["hist_merge"],
         "hist_quantile": ANALYTICS_QUERIES["hist_quantile"],
         "pmi_pairs": DATAOPS_QUERIES["pmi_pairs"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
+        "kneser_ney_bigram": DATAOPS_QUERIES["kneser_ney_bigram"],
         # --- slots 39-48: the session-3/4 rows (never driver-verified:
         # SQ + PQ quantization families, WordPiece, JSD drift, Zipf fit,
         # cohort retention — all sf0.01-spot-checked) ---
         "sq_encode": _q_sq_encode,
         "sq_ann_topk": _q_sq_ann_topk,
-        "ivf_sq_topk": _q_ivf_sq_topk,
         "wordpiece_train": DATAOPS_QUERIES["wordpiece_train"],
         "wordpiece_encode": DATAOPS_QUERIES["wordpiece_encode"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
@@ -1755,11 +1936,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": _q_pq_encode,
         "pq_ann_topk": _q_pq_ann_topk,
         "retention_cohorts": q_retention_cohorts,
-        # --- slots 49-50: refreshers whose code paths CHANGED this
-        # round (o8 ord_col semantics; o13's candidate packer was
-        # batch-flattened) ---
-        "o8_inverse_gold": q_o8_inverse_gold,
-        "o13_topk": q_o13_topk,
     }
     assert len(head) == 50, f"driver window misaligned: {len(head)}"
     return {
@@ -1779,6 +1955,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "gopher_rules": q_gopher_rules,
         "substr_dedup": q_substr_dedup,
+        # demoted refreshers (r04-green; code-path changes this round are
+        # window-covered by kg_two_stage_mentions, which exercises the
+        # same batch-flattened candidate packer as o13) and the
+        # ivf_sq composition (its parts sq_encode/sq_ann_topk/ann_ivf_topk
+        # are all inside the window)
+        "o8_inverse_gold": q_o8_inverse_gold,
+        "o13_topk": q_o13_topk,
+        "ivf_sq_topk": _q_ivf_sq_topk,
         # demoted variant rows (r03-green, code paths unchanged; their
         # family heads — multimodal_resize, simhash_hamming — stay in
         # the window; still in the full pytest oracle gate)
@@ -1845,6 +2029,9 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann_topk": _sql_pq_ann(),
         "ivf_pq_topk": _sql_ivf_pq_s(),
         "retention_cohorts": SQL_RETENTION,
+        "kg_canonical_alias": _sql_kg_canonical_alias(),
+        "kg_triple_provenance": _sql_kg_triple_provenance(),
+        "kg_triple_conf": _sql_kg_triple_conf(),
         **_kg_sqls(),
     }
 

@@ -101,3 +101,58 @@ def test_graph_build(spark, everything):
         .filter(F.col("k") > 1)
     )
     assert dup.count() == 0
+
+
+def test_provenance_alias_conf_invariants(spark):
+    """Cross-consistency of the session-4 KG materialization queries:
+    provenance support re-derives edge weight, the alias table's rank-1
+    row IS the node's canonical name (same ordering by construction), and
+    PMI confidence is a bijection of the edge list."""
+    from pl_marker_spark.queries_catalog import (
+        q_kg_canonical_alias,
+        q_kg_graph_edges,
+        q_kg_graph_nodes,
+        q_kg_triple_conf,
+        q_kg_triple_provenance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = {(r.src_id, r.dst_id, r.pred): r.weight
+             for r in q_kg_graph_edges(spark, sf).collect()}
+    prov = {(r.src_id, r.dst_id, r.pred): r
+            for r in q_kg_triple_provenance(spark, sf).collect()}
+    assert set(prov) == set(edges)
+    for k, r in prov.items():
+        assert r.support == edges[k]
+        assert 1 <= r.n_convs <= r.n_sites <= r.support
+        assert r.first_conv <= r.last_conv
+
+    nodes = {r.entity_id: r for r in q_kg_graph_nodes(spark, sf).collect()}
+    alias = q_kg_canonical_alias(spark, sf).collect()
+    rank1 = {r.entity_id: r for r in alias if r.alias_rank == 1}
+    assert set(rank1) == set(nodes)
+    for eid, n in nodes.items():
+        assert rank1[eid].surface == n.canonical_name
+        assert rank1[eid].label == n.type
+    per_entity_mentions, per_entity_surfaces = {}, {}
+    for r in alias:
+        per_entity_mentions[r.entity_id] = (
+            per_entity_mentions.get(r.entity_id, 0) + r.n_mentions)
+        per_entity_surfaces[r.entity_id] = (
+            per_entity_surfaces.get(r.entity_id, 0) + 1)
+    for eid, n in nodes.items():
+        assert per_entity_mentions[eid] == n.n_mentions
+        assert per_entity_surfaces[eid] == n.n_surfaces
+
+    conf = {(r.src_id, r.dst_id, r.pred): r for r in
+            q_kg_triple_conf(spark, sf).collect()}
+    assert set(conf) == set(edges)
+    import math
+    w_total = sum(edges.values())
+    w_out, w_in = {}, {}
+    for (s, d, _p), w in edges.items():
+        w_out[s] = w_out.get(s, 0) + w
+        w_in[d] = w_in.get(d, 0) + w
+    for k, r in conf.items():
+        expect = math.log(w_total * edges[k] / (w_out[k[0]] * w_in[k[1]]))
+        assert abs(r.conf - expect) < 1e-6
