@@ -99,6 +99,50 @@ def triangle_counts(edges: DataFrame, a: str = "doc_a",
     return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_tri"))
 
 
+def adamic_adar(und: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Adamic–Adar link prediction over an undirected simple graph
+    (canonical ``a < b`` pairs): for every NON-edge (u, v) with at least
+    one common neighbor n, score Σ_n 1/ln(deg(n)) — the classic
+    common-neighbor index used to propose missing KG edges (KG
+    completion). Returns (u, v, n_common, aa_micro).
+
+    Numerics: each term is floored to integer micro-units
+    (floor(1e6/ln(deg))) BEFORE summation, so the aggregate is an exact
+    integer sum — order-independent across engines and partitionings (the
+    float-twin discipline; a raw double Σ would depend on reduce order).
+    ln(deg) ≥ ln(2) > 0 always: a common neighbor has degree ≥ 2.
+
+    Plan shape (the triangle_counts discipline): the ids-only edge list is
+    materialized once, then enters as three independent projections — two
+    wedge legs joined on the shared neighbor + one left-anti against the
+    existing edges. One |wedges|-scale shuffle; at 100 TB orient wedges at
+    hub nodes by degree (or cap per-node fan-out) to bound the quadratic
+    hub blow-up, exactly as triangle counting would."""
+    und = und.select(a, b).localCheckpoint()
+    adj = und.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        und.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    w1 = adj.select(F.col("src").alias("n"), F.col("dst").alias("u"))
+    w2 = adj.select(F.col("src").alias("n2"), F.col("dst").alias("v"))
+    wedges = (
+        w1.join(w2, (F.col("n") == F.col("n2")) & (F.col("u") < F.col("v")))
+        .select("n", "u", "v")
+    )
+    scored = (
+        wedges.join(deg.select(F.col("src").alias("n"), "deg"), "n")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(F.floor(F.lit(1000000.0)
+                          / F.log(F.col("deg").cast("double"))).cast("long"))
+             .cast("long").alias("aa_micro"),
+        )
+    )
+    return scored.join(
+        und.select(F.col(a).alias("u"), F.col(b).alias("v")),
+        ["u", "v"], "left_anti")
+
+
 def label_propagation(und: DataFrame, rounds: int = 3,
                       a: str = "doc_a", b: str = "doc_b") -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan et al. 2007)

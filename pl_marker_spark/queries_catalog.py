@@ -1382,6 +1382,81 @@ def q_kg_triple_conf(spark, sf_dir):
     )
 
 
+def q_kg_link_predict(spark, sf_dir):
+    """KG completion: Adamic–Adar link prediction over the extracted
+    entity graph — every non-edge (u, v) sharing ≥1 neighbor, scored
+    Σ 1/ln(deg(n)) in exact integer micro-units (graphops.adamic_adar has
+    the numerics + plan notes). Proposes the candidate edges a KG-
+    completion reviewer (or a downstream embedding model) would rank."""
+    from .graphops import adamic_adar, symmetrize
+
+    e = _pipeline_outputs(spark, sf_dir)["edges"]
+    return adamic_adar(symmetrize(e)).select(
+        F.col("u").cast("long").alias("src_id"),
+        F.col("v").cast("long").alias("dst_id"),
+        "n_common", "aa_micro",
+    )
+
+
+def q_kg_schema_stats(spark, sf_dir):
+    """Relation-schema induction over the extracted triples: for each
+    (subj_type, obj_type) pair, the predicate distribution
+    P(pred | type pair) — the ontology profile used to spot schema
+    violations and to seed type constraints for extraction filtering.
+    Plan: one map-side-combinable groupBy to (pair, pred) counts, then a
+    window partitioned by the type pair over the O(|schema|)-sized
+    aggregate — no corpus-scale sort exists. One exact double division,
+    rounded 6dp."""
+    t = _pipeline_outputs(spark, sf_dir)["triples"]
+    per = t.groupBy("subj_type", "obj_type", "pred").agg(
+        F.count("*").alias("n"))
+    w = Window.partitionBy("subj_type", "obj_type")
+    return per.select(
+        "subj_type", "obj_type", "pred",
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(w).cast("long").alias("pair_total"),
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(w).cast("double"), 6).alias("p"),
+    )
+
+
+def _sql_kg_link_predict() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS (SELECT src_id, dst_id FROM ({kg["kg_graph_edges"]}) g),
+und AS (SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+        FROM e WHERE src_id <> dst_id),
+adj AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+wed AS (SELECT a1.src AS n, a1.dst AS u, a2.dst AS v
+        FROM adj a1 JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst),
+sc AS (SELECT u, v, count(*) AS n_common,
+              (sum(CAST(floor(1000000.0 / ln(deg::DOUBLE)) AS BIGINT)))::BIGINT
+                AS aa_micro
+       FROM wed JOIN deg ON wed.n = deg.src GROUP BY u, v)
+SELECT u AS src_id, v AS dst_id, n_common, aa_micro FROM sc
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = sc.u AND und.b = sc.v)
+"""
+
+
+def _sql_kg_schema_stats() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH t AS ({kg["kg_triples"]}),
+per AS (SELECT subj_type, obj_type, pred, count(*) AS n
+        FROM t GROUP BY subj_type, obj_type, pred)
+SELECT subj_type, obj_type, pred, n,
+       (sum(n) OVER (PARTITION BY subj_type, obj_type))::BIGINT AS pair_total,
+       round(n::DOUBLE /
+             (sum(n) OVER (PARTITION BY subj_type, obj_type))::DOUBLE, 6) AS p
+FROM per
+"""
+
+
 def _sql_kg_canonical_alias() -> str:
     from .oracle_values import kg_oracle_sqls
 
@@ -1892,6 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_alias": q_kg_canonical_alias,
         "kg_triple_provenance": q_kg_triple_provenance,
         "kg_triple_conf": q_kg_triple_conf,
+        "kg_link_predict": q_kg_link_predict,
+        "kg_schema_stats": q_kg_schema_stats,
         "kg_triples_levpair": q_kg_triples_levpair,
         "kg_mentions_roberta": q_kg_mentions_roberta,
         "kg_triples_unidirect": q_kg_triples_unidirect,
@@ -1927,13 +2004,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slots 39-48: the session-3/4 rows (never driver-verified:
         # SQ + PQ quantization families, WordPiece, JSD drift, Zipf fit,
         # cohort retention — all sf0.01-spot-checked) ---
-        "sq_encode": _q_sq_encode,
         "sq_ann_topk": _q_sq_ann_topk,
         "wordpiece_train": DATAOPS_QUERIES["wordpiece_train"],
         "wordpiece_encode": DATAOPS_QUERIES["wordpiece_encode"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
         "zipf_slope": DATAOPS_QUERIES["zipf_slope"],
-        "pq_encode": _q_pq_encode,
         "pq_ann_topk": _q_pq_ann_topk,
         "retention_cohorts": q_retention_cohorts,
     }
@@ -1963,6 +2038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o8_inverse_gold": q_o8_inverse_gold,
         "o13_topk": q_o13_topk,
         "ivf_sq_topk": _q_ivf_sq_topk,
+        # encode-law rows whose code tables are interior to the in-window
+        # ADC searches (sq_ann_topk / pq_ann_topk exercise the same codes)
+        "sq_encode": _q_sq_encode,
+        "pq_encode": _q_pq_encode,
         # demoted variant rows (r03-green, code paths unchanged; their
         # family heads — multimodal_resize, simhash_hamming — stay in
         # the window; still in the full pytest oracle gate)
@@ -2032,6 +2111,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_alias": _sql_kg_canonical_alias(),
         "kg_triple_provenance": _sql_kg_triple_provenance(),
         "kg_triple_conf": _sql_kg_triple_conf(),
+        "kg_link_predict": _sql_kg_link_predict(),
+        "kg_schema_stats": _sql_kg_schema_stats(),
         **_kg_sqls(),
     }
 

@@ -264,3 +264,46 @@ def test_labelprop_matches_brute_force_and_clusters(spark):
            for r in q_graph_labelprop(spark, SF).collect()}
     assert got == set(label.items()) and got
     assert len({c for _, c in got}) < len(got)
+
+
+def test_adamic_adar_hand_graphs_and_brute_force(spark):
+    """Path 1-2-3 predicts (1,3) via the deg-2 middle; star predicts every
+    leaf pair via the deg-3 hub; a random graph matches a python brute
+    force of the same floored-micro-unit formula."""
+    import math
+
+    from pl_marker_spark.graphops import adamic_adar
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    got = [tuple(r) for r in adamic_adar(path).collect()]
+    assert got == [(1, 3, 1, math.floor(1e6 / math.log(2)))]
+
+    star = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["a", "b"])
+    got = sorted(tuple(r) for r in adamic_adar(star).collect())
+    t3 = math.floor(1e6 / math.log(3))
+    assert got == [(2, 3, 1, t3), (2, 4, 1, t3), (3, 4, 1, t3)]
+
+    rng = np.random.default_rng(11)
+    n = 14
+    und = sorted({(int(a), int(b)) for a, b in
+                  ((min(x, y), max(x, y))
+                   for x, y in rng.integers(0, n, size=(40, 2)) if x != y)})
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    expect = {}
+    eset = set(und)
+    for u in nbrs:
+        for v in nbrs:
+            if u < v and (u, v) not in eset:
+                common = nbrs[u] & nbrs[v]
+                if common:
+                    expect[(u, v)] = (
+                        len(common),
+                        sum(math.floor(1e6 / math.log(len(nbrs[c])))
+                            for c in common))
+    df = spark.createDataFrame(und, ["a", "b"])
+    got = {(r.u, r.v): (r.n_common, r.aa_micro)
+           for r in adamic_adar(df).collect()}
+    assert got == expect
