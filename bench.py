@@ -303,6 +303,33 @@ def main() -> None:
         extras["labelprop_per_round_ratio"] = round(
             lpa_times[6] / lpa_times[2], 3)
         extras["labelprop_400k_labels"] = n_labels
+
+        # --- Adamic-Adar link prediction at graph scale (round-5 session
+        # 4): the kg entity graph is a few hundred edges, so the wedge-join
+        # shape gets a bounded-degree 400k-edge cycle (n=200k nodes, chords
+        # i±1 and i±2 → degree 4 everywhere — the degree-bounded regime the
+        # docstring's hub-orientation note is about). Exact closed form
+        # asserted: predicted non-edges are precisely the distance-3 and
+        # distance-4 pairs (2n rows), n_common summing to 3n, every term
+        # floor(1e6/ln 4). --------------------------------------------------
+        from pl_marker_spark.graphops import adamic_adar
+
+        aa_n = 200_000
+        cyc = spark.range(aa_n).select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % aa_n).alias("dst")
+        ).union(spark.range(aa_n).select(
+            F.col("id").alias("src"), ((F.col("id") + 2) % aa_n).alias("dst")))
+        t0 = time.time()
+        aa = adamic_adar(symmetrize(cyc, "src", "dst"))
+        row = aa.agg(F.count("*").alias("c"), F.sum("n_common").alias("s"),
+                     F.min("aa_micro").alias("lo"),
+                     F.max("aa_micro").alias("hi")).collect()[0]
+        timings["aa_ring_400k"] = round(time.time() - t0, 3)
+        import math as _math
+        term = _math.floor(1e6 / _math.log(4))
+        assert (row.c, row.s, row.lo, row.hi) == (
+            2 * aa_n, 3 * aa_n, term, 2 * term), f"aa_ring_400k wrong: {row}"
+        extras["aa_ring_400k_pairs"] = row.c
         assert n_labels < n_nodes // 2, f"labelprop degenerate: {n_labels}"
 
     if "vec100k" in sections:

@@ -25,6 +25,22 @@ def build_graph(mentions_refined: DataFrame, triples: DataFrame,
 
     surfaces = ck("mention_surfaces",
                   lambda: mention_surfaces(mentions_refined, turns_tok))
+    return graph_from_surfaces(surfaces, triples, ck)
+
+
+def graph_from_surfaces(surfaces: DataFrame, triples: DataFrame,
+                        ck=None) -> dict[str, DataFrame]:
+    """The vocab-scale canonicalization half of build_graph, factored so
+    the incremental path (streaming.stream_kg_graph) can re-canonicalize
+    from CUMULATIVE persisted surfaces: link/CC must see all evidence —
+    a new surface can merge two existing entities — while extraction
+    stays a once-per-conversation batch job. Everything downstream of the
+    surfaces table is vocab-sized except the mention_entity join and the
+    triple-endpoint resolution, which scan the evidence tables once."""
+    if ck is None:
+        def ck(name, build):
+            return build().localCheckpoint()
+
     vocab = ck("entity_vocab_raw", lambda: build_vocab(surfaces))
     sim_edges = ck("sim_edges", lambda: link_entities(vocab))
     assign = ck("entity_assign", lambda: connected_components(sim_edges))
