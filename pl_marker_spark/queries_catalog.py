@@ -1420,6 +1420,135 @@ def q_kg_schema_stats(spark, sf_dir):
     )
 
 
+NEG_SAMPLES_K = 4
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """Negative sampling for KG-embedding training (the corrupted-triple
+    protocol of Bordes et al. 2013, FILTERED setting): each positive edge
+    draws K=4 deterministic candidate tails — md5(src#pred#dst#k) indexes
+    the entity table — then drops corruptions that are the positive tail
+    itself or any TRUE (src, pred, ·) edge, so no false negative enters
+    the training set. RNG-free (the weighted_sample/A-ES discipline), so
+    partition-stable and twin-able. Plan at 100 TB: the indexed entity
+    table is O(|V|) and broadcasts (its row_number window runs over the
+    vocab-scale node table, never the corpus); the filter is a
+    left-anti against the edge list on its natural key. Production
+    resamples dropped draws; here the dropped draw is simply absent —
+    identical semantics to one filtered-resampling round."""
+    out = _pipeline_outputs(spark, sf_dir)
+    e = out["edges"].select("src_id", "dst_id", "pred")
+    w = Window.orderBy("entity_id")
+    idx = out["nodes"].select("entity_id").select(
+        "entity_id", (F.row_number().over(w) - 1).alias("idx"))
+    vcount = idx.agg(F.count("*").alias("v"))
+    key = F.concat_ws("#", "src_id", "pred", "dst_id", "k")
+    h = F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10) \
+         .cast("long")
+    cand = (
+        e.select("src_id", "dst_id", "pred",
+                 F.explode(F.sequence(F.lit(0), F.lit(NEG_SAMPLES_K - 1)))
+                  .alias("k0"))
+        .select("src_id", "dst_id", "pred",
+                F.col("k0").cast("long").alias("k"))
+        .select("src_id", "dst_id", "pred", "k", h.alias("h"))
+        .crossJoin(F.broadcast(vcount))
+        .withColumn("idx", F.col("h") % F.col("v"))
+        .join(F.broadcast(idx), "idx")
+        .select("src_id", "dst_id", "pred", "k",
+                F.col("entity_id").alias("neg_dst"))
+        .filter(F.col("neg_dst") != F.col("dst_id"))
+    )
+    true_e = e.select("src_id", "pred", F.col("dst_id").alias("neg_dst"))
+    return (
+        cand.join(true_e, ["src_id", "pred", "neg_dst"], "left_anti")
+        .select("src_id", F.col("dst_id").alias("pos_dst"), "pred", "k",
+                "neg_dst")
+    )
+
+
+def q_kg_entity_cooccur(spark, sf_dir):
+    """Entity co-occurrence graph with PMI association: entity pairs that
+    appear in the SAME conversation (via the linked mention table), scored
+    ln(C·n(a,b) / (n(a)·n(b))) over conversation-level incidence — the
+    association graph that feeds link-prediction features and
+    related-entity panels, built WITHOUT requiring an extracted relation
+    between the pair. Plan: distinct (conv, entity) incidence, a
+    conv-keyed pair self-join (two projections of the MATERIALIZED
+    incidence table — the Spark 4.1 same-instance trap), marginals are
+    O(|V|) broadcast joins, total convs is a 1-row cross join. Exact
+    integer products, ONE double division then ln, 6dp."""
+    me = _pipeline_outputs(spark, sf_dir)["mention_entity"]
+    inc = me.select("conv_id", "entity_id").distinct().localCheckpoint()
+    left = inc.select("conv_id", F.col("entity_id").alias("ea"))
+    right = inc.select("conv_id", F.col("entity_id").alias("eb"))
+    pairs = (
+        left.join(right, "conv_id")
+        .filter(F.col("ea") < F.col("eb"))
+        .groupBy("ea", "eb").agg(F.count("*").alias("n_ab"))
+    )
+    marg = inc.groupBy("entity_id").agg(F.count("*").alias("n"))
+    total = inc.select("conv_id").distinct().agg(F.count("*").alias("c"))
+    return (
+        pairs.join(F.broadcast(marg.select(F.col("entity_id").alias("ea"),
+                                           F.col("n").alias("n_a"))), "ea")
+        .join(F.broadcast(marg.select(F.col("entity_id").alias("eb"),
+                                      F.col("n").alias("n_b"))), "eb")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("ea").cast("long").alias("ent_a"),
+            F.col("eb").cast("long").alias("ent_b"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(F.log((F.col("c") * F.col("n_ab")).cast("double")
+                          / (F.col("n_a") * F.col("n_b")).cast("double")), 6)
+             .alias("pmi"))
+    )
+
+
+def _sql_kg_negative_samples() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS (SELECT src_id, dst_id, pred FROM ({kg["kg_graph_edges"]}) g),
+v AS (SELECT entity_id,
+             row_number() OVER (ORDER BY entity_id) - 1 AS idx
+      FROM ({kg["kg_graph_nodes"]}) n),
+vc AS (SELECT count(*) AS v FROM v),
+c AS (SELECT src_id, dst_id, pred, t.k AS k,
+             ('0x' || substr(md5(concat_ws('#', src_id, pred, dst_id, t.k)),
+                             1, 15))::BIGINT AS h
+      FROM e CROSS JOIN range({NEG_SAMPLES_K}) t(k)),
+j AS (SELECT c.src_id, c.dst_id, c.pred, c.k, v.entity_id AS neg_dst
+      FROM c CROSS JOIN vc JOIN v ON (c.h % vc.v) = v.idx)
+SELECT src_id, dst_id AS pos_dst, pred, k, neg_dst FROM j
+WHERE neg_dst <> dst_id
+  AND NOT EXISTS (SELECT 1 FROM e t WHERE t.src_id = j.src_id
+                  AND t.pred = j.pred AND t.dst_id = j.neg_dst)
+"""
+
+
+def _sql_kg_entity_cooccur() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH me AS ({kg["kg_mention_entity"]}),
+inc AS (SELECT DISTINCT conv_id, entity_id FROM me),
+pairs AS (SELECT l.entity_id AS ea, r.entity_id AS eb, count(*) AS n_ab
+          FROM inc l JOIN inc r ON l.conv_id = r.conv_id
+                     AND l.entity_id < r.entity_id
+          GROUP BY l.entity_id, r.entity_id),
+marg AS (SELECT entity_id, count(*) AS n FROM inc GROUP BY entity_id),
+tot AS (SELECT count(DISTINCT conv_id) AS c FROM inc)
+SELECT ea AS ent_a, eb AS ent_b, n_ab,
+       round(ln((c * n_ab)::DOUBLE / (ma.n * mb.n)::DOUBLE), 6) AS pmi
+FROM pairs JOIN marg ma ON pairs.ea = ma.entity_id
+           JOIN marg mb ON pairs.eb = mb.entity_id
+           CROSS JOIN tot
+"""
+
+
 def _sql_kg_link_predict() -> str:
     from .oracle_values import kg_oracle_sqls
 
@@ -1969,6 +2098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_conf": q_kg_triple_conf,
         "kg_link_predict": q_kg_link_predict,
         "kg_schema_stats": q_kg_schema_stats,
+        "kg_negative_samples": q_kg_negative_samples,
+        "kg_entity_cooccur": q_kg_entity_cooccur,
         "kg_triples_levpair": q_kg_triples_levpair,
         "kg_mentions_roberta": q_kg_mentions_roberta,
         "kg_triples_unidirect": q_kg_triples_unidirect,
@@ -1995,7 +2126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slots 35-41: new this session, never driver-verified
         # (unigram tokenizer, histogram quantile sketch, PMI, bigram LM)
         "unigram_train": DATAOPS_QUERIES["unigram_train"],
-        "unigram_encode": DATAOPS_QUERIES["unigram_encode"],
         "hist_build": ANALYTICS_QUERIES["hist_build"],
         "hist_quantile": ANALYTICS_QUERIES["hist_quantile"],
         "pmi_pairs": DATAOPS_QUERIES["pmi_pairs"],
@@ -2006,7 +2136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cohort retention — all sf0.01-spot-checked) ---
         "sq_ann_topk": _q_sq_ann_topk,
         "wordpiece_train": DATAOPS_QUERIES["wordpiece_train"],
-        "wordpiece_encode": DATAOPS_QUERIES["wordpiece_encode"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
         "zipf_slope": DATAOPS_QUERIES["zipf_slope"],
         "pq_ann_topk": _q_pq_ann_topk,
@@ -2113,6 +2242,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triple_conf": _sql_kg_triple_conf(),
         "kg_link_predict": _sql_kg_link_predict(),
         "kg_schema_stats": _sql_kg_schema_stats(),
+        "kg_negative_samples": _sql_kg_negative_samples(),
+        "kg_entity_cooccur": _sql_kg_entity_cooccur(),
         **_kg_sqls(),
     }
 

@@ -156,3 +156,53 @@ def test_provenance_alias_conf_invariants(spark):
     for k, r in conf.items():
         expect = math.log(w_total * edges[k] / (w_out[k[0]] * w_in[k[1]]))
         assert abs(r.conf - expect) < 1e-6
+
+
+def test_negative_samples_and_cooccur_invariants(spark):
+    """Filtered-protocol laws for kg_negative_samples (no true edge, no
+    self-corruption, ≤1 row per (edge, k), most draws survive) and a
+    python PMI recomputation for kg_entity_cooccur."""
+    import collections
+    import math
+
+    from pl_marker_spark.queries_catalog import (
+        NEG_SAMPLES_K,
+        q_kg_entity_cooccur,
+        q_kg_graph_edges,
+        q_kg_mention_entity,
+        q_kg_negative_samples,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [(r.src_id, r.dst_id, r.pred)
+             for r in q_kg_graph_edges(spark, sf).collect()]
+    truth = {(s, p, d) for s, d, p in edges}
+    negs = q_kg_negative_samples(spark, sf).collect()
+    for r in negs:
+        assert (r.src_id, r.pred, r.neg_dst) not in truth
+        assert r.neg_dst != r.pos_dst
+        assert 0 <= r.k < NEG_SAMPLES_K
+    keys = [(r.src_id, r.pos_dst, r.pred, r.k) for r in negs]
+    assert len(keys) == len(set(keys))
+    assert len(negs) > 0.5 * len(edges) * NEG_SAMPLES_K
+
+    inc = {(r.conv_id, r.entity_id)
+           for r in q_kg_mention_entity(spark, sf).collect()}
+    n_convs = len({c for c, _ in inc})
+    marg = collections.Counter(e for _, e in inc)
+    by_conv = collections.defaultdict(set)
+    for c, e in inc:
+        by_conv[c].add(e)
+    pair = collections.Counter()
+    for es in by_conv.values():
+        es = sorted(es)
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                pair[(es[i], es[j])] += 1
+    got = {(r.ent_a, r.ent_b): (r.n_ab, r.pmi)
+           for r in q_kg_entity_cooccur(spark, sf).collect()}
+    assert set(got) == set(pair)
+    for k, (n_ab, pmi) in got.items():
+        assert n_ab == pair[k]
+        assert abs(pmi - math.log(n_convs * n_ab
+                                  / (marg[k[0]] * marg[k[1]]))) < 1e-6
