@@ -31,7 +31,14 @@ from .surrogate import (
     re_logits_for_pair,
 )
 from .tokenizer import CLS, SEP, split_words, surface_of_span, tokenize_word
-from .world import NER_LABELS, NUM_REL, NUM_SYM, REL_LABELS, SYM_LABELS
+from .world import (
+    NER_LABELS,
+    NUM_REL,
+    NUM_SYM,
+    REL_LABELS,
+    SYM_LABELS,
+    score_key6,
+)
 
 
 def _overlap(a, b) -> bool:
@@ -129,7 +136,7 @@ def oracle_ner(conv_turns: dict[str, list[str]], cfg: PipelineConfig):
                 if NER_LABELS[k] != "NIL":
                     sent_results.append((float(p), (ws, we), NER_LABELS[k]))
                     raw.append((cid, n, ws, we, NER_LABELS[k], float(p)))
-            sent_results.sort(key=lambda x: -x[0])
+            sent_results.sort(key=lambda x: (-score_key6(x[0]), x[1]))
             kept = []
             for item in sent_results:
                 clash = False
@@ -186,7 +193,7 @@ def oracle_two_stage(conv_turns: dict[str, list[str]], cfg: PipelineConfig,
             for (lo, hi, ws, we), p, k in zip(spans, probs, preds):
                 if NER_LABELS[k] != "NIL":
                     sent_results.append((float(p), (ws, we), NER_LABELS[k]))
-            sent_results.sort(key=lambda x: -x[0])
+            sent_results.sort(key=lambda x: (-score_key6(x[0]), x[1]))
             kept = []
             for item in sent_results:
                 clash = any(
@@ -321,7 +328,7 @@ def oracle_re(conv_turns: dict[str, list[str]], mentions, cfg: PipelineConfig):
                         sent_results.append(
                             (v1[pred], m1, m2, pred, predpos2ner[m1], m2_ner)
                         )
-                sent_results.sort(key=lambda x: -x[0])
+                sent_results.sort(key=lambda x: (-score_key6(x[0]), x[1], x[2]))
                 kept = []
                 for item in sent_results:
                     clash = any(
@@ -375,7 +382,7 @@ def oracle_re(conv_turns: dict[str, list[str]], mentions, cfg: PipelineConfig):
                     )
 
             # relation suppression (run_re.py:825-852)
-            sent_results.sort(key=lambda x: -x[0])
+            sent_results.sort(key=lambda x: (-score_key6(x[0]), x[1], x[2]))
             kept = []
             for item in sent_results:
                 clash = False
@@ -445,7 +452,7 @@ def oracle_levitated(conv_turns: dict[str, list[str]], mentions,
                             (float(v[k]), (sub[0], sub[1]), (obj[0], obj[1]),
                              k, aux_obj_ner(sub_surface), aux_obj_ner(obj_surface))
                         )
-            sent_results.sort(key=lambda x: -x[0])
+            sent_results.sort(key=lambda x: (-score_key6(x[0]), x[1], x[2]))
             kept = []
             for item in sent_results:
                 clash = any(

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 
 from ..config import PipelineConfig
 from ..surrogate import ner_fast_scores
-from ..world import NER_LABELS
+from ..world import NER_LABELS, score_key6
 
 SPAN_SCORES_SCHEMA = (
     "conv_id string, turn_idx int, start int, end int, label string, score double"
@@ -202,7 +202,7 @@ def iter_fused_ner_conv(idx, turn_ids, family: str, maxlen: int,
         probs, preds = ner_decode(ner_logits_for_surfaces(surfaces))
         s_k = wds[kept]
         e_k = wde[kept]
-        order = np.lexsort((e_k, s_k, -probs))
+        order = np.lexsort((e_k, s_k, -score_key6(probs)))
         ks: list[int] = []
         ke: list[int] = []
         kl: list[int] = []
@@ -294,9 +294,10 @@ def make_suppress_fn(cfg: PipelineConfig):
     overlap_any = cfg.overlap_any
 
     def suppress(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["score", "start", "end"], ascending=[False, True, True]
-        ).reset_index(drop=True)
+        pdf = (pdf.assign(_sk=score_key6(pdf["score"].to_numpy()))
+               .sort_values(["_sk", "start", "end"],
+                            ascending=[False, True, True])
+               .drop(columns="_sk").reset_index(drop=True))
         s = pdf["start"].to_numpy()
         e = pdf["end"].to_numpy()
         lab = pdf["label"].to_numpy()
@@ -325,10 +326,10 @@ def make_suppress_batch_fn(cfg: PipelineConfig):
     overlap_any = cfg.overlap_any
 
     def suppress(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["conv_id", "turn_idx", "score", "start", "end"],
-            ascending=[True, True, False, True, True],
-        ).reset_index(drop=True)
+        pdf = (pdf.assign(_sk=score_key6(pdf["score"].to_numpy()))
+               .sort_values(["conv_id", "turn_idx", "_sk", "start", "end"],
+                            ascending=[True, True, False, True, True])
+               .drop(columns="_sk").reset_index(drop=True))
         n = len(pdf)
         if n == 0:
             return pdf

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..surrogate import aux_obj_ner, re_logits_for_pair
-from ..world import NER_LABELS, NUM_REL, NUM_SYM, REL_LABELS
+from ..world import NER_LABELS, NUM_REL, NUM_SYM, REL_LABELS, score_key6
 
 PAIR_SCORES_SCHEMA = (
     "conv_id string, turn_idx int, s1 int, e1 int, s2 int, e2 int, "
@@ -328,7 +328,7 @@ def fuse_suppress_turn(pair_scores: dict, cfg: PipelineConfig) -> list[tuple]:
             # score-slot quirk preserved (run_re.py:814-821): read the
             # forward label slot of the first-visited orientation's vector
             sent_results.append((fused[pred], m1, m2, pred, m1_ner, m2_ner))
-    sent_results.sort(key=lambda x: (-x[0], x[1], x[2]))
+    sent_results.sort(key=lambda x: (-score_key6(x[0]), x[1], x[2]))
     kept = []
     for item in sent_results:
         clash = False
@@ -350,9 +350,10 @@ def _overlap_t(a, b) -> bool:
 
 
 def _suppress_re(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(
-        ["score", "s1", "e1", "s2", "e2"], ascending=[False, True, True, True, True]
-    ).reset_index(drop=True)
+    pdf = (pdf.assign(_sk=score_key6(pdf["score"].to_numpy()))
+           .sort_values(["_sk", "s1", "e1", "s2", "e2"],
+                        ascending=[False, True, True, True, True])
+           .drop(columns="_sk").reset_index(drop=True))
     kept: list[int] = []
     s1 = pdf["s1"].to_numpy(); e1 = pdf["e1"].to_numpy()
     s2 = pdf["s2"].to_numpy(); e2 = pdf["e2"].to_numpy()
@@ -378,10 +379,10 @@ def _suppress_re_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     (conv_id, turn_idx) change. Row-identical to _suppress_re per group."""
     import numpy as np
 
-    pdf = pdf.sort_values(
-        ["conv_id", "turn_idx", "score", "s1", "e1", "s2", "e2"],
-        ascending=[True, True, False, True, True, True, True],
-    ).reset_index(drop=True)
+    pdf = (pdf.assign(_sk=score_key6(pdf["score"].to_numpy()))
+           .sort_values(["conv_id", "turn_idx", "_sk", "s1", "e1", "s2", "e2"],
+                        ascending=[True, True, False, True, True, True, True])
+           .drop(columns="_sk").reset_index(drop=True))
     n = len(pdf)
     if n == 0:
         return pdf
@@ -442,7 +443,7 @@ def refine_types(triples_raw: DataFrame, mentions: DataFrame,
     side) trips Spark's self-join attribute deduplication and can silently
     duplicate matches — observed on Spark 4.1 with a parquet-backed input."""
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.desc("score"), "s1", "e1", "s2", "e2"
+        F.desc(F.round("score", 6)), "s1", "e1", "s2", "e2"
     )
     ranked = triples_raw.withColumn("r", F.row_number().over(w) - 1)
     melted = ranked.select(

@@ -1306,6 +1306,42 @@ def q_kg_canonical_alias(spark, sf_dir):
     )
 
 
+def _resolved_triple_sites(out: dict) -> DataFrame:
+    """Triples with their endpoints resolved to canonical entity ids —
+    one row per extracted triple (conv_id, turn_idx, s1, e1, s2, e2, pred,
+    score, src_id, dst_id). Melt-join-pivot discipline: the span→entity
+    map joins the melted (slot 0/1) endpoints exactly ONCE and pivots back
+    with max(when(slot=…)) — a naive double self-join of the same
+    mention_entity instance silently duplicates under Spark 4.1 (see
+    rel.refine_types). Shared by the provenance / temporal / grounding
+    queries so the resolver exists in one place. At scale: one
+    |triples|-size shuffle for the melt-join + one map-side-combinable
+    pivot agg; the span→entity map is the mention table projected to 5
+    narrow columns."""
+    t = out["triples"]
+    me = out["mention_entity"].select(
+        "conv_id", "turn_idx", "start", "end", "entity_id").distinct()
+    melted = t.select(
+        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("slot"), F.col("s1").alias("start"),
+                     F.col("e1").alias("end")),
+            F.struct(F.lit(1).alias("slot"), F.col("s2").alias("start"),
+                     F.col("e2").alias("end")),
+        )).alias("x"),
+    ).select("conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score",
+             "x.slot", "x.start", "x.end")
+    return (
+        melted.join(me, ["conv_id", "turn_idx", "start", "end"], "inner")
+        .groupBy("conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score")
+        .agg(
+            F.max(F.when(F.col("slot") == 0, F.col("entity_id"))).alias("src_id"),
+            F.max(F.when(F.col("slot") == 1, F.col("entity_id"))).alias("dst_id"),
+        )
+        .filter(F.col("src_id").isNotNull() & F.col("dst_id").isNotNull())
+    )
+
+
 def q_kg_triple_provenance(spark, sf_dir):
     """Per-canonical-triple lineage (north rule: 'graph materialization …
     with per-partition lineage and triple-count metrics'): for each
@@ -1320,28 +1356,7 @@ def q_kg_triple_provenance(spark, sf_dir):
     melt-join + one map-side-combinable agg; the span→entity map is the
     mention table projected to 5 narrow columns."""
     out = _pipeline_outputs(spark, sf_dir)
-    t = out["triples"]
-    me = out["mention_entity"].select(
-        "conv_id", "turn_idx", "start", "end", "entity_id").distinct()
-    melted = t.select(
-        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("slot"), F.col("s1").alias("start"),
-                     F.col("e1").alias("end")),
-            F.struct(F.lit(1).alias("slot"), F.col("s2").alias("start"),
-                     F.col("e2").alias("end")),
-        )).alias("x"),
-    ).select("conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score",
-             "x.slot", "x.start", "x.end")
-    resolved = (
-        melted.join(me, ["conv_id", "turn_idx", "start", "end"], "inner")
-        .groupBy("conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred", "score")
-        .agg(
-            F.max(F.when(F.col("slot") == 0, F.col("entity_id"))).alias("src_id"),
-            F.max(F.when(F.col("slot") == 1, F.col("entity_id"))).alias("dst_id"),
-        )
-        .filter(F.col("src_id").isNotNull() & F.col("dst_id").isNotNull())
-    )
+    resolved = _resolved_triple_sites(out)
     return resolved.groupBy("src_id", "dst_id", "pred").agg(
         F.count("*").cast("long").alias("support"),
         F.countDistinct("conv_id").cast("long").alias("n_convs"),
@@ -1503,6 +1518,239 @@ def q_kg_entity_cooccur(spark, sf_dir):
                           / (F.col("n_a") * F.col("n_b")).cast("double")), 6)
              .alias("pmi"))
     )
+
+
+def _turn_meta(out: dict) -> DataFrame:
+    """Per-turn metadata for the temporal/provenance KG rows: (conv_id,
+    turn_idx, role, tool, ts_us) with ts as epoch microseconds PLUS the
+    session-timezone shift. Absolute unix_micros of a tz-naive synthetic
+    timestamp depends on the evaluating session's timezone, so every
+    consumer emits only DIFFERENCES of this column (offsets from the
+    corpus-wide minimum, day buckets of those offsets) — the shift
+    cancels, the values are tz-invariant, and the DuckDB twin can derive
+    the same numbers from raw epoch seconds (the _epoch_us contract used
+    by the events queries)."""
+    return out["turns_tok"].select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_kg_edge_temporal(spark, sf_dir):
+    """Temporal KG: per canonical edge (src_id, dst_id, pred), the
+    valid-time footprint of its evidence — first/last sighting as offsets
+    from the corpus's earliest turn (microseconds), the active span, and
+    the number of distinct active days. This is the column set a temporal
+    KG needs to answer "when was this fact asserted, and is it stale?" —
+    the transcript `ts` column finally flowing through to the graph.
+
+    Plan shape at 100 TB: the resolver is the shared melt-join-pivot
+    (one |triples| shuffle); the per-turn timestamp join keys on
+    (conv_id, turn_idx) against a table with ONE row per turn (narrow
+    projection of the corpus scan); the corpus-wide min is a 1-row
+    aggregate broadcast by crossJoin; the final agg is map-side
+    combinable (min/max/countDistinct-day per edge). Day counts bucket
+    the OFFSET, not the absolute epoch, so the result is timezone-
+    invariant (see _turn_meta)."""
+    out = _pipeline_outputs(spark, sf_dir)
+    sites = _resolved_triple_sites(out).select(
+        "conv_id", "turn_idx", "src_id", "dst_id", "pred")
+    tm = _turn_meta(out)
+    t0 = tm.agg(F.min("ts_us").alias("min_us"))
+    ev = (
+        sites.join(tm.select("conv_id", "turn_idx", "ts_us"),
+                   ["conv_id", "turn_idx"], "inner")
+        .crossJoin(F.broadcast(t0))
+        .withColumn("off_us", F.col("ts_us") - F.col("min_us"))
+    )
+    return ev.groupBy("src_id", "dst_id", "pred").agg(
+        F.min("off_us").cast("long").alias("first_off_us"),
+        F.max("off_us").cast("long").alias("last_off_us"),
+        (F.max("off_us") - F.min("off_us")).cast("long").alias("span_us"),
+        F.countDistinct(F.expr(f"off_us div {_DAY_US}"))
+         .cast("long").alias("n_days"),
+    ).select(
+        F.col("src_id").cast("long").alias("src_id"),
+        F.col("dst_id").cast("long").alias("dst_id"),
+        "pred", "first_off_us", "last_off_us", "span_us", "n_days",
+    )
+
+
+def q_kg_edge_grounding(spark, sf_dir):
+    """Provenance-by-speaker: per canonical edge, how its evidence splits
+    across transcript roles — user-asserted vs assistant-asserted vs
+    grounded in a tool turn — plus the count of distinct tools whose
+    output the fact was extracted from. The `role`/`tool` columns of the
+    north-rule transcript schema, materialized as edge trust features:
+    a downstream consumer ranks tool-grounded facts (observed in a tool
+    result) above pure-conversation hearsay.
+
+    Plan: shared resolver + a (conv_id, turn_idx)-keyed join against the
+    one-row-per-turn metadata table, then one map-side-combinable pivot
+    agg (sum-of-when per role); no new shuffle shape beyond provenance."""
+    out = _pipeline_outputs(spark, sf_dir)
+    sites = _resolved_triple_sites(out).select(
+        "conv_id", "turn_idx", "src_id", "dst_id", "pred")
+    tm = _turn_meta(out)
+    ev = sites.join(tm.select("conv_id", "turn_idx", "role", "tool"),
+                    ["conv_id", "turn_idx"], "inner")
+    return ev.groupBy("src_id", "dst_id", "pred").agg(
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+         .cast("long").alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+         .cast("long").alias("n_assistant"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+         .cast("long").alias("n_tool"),
+        F.countDistinct(F.when(F.col("role") == "tool", F.col("tool")))
+         .cast("long").alias("n_tools"),
+    ).select(
+        F.col("src_id").cast("long").alias("src_id"),
+        F.col("dst_id").cast("long").alias("dst_id"),
+        "pred", "n_user", "n_assistant", "n_tool", "n_tools",
+        (F.col("n_tool") > 0).cast("long").alias("grounded"),
+    )
+
+
+def q_kg_entity_activity(spark, sf_dir):
+    """Per-entity temporal activity profile: first/last mention offsets,
+    distinct active days, distinct conversations, and total mention count
+    — the freshness/coverage panel of a canonical entity (drives decay
+    weighting and dormant-entity pruning in a living KG). mention_entity
+    joins the per-turn metadata on (conv_id, turn_idx); all aggregates
+    are map-side combinable over the entity key; timestamps follow the
+    offsets-only contract (_turn_meta)."""
+    out = _pipeline_outputs(spark, sf_dir)
+    me = out["mention_entity"].select("conv_id", "turn_idx", "entity_id")
+    tm = _turn_meta(out)
+    t0 = tm.agg(F.min("ts_us").alias("min_us"))
+    ev = (
+        me.join(tm.select("conv_id", "turn_idx", "ts_us"),
+                ["conv_id", "turn_idx"], "inner")
+        .crossJoin(F.broadcast(t0))
+        .withColumn("off_us", F.col("ts_us") - F.col("min_us"))
+    )
+    return ev.groupBy("entity_id").agg(
+        F.min("off_us").cast("long").alias("first_off_us"),
+        F.max("off_us").cast("long").alias("last_off_us"),
+        F.countDistinct(F.expr(f"off_us div {_DAY_US}"))
+         .cast("long").alias("n_days"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.count("*").cast("long").alias("n_mentions"),
+    ).select(
+        F.col("entity_id").cast("long").alias("entity_id"),
+        "first_off_us", "last_off_us", "n_days", "n_convs", "n_mentions",
+    )
+
+
+def _sql_kg_turns() -> str:
+    """Base VALUES table for the temporal/grounding twins: one row per
+    transcript turn (conv_id, turn_idx, role, tool, ts_us) derived
+    straight from the deterministic corpus definition (synth.local_corpus
+    epoch SECONDS × 1e6) — independent of the Spark session's timestamp
+    handling. The Spark side's unix_micros carries the session-timezone
+    shift, so both engines only ever compare DIFFERENCES of ts_us (see
+    _turn_meta); the VALUES here are the unshifted reference frame."""
+    from . import synth
+    from .oracle_values import N_KG_CONVS
+
+    turns, _gm, _gr = synth.local_corpus(N_KG_CONVS)
+    body = ",\n".join(
+        "('{}', {}, '{}', {}, {})".format(
+            c, t, role, "NULL" if tool is None else f"'{tool}'",
+            ts * 1_000_000)
+        for c, t, role, _text, tool, ts in turns
+    )
+    return (
+        "SELECT c0 AS conv_id, c1::INTEGER AS turn_idx, c2 AS role, "
+        "c3 AS tool, c4::BIGINT AS ts_us FROM (VALUES\n"
+        f"{body}\n) t(c0, c1, c2, c3, c4)"
+    )
+
+
+def _sql_resolved_sites() -> str:
+    """Shared DuckDB CTE body: triples resolved to canonical endpoints
+    (the twin of _resolved_triple_sites), over the independently-derived
+    kg_triples / kg_mention_entity VALUES oracles."""
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+t AS ({kg["kg_triples"]}),
+me AS (SELECT DISTINCT conv_id, turn_idx, "start", "end", entity_id
+       FROM ({kg["kg_mention_entity"]}) m),
+res AS (
+  SELECT t.conv_id, t.turn_idx, t.pred,
+         m1.entity_id AS src_id, m2.entity_id AS dst_id
+  FROM t
+  JOIN me m1 ON t.conv_id = m1.conv_id AND t.turn_idx = m1.turn_idx
+            AND t.s1 = m1."start" AND t.e1 = m1."end"
+  JOIN me m2 ON t.conv_id = m2.conv_id AND t.turn_idx = m2.turn_idx
+            AND t.s2 = m2."start" AND t.e2 = m2."end")"""
+
+
+def _sql_kg_edge_temporal() -> str:
+    return f"""
+WITH {_sql_resolved_sites()},
+tu AS ({_sql_kg_turns()}),
+t0 AS (SELECT min(ts_us) AS min_us FROM tu),
+ev AS (SELECT res.src_id, res.dst_id, res.pred,
+              tu.ts_us - t0.min_us AS off_us
+       FROM res JOIN tu ON res.conv_id = tu.conv_id
+                       AND res.turn_idx = tu.turn_idx
+       CROSS JOIN t0)
+SELECT src_id, dst_id, pred,
+       min(off_us)::BIGINT AS first_off_us,
+       max(off_us)::BIGINT AS last_off_us,
+       (max(off_us) - min(off_us))::BIGINT AS span_us,
+       count(DISTINCT off_us // 86400000000)::BIGINT AS n_days
+FROM ev GROUP BY src_id, dst_id, pred
+"""
+
+
+def _sql_kg_edge_grounding() -> str:
+    return f"""
+WITH {_sql_resolved_sites()},
+tu AS ({_sql_kg_turns()}),
+ev AS (SELECT res.src_id, res.dst_id, res.pred, tu.role, tu.tool
+       FROM res JOIN tu ON res.conv_id = tu.conv_id
+                       AND res.turn_idx = tu.turn_idx)
+SELECT src_id, dst_id, pred,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+         AS n_assistant,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT AS n_tool,
+       count(DISTINCT CASE WHEN role = 'tool' THEN tool END)::BIGINT
+         AS n_tools,
+       (sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) > 0)::BIGINT
+         AS grounded
+FROM ev GROUP BY src_id, dst_id, pred
+"""
+
+
+def _sql_kg_entity_activity() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH me AS (SELECT conv_id, turn_idx, entity_id
+            FROM ({kg["kg_mention_entity"]}) m),
+tu AS ({_sql_kg_turns()}),
+t0 AS (SELECT min(ts_us) AS min_us FROM tu),
+ev AS (SELECT me.entity_id, me.conv_id, tu.ts_us - t0.min_us AS off_us
+       FROM me JOIN tu ON me.conv_id = tu.conv_id
+                      AND me.turn_idx = tu.turn_idx
+       CROSS JOIN t0)
+SELECT entity_id,
+       min(off_us)::BIGINT AS first_off_us,
+       max(off_us)::BIGINT AS last_off_us,
+       count(DISTINCT off_us // 86400000000)::BIGINT AS n_days,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       count(*)::BIGINT AS n_mentions
+FROM ev GROUP BY entity_id
+"""
 
 
 def _sql_kg_negative_samples() -> str:
@@ -2100,6 +2348,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_stats": q_kg_schema_stats,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_entity_cooccur": q_kg_entity_cooccur,
+        # --- session-5 temporal/provenance rows (never driver-verified):
+        # the transcript schema's ts/role/tool columns flowing through to
+        # the graph — edge valid-time, speaker/tool grounding, entity
+        # activity profiles ---
+        "kg_edge_temporal": q_kg_edge_temporal,
+        "kg_edge_grounding": q_kg_edge_grounding,
+        "kg_entity_activity": q_kg_entity_activity,
         "kg_triples_levpair": q_kg_triples_levpair,
         "kg_mentions_roberta": q_kg_mentions_roberta,
         "kg_triples_unidirect": q_kg_triples_unidirect,
@@ -2116,18 +2371,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slots 25-34: new in round 5, never driver-verified ---
         "dup_span_merge": q_dup_span_merge,
         "containment_neardup": q_containment_neardup,
-        "weighted_sample": DATAOPS_QUERIES["weighted_sample"],
         "bpe_train": DATAOPS_QUERIES["bpe_train"],
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "graph_kcore": ANALYTICS_QUERIES["graph_kcore"],
         "graph_labelprop": ANALYTICS_QUERIES["graph_labelprop"],
         "bloom_build": ANALYTICS_QUERIES["bloom_build"],
-        "bloom_member": ANALYTICS_QUERIES["bloom_member"],
         # --- slots 35-41: new this session, never driver-verified
         # (unigram tokenizer, histogram quantile sketch, PMI, bigram LM)
         "unigram_train": DATAOPS_QUERIES["unigram_train"],
         "hist_build": ANALYTICS_QUERIES["hist_build"],
-        "hist_quantile": ANALYTICS_QUERIES["hist_quantile"],
         "pmi_pairs": DATAOPS_QUERIES["pmi_pairs"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "kneser_ney_bigram": DATAOPS_QUERIES["kneser_ney_bigram"],
@@ -2166,6 +2418,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are all inside the window)
         "o8_inverse_gold": q_o8_inverse_gold,
         "o13_topk": q_o13_topk,
+        # demoted consumers of in-window state builders (hist_build /
+        # bloom_build stay inside; these read the same materialized state)
+        # and the stratified-sample sibling (weighted_sample shares the
+        # md5-threshold mechanism with r04-green stratified_sample)
+        "hist_quantile": ANALYTICS_QUERIES["hist_quantile"],
+        "bloom_member": ANALYTICS_QUERIES["bloom_member"],
+        "weighted_sample": DATAOPS_QUERIES["weighted_sample"],
         "ivf_sq_topk": _q_ivf_sq_topk,
         # encode-law rows whose code tables are interior to the in-window
         # ADC searches (sq_ann_topk / pq_ann_topk exercise the same codes)
@@ -2244,6 +2503,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_schema_stats": _sql_kg_schema_stats(),
         "kg_negative_samples": _sql_kg_negative_samples(),
         "kg_entity_cooccur": _sql_kg_entity_cooccur(),
+        "kg_edge_temporal": _sql_kg_edge_temporal(),
+        "kg_edge_grounding": _sql_kg_edge_grounding(),
+        "kg_entity_activity": _sql_kg_entity_activity(),
         **_kg_sqls(),
     }
 

@@ -53,6 +53,26 @@ def jitter(s: str, scale: float = 1e-3) -> float:
     return stable_hash(s) / 4294967296.0 * scale
 
 
+def score_key6(x):
+    """Quantized sort key for model-score ORDERINGS (never the emitted
+    value). Tensor-head scores of exact-math-tied spans can differ by
+    ~1e-16 between the pipeline and the oracle (BLAS reduction order is
+    batch-shape-dependent, and the two sides batch the same head
+    differently), which would flip greedy suppression / refinement order
+    host-dependently. Quantizing every score comparison at 1e-6 — far
+    above ulp noise, far below any genuine score gap — and tie-breaking
+    on span coordinates makes each decision identical on every host and
+    on both engines. numpy half-even rounding on every numpy-side sort;
+    the one Spark-side ordering (rel.refine_types) uses F.round, which
+    differs only on exact decimal midpoints (unreachable for softmax /
+    fused-sum scores in binary floating point). Scalars in, float out;
+    arrays in, array out."""
+    import numpy as np
+
+    out = np.round(np.asarray(x, dtype=np.float64), 6)
+    return float(out) if out.ndim == 0 else out
+
+
 def _syllable_words(rng: random.Random, n_words: int, n_syll: tuple[int, int]) -> str:
     cons = "bcdfghjklmnprstvz"
     vows = "aeiou"

@@ -31,6 +31,15 @@ def _spans_for(window, k):
     return [(1 + i, 1 + i + 1) for i in range(k)]
 
 
+def _assert_group_invariant(one, parts):
+    """Group invariance holds mathematically, but the two sides run GEMMs
+    of different batch shapes and BLAS reduction order is shape-dependent,
+    so bitwise equality is host-/kernel-dependent (observed 1.2e-16 max
+    diff on one machine, exact on another). Tolerance is pinned at 1e-12
+    — far below the 6–9 dp the oracle gates round to."""
+    np.testing.assert_allclose(one, np.vstack(parts), rtol=0, atol=1e-12)
+
+
 def test_ner_group_invariance():
     """Packing spans as one group of 6 vs two groups of 3 yields identical
     logits — the packed-attention isolation property (I5)."""
@@ -42,7 +51,7 @@ def test_ner_group_invariance():
     for grp in (spans[:3], spans[3:]):
         parts.append(ner_head_logits(
             *assemble_ner_tensors(window, grp, 64, 16), grp, 64))
-    np.testing.assert_array_equal(one, np.vstack(parts))
+    _assert_group_invariant(one, parts)
 
 
 def test_re_group_invariance():
@@ -57,8 +66,8 @@ def test_re_group_invariance():
         m, a = re_head_logits(ii, pi, att, sp, len(grp), 64)
         parts.append(m)
         parts_aux.append(a)
-    np.testing.assert_array_equal(one, np.vstack(parts))
-    np.testing.assert_array_equal(one_aux, np.vstack(parts_aux))
+    _assert_group_invariant(one, parts)
+    _assert_group_invariant(one_aux, parts_aux)
 
 
 @pytest.fixture(scope="module")
@@ -206,7 +215,7 @@ def test_ner_feature_group_invariance():
                 *assemble_ner_tensors(window, grp, 64, 16), grp, 64, feat)
             for grp in (spans[:3], spans[3:])
         ]
-        np.testing.assert_array_equal(one, np.vstack(parts))
+        _assert_group_invariant(one, parts)
 
 
 def _mock_adapter_weights(kind, h=8, n_lab=5):
