@@ -1645,6 +1645,143 @@ def q_kg_entity_activity(spark, sf_dir):
     )
 
 
+def q_kg_path_2hop(spark, sf_dir):
+    """Compositional 2-hop path statistics per predicate pair — the
+    path-ranking / Horn-rule feature table of KG completion: for every
+    (pred1, pred2), how many a -pred1-> b -pred2-> c paths exist (a != c,
+    so trivial back-and-forth over symmetric edges is excluded), through
+    how many distinct mid entities, with what min-weight support, and how
+    many of those paths are CLOSED by an existing (a, c) edge of any
+    predicate. n_closed / n_paths is AMIE-style rule confidence —
+    pred1 ∘ pred2 ⇒ ∃ edge — computed without a rules enumeration pass.
+
+    100-TB shape: both legs of the wedge are equi-joins on the mid node
+    over the EDGE table (|E| ≪ |triples| — already support-aggregated),
+    and the closure probe is a broadcast-or-shuffle equi-join against the
+    distinct (src, dst) projection. Hub mid-nodes are the skew risk: at
+    real scale cap or salt on degree (graphops.triangle_counts documents
+    the degree-orientation discipline); here |E| ≈ 200 so AQE handles it.
+    The edge input is localCheckpoint-ed by _pipeline_outputs, so the
+    three scans of it are scans of materialized data, not three
+    re-derivations of the extraction lineage (the graph_triangles lesson,
+    graphops.py)."""
+    out = _pipeline_outputs(spark, sf_dir)
+    e = out["edges"].select(
+        "src_id", "dst_id", "pred", F.col("weight").cast("long").alias("weight"))
+    e1 = e.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"),
+                  F.col("pred").alias("pred1"), F.col("weight").alias("w1"))
+    e2 = e.select(F.col("src_id").alias("b"), F.col("dst_id").alias("c"),
+                  F.col("pred").alias("pred2"), F.col("weight").alias("w2"))
+    closing = (e.select(F.col("src_id").alias("a"), F.col("dst_id").alias("c"))
+               .distinct().withColumn("closed", F.lit(1)))
+    paths = (e1.join(e2, "b").filter(F.col("a") != F.col("c"))
+             .join(closing, ["a", "c"], "left"))
+    return paths.groupBy("pred1", "pred2").agg(
+        F.count("*").cast("long").alias("n_paths"),
+        F.countDistinct("b").cast("long").alias("n_mid"),
+        F.sum(F.least("w1", "w2")).cast("long").alias("support"),
+        F.sum(F.coalesce(F.col("closed"), F.lit(0))).cast("long")
+         .alias("n_closed"),
+    )
+
+
+def q_kg_snapshot_delta(spark, sf_dir):
+    """Incremental-KG snapshot diff: split the corpus at the midpoint
+    conv id (zero-padded ids make the cutoff a plain lexicographic
+    compare available to both engines) and classify every canonical edge
+    by what the second half of the data ADDED — 'new' (no evidence in
+    the first half), 'grown' (evidence in both), 'stable' (all evidence
+    already in the first half). This is the batch twin of the
+    streaming incremental-KG state (streaming.stream_kg_increment): the
+    answer to "what does the next ingest increment change in the graph",
+    driving selective re-canonicalization and downstream cache
+    invalidation in a living KG.
+
+    Plan: ONE pass over the shared resolved-sites subtree (melt-join-
+    pivot, one |triples| shuffle) with a conditional sum per half —
+    no second scan, no join between snapshots; the per-edge agg is
+    map-side combinable. At 100 TB the snapshot predicate would be the
+    ingest partition column, making the split partition-pruned rather
+    than row-evaluated."""
+    from .oracle_values import N_KG_CONVS
+
+    cutoff = f"c{N_KG_CONVS // 2:08d}"
+    out = _pipeline_outputs(spark, sf_dir)
+    sites = _resolved_triple_sites(out).select(
+        "conv_id", "src_id", "dst_id", "pred")
+    agg = sites.groupBy("src_id", "dst_id", "pred").agg(
+        F.sum(F.when(F.col("conv_id") < cutoff, 1).otherwise(0))
+         .cast("long").alias("support_old"),
+        F.sum(F.when(F.col("conv_id") >= cutoff, 1).otherwise(0))
+         .cast("long").alias("support_new"),
+    )
+    return agg.select(
+        F.col("src_id").cast("long").alias("src_id"),
+        F.col("dst_id").cast("long").alias("dst_id"),
+        "pred", "support_old", "support_new",
+        F.when(F.col("support_old") == 0, F.lit("new"))
+         .when(F.col("support_new") == 0, F.lit("stable"))
+         .otherwise(F.lit("grown")).alias("status"),
+    )
+
+
+def q_kg_re_examples(spark, sf_dir):
+    """Distant-supervision RE training examples — the KG paid back as
+    training data: every extracted triple re-joined to its evidence turn
+    and emitted as the turn's words with <S>…</S> / <O>…</O> markers
+    around the subject/object spans, labeled with the predicate. This is
+    the marker-format example table an RE fine-tune consumes (the same
+    solid-marker convention as the reference's input encoding,
+    run_re.py:298-299, surfaced as output).
+
+    Span indices are document-level word positions (the reference's
+    README.md:60-66 contract), so each turn's words are re-based by the
+    running word offset — a window cumsum per conversation, the same
+    prefix-sum discipline as P4. Marker insertion is pure JVM column
+    algebra: slice the words array into the 5 inter-marker segments,
+    flatten with the marker literals, array_join — no Python UDF, no
+    explode (one output row per triple, not per word). Subject/object
+    spans never overlap by construction (mention suppression), and the
+    s1<s2 / s2<s1 orders are handled by symmetric branches. At 100 TB
+    this is one (conv, turn)-keyed equi-join of triples against the
+    narrow (words) projection of the corpus scan — shuffle bounded by
+    |triples| + |turns|, never words exploded."""
+    out = _pipeline_outputs(spark, sf_dir)
+    t = out["triples"].select(
+        "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tw = out["turns_tok"].select(
+        "conv_id", "turn_idx", "words",
+        (F.sum(F.size("words")).over(w) - F.size("words")).alias("off"))
+    j = t.join(tw, ["conv_id", "turn_idx"], "inner")
+
+    def seg(lo, hi):
+        # words[lo..hi] as a 1-based inclusive slice; empty when lo > hi
+        return F.slice(F.col("words"), lo,
+                       F.greatest(F.lit(0), hi - lo + F.lit(1)))
+
+    ls1, le1 = F.col("s1") - F.col("off") + 1, F.col("e1") - F.col("off") + 1
+    ls2, le2 = F.col("s2") - F.col("off") + 1, F.col("e2") - F.col("off") + 1
+    n = F.size("words")
+
+    def marked(o1, c1, m1o, m1c, o2, c2, m2o, m2c):
+        # segments: [1..o1-1] m1o [o1..c1] m1c [c1+1..o2-1] m2o [o2..c2]
+        #           m2c [c2+1..n]
+        return F.flatten(F.array(
+            seg(F.lit(1), o1 - 1), F.array(F.lit(m1o)), seg(o1, c1),
+            F.array(F.lit(m1c)), seg(c1 + 1, o2 - 1), F.array(F.lit(m2o)),
+            seg(o2, c2), F.array(F.lit(m2c)), seg(c2 + 1, n),
+        ))
+    example = F.array_join(
+        F.when(ls1 < ls2,
+               marked(ls1, le1, "<S>", "</S>", ls2, le2, "<O>", "</O>"))
+        .otherwise(
+               marked(ls2, le2, "<O>", "</O>", ls1, le1, "<S>", "</S>")),
+        " ")
+    return j.select("conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred",
+                    example.alias("example"))
+
+
 def _sql_kg_turns() -> str:
     """Base VALUES table for the temporal/grounding twins: one row per
     transcript turn (conv_id, turn_idx, role, tool, ts_us) derived
@@ -1750,6 +1887,106 @@ SELECT entity_id,
        count(DISTINCT conv_id)::BIGINT AS n_convs,
        count(*)::BIGINT AS n_mentions
 FROM ev GROUP BY entity_id
+"""
+
+
+def _sql_kg_path_2hop() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS ({kg["kg_graph_edges"]}),
+cl AS (SELECT DISTINCT src_id AS a, dst_id AS c, 1 AS closed FROM e),
+p AS (SELECT e1.pred AS pred1, e2.pred AS pred2, e1.src_id AS a,
+             e1.dst_id AS b, e2.dst_id AS c,
+             least(e1.weight, e2.weight) AS w
+      FROM e e1 JOIN e e2 ON e1.dst_id = e2.src_id
+      WHERE e1.src_id <> e2.dst_id)
+SELECT pred1, pred2,
+       count(*)::BIGINT AS n_paths,
+       count(DISTINCT b)::BIGINT AS n_mid,
+       sum(w)::BIGINT AS support,
+       sum(coalesce(cl.closed, 0))::BIGINT AS n_closed
+FROM p LEFT JOIN cl ON p.a = cl.a AND p.c = cl.c
+GROUP BY pred1, pred2
+"""
+
+
+def _sql_kg_snapshot_delta() -> str:
+    from .oracle_values import N_KG_CONVS
+
+    cutoff = f"c{N_KG_CONVS // 2:08d}"
+    return f"""
+WITH {_sql_resolved_sites()},
+agg AS (SELECT src_id, dst_id, pred,
+               sum(CASE WHEN conv_id < '{cutoff}' THEN 1 ELSE 0 END)::BIGINT
+                 AS support_old,
+               sum(CASE WHEN conv_id >= '{cutoff}' THEN 1 ELSE 0 END)::BIGINT
+                 AS support_new
+        FROM res GROUP BY src_id, dst_id, pred)
+SELECT src_id, dst_id, pred, support_old, support_new,
+       CASE WHEN support_old = 0 THEN 'new'
+            WHEN support_new = 0 THEN 'stable'
+            ELSE 'grown' END AS status
+FROM agg
+"""
+
+
+def _sql_kg_turn_words() -> str:
+    """VALUES table (conv_id, turn_idx, words_txt) for the RE-example
+    twin: the per-turn word sequence after PTB unescape, single-space
+    joined (words are whitespace-split so the join is lossless), computed
+    straight from the deterministic corpus by the same pure tokenizer the
+    oracle pipeline uses — DuckDB re-splits on ' '."""
+    from . import synth
+    from .oracle_values import N_KG_CONVS
+    from .tokenizer import split_words
+
+    turns, _gm, _gr = synth.local_corpus(N_KG_CONVS)
+    body = ",\n".join(
+        "('{}', {}, '{}')".format(
+            c, t, " ".join(split_words(text)).replace("'", "''"))
+        for c, t, _role, text, _tool, _ts in turns
+    )
+    return (
+        "SELECT c0 AS conv_id, c1::INTEGER AS turn_idx, c2 AS words_txt "
+        f"FROM (VALUES\n{body}\n) t(c0, c1, c2)"
+    )
+
+
+def _sql_kg_re_examples() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    # 1-based inclusive local span bounds, as in the Spark side; the two
+    # span orders are symmetric CASE branches; DuckDB list slices are
+    # 1-based inclusive and empty when lo > hi — same as F.slice with the
+    # greatest(0, …) length guard.
+    return f"""
+WITH t AS ({kg["kg_triples"]}),
+tu AS ({_sql_kg_turn_words()}),
+tw AS (SELECT conv_id, turn_idx, string_split(words_txt, ' ') AS ws,
+              coalesce(sum(len(string_split(words_txt, ' ')))
+                OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS off
+       FROM tu),
+j AS (SELECT t.conv_id, t.turn_idx, t.s1, t.e1, t.s2, t.e2, t.pred, tw.ws,
+             t.s1 - tw.off + 1 AS ls1, t.e1 - tw.off + 1 AS le1,
+             t.s2 - tw.off + 1 AS ls2, t.e2 - tw.off + 1 AS le2,
+             len(tw.ws) AS n
+      FROM t JOIN tw ON t.conv_id = tw.conv_id AND t.turn_idx = tw.turn_idx)
+SELECT conv_id, turn_idx, s1, e1, s2, e2, pred,
+       array_to_string(CASE WHEN ls1 < ls2 THEN
+         flatten([ws[1:ls1-1], ['<S>'], ws[ls1:le1], ['</S>'],
+                  ws[le1+1:ls2-1], ['<O>'], ws[ls2:le2], ['</O>'],
+                  ws[le2+1:n]])
+       ELSE
+         flatten([ws[1:ls2-1], ['<O>'], ws[ls2:le2], ['</O>'],
+                  ws[le2+1:ls1-1], ['<S>'], ws[ls1:le1], ['</S>'],
+                  ws[le1+1:n]])
+       END, ' ') AS example
+FROM j
 """
 
 
@@ -2355,6 +2592,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_temporal": q_kg_edge_temporal,
         "kg_edge_grounding": q_kg_edge_grounding,
         "kg_entity_activity": q_kg_entity_activity,
+        # --- session-5 KG completion / incremental / training-data rows
+        # (never driver-verified; displace zipf_slope / pq_ann_topk /
+        # retention_cohorts past the window — those stay pytest-gated) ---
+        "kg_path_2hop": q_kg_path_2hop,
+        "kg_snapshot_delta": q_kg_snapshot_delta,
+        "kg_re_examples": q_kg_re_examples,
         "kg_triples_levpair": q_kg_triples_levpair,
         "kg_mentions_roberta": q_kg_mentions_roberta,
         "kg_triples_unidirect": q_kg_triples_unidirect,
@@ -2389,13 +2632,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_ann_topk": _q_sq_ann_topk,
         "wordpiece_train": DATAOPS_QUERIES["wordpiece_train"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
-        "zipf_slope": DATAOPS_QUERIES["zipf_slope"],
-        "pq_ann_topk": _q_pq_ann_topk,
-        "retention_cohorts": q_retention_cohorts,
     }
     assert len(head) == 50, f"driver window misaligned: {len(head)}"
     return {
         **head,
+        # displaced by the session-5 KG rows (flagship family outranks
+        # them for the driver window; all three stay pytest-gated)
+        "zipf_slope": DATAOPS_QUERIES["zipf_slope"],
+        "pq_ann_topk": _q_pq_ann_topk,
+        "retention_cohorts": q_retention_cohorts,
         # past the window: all green in CORRECTNESS_r04.json, still in
         # the full pytest oracle gate
         "sessionize": q_sessionize,
@@ -2506,6 +2751,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_temporal": _sql_kg_edge_temporal(),
         "kg_edge_grounding": _sql_kg_edge_grounding(),
         "kg_entity_activity": _sql_kg_entity_activity(),
+        "kg_path_2hop": _sql_kg_path_2hop(),
+        "kg_snapshot_delta": _sql_kg_snapshot_delta(),
+        "kg_re_examples": _sql_kg_re_examples(),
         **_kg_sqls(),
     }
 

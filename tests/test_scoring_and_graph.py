@@ -206,3 +206,74 @@ def test_negative_samples_and_cooccur_invariants(spark):
         assert n_ab == pair[k]
         assert abs(pmi - math.log(n_convs * n_ab
                                   / (marg[k[0]] * marg[k[1]]))) < 1e-6
+
+
+def test_path_snapshot_example_invariants(spark):
+    """Cross-consistency of the session-5 KG completion / incremental /
+    training-data rows: 2-hop path stats re-derive from a python wedge
+    walk over the edge list; snapshot-delta supports partition provenance
+    support exactly; and stripping the <S>/<O> markers from every RE
+    example reproduces the evidence turn's words verbatim (the P11
+    per-turn text-equality invariant, extended through the example
+    generator)."""
+    import collections
+
+    from pl_marker_spark.queries_catalog import (
+        _pipeline_outputs,
+        q_kg_graph_edges,
+        q_kg_path_2hop,
+        q_kg_re_examples,
+        q_kg_snapshot_delta,
+        q_kg_triple_provenance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [(r.src_id, r.dst_id, r.pred, r.weight)
+             for r in q_kg_graph_edges(spark, sf).collect()]
+    by_src = collections.defaultdict(list)
+    for s, d, p, w in edges:
+        by_src[s].append((d, p, w))
+    pair_set = {(s, d) for s, d, _p, _w in edges}
+    expect = collections.defaultdict(lambda: [0, set(), 0, 0])
+    for a, b, p1, w1 in edges:
+        for c, p2, w2 in by_src[b]:
+            if a == c:
+                continue
+            st = expect[(p1, p2)]
+            st[0] += 1
+            st[1].add(b)
+            st[2] += min(w1, w2)
+            st[3] += 1 if (a, c) in pair_set else 0
+    got = {(r.pred1, r.pred2): (r.n_paths, r.n_mid, r.support, r.n_closed)
+           for r in q_kg_path_2hop(spark, sf).collect()}
+    assert got == {k: (v[0], len(v[1]), v[2], v[3])
+                   for k, v in expect.items()}
+
+    prov = {(r.src_id, r.dst_id, r.pred): r.support
+            for r in q_kg_triple_provenance(spark, sf).collect()}
+    delta = q_kg_snapshot_delta(spark, sf).collect()
+    assert {(r.src_id, r.dst_id, r.pred) for r in delta} == set(prov)
+    for r in delta:
+        assert r.support_old + r.support_new == prov[(r.src_id, r.dst_id,
+                                                      r.pred)]
+        assert r.status == ("new" if r.support_old == 0 else
+                            "stable" if r.support_new == 0 else "grown")
+
+    out = _pipeline_outputs(spark, sf)
+    words = {(r.conv_id, r.turn_idx): list(r.words)
+             for r in out["turns_tok"].select(
+                 "conv_id", "turn_idx", "words").collect()}
+    triples = out["triples"].count()
+    ex = q_kg_re_examples(spark, sf).collect()
+    assert len(ex) == triples
+    for r in ex:
+        toks = r.example.split(" ")
+        assert toks.count("<S>") == toks.count("</S>") == 1
+        assert toks.count("<O>") == toks.count("</O>") == 1
+        stripped = [t for t in toks
+                    if t not in ("<S>", "</S>", "<O>", "</O>")]
+        assert stripped == words[(r.conv_id, r.turn_idx)]
+        i1, j1 = toks.index("<S>"), toks.index("</S>")
+        i2, j2 = toks.index("<O>"), toks.index("</O>")
+        assert i1 < j1 and i2 < j2
+        assert j1 < i2 or j2 < i1  # spans never interleave
