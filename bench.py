@@ -123,6 +123,16 @@ def main() -> None:
         extras["n_convs"] = n_convs
         extras["triples_per_sec"] = round(n_triples / dt, 2)
         extras["turns_per_sec"] = round(n_turns / dt, 2)
+
+        # distant-supervision RE-example generation over the at-scale
+        # outputs (one conv/turn-keyed join + per-conv window cumsum +
+        # slice/flatten marker algebra; no explode — output rows ==
+        # triples). Times the training-data payoff leg of the KG.
+        t0 = time.time()
+        n_ex = queries_catalog.re_examples_from(
+            out["triples"], out["turns_tok"]).count()
+        timings["kg_re_examples_at_scale"] = round(time.time() - t0, 3)
+        extras["re_examples_rows"] = n_ex
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

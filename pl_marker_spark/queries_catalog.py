@@ -1747,10 +1747,17 @@ def q_kg_re_examples(spark, sf_dir):
     narrow (words) projection of the corpus scan — shuffle bounded by
     |triples| + |turns|, never words exploded."""
     out = _pipeline_outputs(spark, sf_dir)
-    t = out["triples"].select(
+    return re_examples_from(out["triples"], out["turns_tok"])
+
+
+def re_examples_from(triples: DataFrame, turns_tok: DataFrame) -> DataFrame:
+    """The marker-example generator over arbitrary pipeline outputs —
+    see q_kg_re_examples for semantics; bench.py times this over the
+    at-scale e2e outputs."""
+    t = triples.select(
         "conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred")
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    tw = out["turns_tok"].select(
+    tw = turns_tok.select(
         "conv_id", "turn_idx", "words",
         (F.sum(F.size("words")).over(w) - F.size("words")).alias("off"))
     j = t.join(tw, ["conv_id", "turn_idx"], "inner")
