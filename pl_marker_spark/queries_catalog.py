@@ -1789,6 +1789,86 @@ def re_examples_from(triples: DataFrame, turns_tok: DataFrame) -> DataFrame:
                     example.alias("example"))
 
 
+def q_kg_ner_examples(spark, sf_dir):
+    """Sequence-labeling training export — the NER twin of
+    q_kg_re_examples: every turn re-emitted as `word/TAG` IOB2 text, tags
+    derived from the pipeline's extracted mentions. Cross-type mention
+    overlaps survive suppression (13 pairs in this corpus), so tags are
+    resolved at the WORD level: each word takes the covering mention with
+    the highest (1e-6-rounded) score, ties to the leftmost-longest span —
+    then B/I is REPAIRED by a lag compare (a word opens B- iff the
+    previous word's winning mention differs), so shadowed mentions can't
+    emit I- without a B-.
+
+    All relational, both engines: mention spans explode to covered
+    positions (bounded by span length ≤ max_span, never a words×mentions
+    product), words posexplode with the P4-style offset cumsum, winner =
+    max_by over a (score, -start, -end) struct, tag via lag window,
+    re-assembled with a sorted collect per turn. At 100 TB the only
+    per-word state is the turn-local window — no global sort, shuffles
+    keyed on (conv, turn)."""
+    out = _pipeline_outputs(spark, sf_dir)
+    m = out["mentions"].select(
+        "conv_id", "turn_idx", "start", "end", "label",
+        F.round("score", 6).alias("score"))
+    cov = m.select(
+        "conv_id", "turn_idx", "start", "end", "label", "score",
+        F.explode(F.sequence("start", "end")).alias("idx"))
+    win = cov.groupBy("conv_id", "turn_idx", "idx").agg(
+        F.max_by(
+            F.struct("start", "end", "label"),
+            F.struct(F.col("score").alias("s"),
+                     (-F.col("start")).alias("ns"),
+                     F.col("end").alias("e")),
+        ).alias("wm"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tw = out["turns_tok"].select(
+        "conv_id", "turn_idx", "words",
+        (F.sum(F.size("words")).over(w) - F.size("words")).alias("off"))
+    wd = tw.select(
+        "conv_id", "turn_idx", "off",
+        F.posexplode("words").alias("pos", "word"),
+    ).withColumn("idx", F.col("off") + F.col("pos"))
+    j = wd.join(win, ["conv_id", "turn_idx", "idx"], "left")
+    wlag = Window.partitionBy("conv_id", "turn_idx").orderBy("idx")
+    key = F.when(
+        F.col("wm").isNotNull(),
+        F.concat_ws(":", "wm.start", "wm.end", "wm.label"))
+    tag = (F.when(F.col("wm").isNull(), F.lit("O"))
+           .when(F.lag(key).over(wlag).eqNullSafe(key),
+                 F.concat(F.lit("I-"), F.col("wm.label")))
+           .otherwise(F.concat(F.lit("B-"), F.col("wm.label"))))
+    tagged = j.select(
+        "conv_id", "turn_idx", "idx",
+        F.concat(F.col("word"), F.lit("/"), tag).alias("tk"))
+    return tagged.groupBy("conv_id", "turn_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tk"))),
+                lambda s: s["tk"]),
+            " ").alias("tagged"))
+
+
+def q_tool_transitions(spark, sf_dir):
+    """Agent-transcript tool-sequence mining: the first-order Markov
+    transition table over consecutive TOOL turns within a conversation —
+    which tool follows which, how often, across how many conversations.
+    The `tool` column of the north-rule transcript schema as behavioral
+    analytics (drives tool-chain templates and anomaly detection over
+    agent logs). One (conv)-keyed lead window over the role='tool'
+    projection, then a map-side-combinable pair agg — no self-join."""
+    out = _pipeline_outputs(spark, sf_dir)
+    tm = out["turns_tok"].select("conv_id", "turn_idx", "role", "tool")
+    tools = tm.filter(F.col("role") == "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = tools.select(
+        "conv_id", "tool", F.lead("tool").over(w).alias("next_tool"))
+    return (seq.filter(F.col("next_tool").isNotNull())
+            .groupBy("tool", "next_tool")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.countDistinct("conv_id").cast("long").alias("n_convs")))
+
+
 def _sql_kg_turns() -> str:
     """Base VALUES table for the temporal/grounding twins: one row per
     transcript turn (conv_id, turn_idx, role, tool, ts_us) derived
@@ -1994,6 +2074,72 @@ SELECT conv_id, turn_idx, s1, e1, s2, e2, pred,
                   ws[le1+1:n]])
        END, ' ') AS example
 FROM j
+"""
+
+
+def _sql_kg_ner_examples() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    # Same word-level winner resolution as the Spark side: per covered
+    # position, rank mentions by (score DESC, start ASC, end ASC), keep
+    # rank 1; B/I repaired by a lag compare on the winning span key.
+    return f"""
+WITH m AS ({kg["kg_mentions"]}),
+tu AS ({_sql_kg_turn_words()}),
+tw AS (SELECT conv_id, turn_idx, string_split(words_txt, ' ') AS ws,
+              coalesce(sum(len(string_split(words_txt, ' ')))
+                OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS off
+       FROM tu),
+wd AS (SELECT conv_id, turn_idx, off + u[2] - 1 AS idx, u[1] AS word
+       FROM (SELECT conv_id, turn_idx, off,
+                    unnest(list_zip(ws, range(1, len(ws) + 1))) AS u
+             FROM tw)),
+cov AS (SELECT conv_id, turn_idx, "start", "end", label, score,
+               unnest(generate_series("start", "end")) AS idx
+        FROM m),
+win AS (SELECT conv_id, turn_idx, idx, "start", "end", label
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx, idx
+                ORDER BY score DESC, "start" ASC, "end" DESC) AS rn
+              FROM cov)
+        WHERE rn = 1),
+j AS (SELECT wd.conv_id, wd.turn_idx, wd.idx, wd.word,
+             win.label,
+             CASE WHEN win.label IS NULL THEN NULL
+                  ELSE win."start" || ':' || win."end" || ':' || win.label
+             END AS wkey
+      FROM wd LEFT JOIN win
+        ON wd.conv_id = win.conv_id AND wd.turn_idx = win.turn_idx
+       AND wd.idx = win.idx),
+tagged AS (SELECT conv_id, turn_idx, idx, word,
+                  CASE WHEN wkey IS NULL THEN 'O'
+                       WHEN lag(wkey) OVER (
+                           PARTITION BY conv_id, turn_idx ORDER BY idx)
+                         IS NOT DISTINCT FROM wkey THEN 'I-' || label
+                       ELSE 'B-' || label END AS tag
+           FROM j)
+SELECT conv_id, turn_idx,
+       string_agg(word || '/' || tag, ' ' ORDER BY idx) AS tagged
+FROM tagged GROUP BY conv_id, turn_idx
+"""
+
+
+def _sql_tool_transitions() -> str:
+    return f"""
+WITH tu AS ({_sql_kg_turns()}),
+tools AS (SELECT conv_id, turn_idx, tool FROM tu WHERE role = 'tool'),
+seq AS (SELECT conv_id, tool,
+               lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                 AS next_tool
+        FROM tools)
+SELECT tool, next_tool,
+       count(*)::BIGINT AS n,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM seq WHERE next_tool IS NOT NULL
+GROUP BY tool, next_tool
 """
 
 
@@ -2648,6 +2794,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": DATAOPS_QUERIES["zipf_slope"],
         "pq_ann_topk": _q_pq_ann_topk,
         "retention_cohorts": q_retention_cohorts,
+        # session-5 training-export + agent-analytics rows (past the
+        # window this round; full pytest oracle gate covers them)
+        "kg_ner_examples": q_kg_ner_examples,
+        "tool_transitions": q_tool_transitions,
         # past the window: all green in CORRECTNESS_r04.json, still in
         # the full pytest oracle gate
         "sessionize": q_sessionize,
@@ -2761,6 +2911,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_2hop": _sql_kg_path_2hop(),
         "kg_snapshot_delta": _sql_kg_snapshot_delta(),
         "kg_re_examples": _sql_kg_re_examples(),
+        "kg_ner_examples": _sql_kg_ner_examples(),
+        "tool_transitions": _sql_tool_transitions(),
         **_kg_sqls(),
     }
 

@@ -277,3 +277,90 @@ def test_path_snapshot_example_invariants(spark):
         i2, j2 = toks.index("<O>"), toks.index("</O>")
         assert i1 < j1 and i2 < j2
         assert j1 < i2 or j2 < i1  # spans never interleave
+
+
+def test_ner_examples_and_tool_transitions_invariants(spark):
+    """The BIO export strips back to the turn words verbatim (P11 again);
+    every reconstructed B/I run lies inside an extracted mention with the
+    same label (word-level shadowing can truncate but never relabel or
+    extend); every mention that overlaps no other mention surfaces as an
+    exact full run. Tool transitions re-derive from a python walk of the
+    corpus."""
+    import collections
+
+    from pl_marker_spark import synth
+    from pl_marker_spark.oracle_values import N_KG_CONVS
+    from pl_marker_spark.queries_catalog import (
+        _pipeline_outputs,
+        q_kg_ner_examples,
+        q_tool_transitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = _pipeline_outputs(spark, sf)
+    words = {(r.conv_id, r.turn_idx): list(r.words)
+             for r in out["turns_tok"].select(
+                 "conv_id", "turn_idx", "words").collect()}
+    offs = {}
+    by_conv = collections.defaultdict(list)
+    for (c, t) in words:
+        by_conv[c].append(t)
+    for c, ts in by_conv.items():
+        off = 0
+        for t in sorted(ts):
+            offs[(c, t)] = off
+            off += len(words[(c, t)])
+    mentions = collections.defaultdict(list)
+    for r in out["mentions"].collect():
+        mentions[(r.conv_id, r.turn_idx)].append((r.start, r.end, r.label))
+
+    rows = q_kg_ner_examples(spark, sf).collect()
+    assert {(r.conv_id, r.turn_idx) for r in rows} == set(words)
+    for r in rows:
+        toks = r.tagged.split(" ")
+        ws, tags = zip(*(t.rsplit("/", 1) for t in toks))
+        assert list(ws) == words[(r.conv_id, r.turn_idx)]
+        off = offs[(r.conv_id, r.turn_idx)]
+        runs, cur = [], None
+        for i, tg in enumerate(tags):
+            if tg.startswith("B-"):
+                if cur:
+                    runs.append(cur)
+                cur = [off + i, off + i, tg[2:]]
+            elif tg.startswith("I-"):
+                assert cur is not None and cur[2] == tg[2:], r.tagged
+                cur[1] = off + i
+            else:
+                assert tg == "O"
+                if cur:
+                    runs.append(cur)
+                cur = None
+        if cur:
+            runs.append(cur)
+        ms = mentions[(r.conv_id, r.turn_idx)]
+        for s, e, lab in runs:
+            assert any(m_s <= s and e <= m_e and m_l == lab
+                       for m_s, m_e, m_l in ms), (r.conv_id, r.turn_idx,
+                                                  s, e, lab)
+        run_set = {(s, e, l) for s, e, l in runs}
+        for m_s, m_e, m_l in ms:
+            clash = any(not (o_e < m_s or m_e < o_s)
+                        for o_s, o_e, _ in ms if (o_s, o_e) != (m_s, m_e))
+            if not clash:
+                assert (m_s, m_e, m_l) in run_set
+
+    turns, _gm, _gr = synth.local_corpus(N_KG_CONVS)
+    seqs = collections.defaultdict(list)
+    for c, t, role, _text, tool, _ts in sorted(turns,
+                                               key=lambda x: (x[0], x[1])):
+        if role == "tool":
+            seqs[c].append(tool)
+    expect_n = collections.Counter()
+    expect_convs = collections.defaultdict(set)
+    for c, seq in seqs.items():
+        for a, b in zip(seq, seq[1:]):
+            expect_n[(a, b)] += 1
+            expect_convs[(a, b)].add(c)
+    got = {(r.tool, r.next_tool): (r.n, r.n_convs)
+           for r in q_tool_transitions(spark, sf).collect()}
+    assert got == {k: (v, len(expect_convs[k])) for k, v in expect_n.items()}
