@@ -2704,14 +2704,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .queries_dataops import DATAOPS_QUERIES
 
     # Ordering matters: the driver verifies at most the FIRST 50 entries in
-    # dict-iteration order. Window policy (round 5, session 4): [1-12]
-    # flagship kg_* rows incl. the four session-4 KG materialization rows
-    # (mention_entity / alias / provenance / conf); [13-28] real-weights
-    # variants + dedup/ANN + multimodal + coref (no driver record in r04 —
-    # must land in r05); [29-50] every other round-5 row that has never
-    # been driver-verified (bpe/bloom/kcore/labelprop/span-merge/
-    # containment/weighted-sample/unigram/hist/PMI/bigram+KN LM/SQ+PQ/
-    # wordpiece/jsd/zipf/retention). Demotion policy: merge-law variants
+    # dict-iteration order. Window policy (round 5 final): flagship kg_*
+    # rows first (incl. every session-4/5 KG materialization, temporal,
+    # completion and training-export row — none driver-verified before
+    # r05), then real-weights variants + dedup/ANN + multimodal + coref
+    # (no driver record in r04 — must land in r05), then every other
+    # round-5 row that has never been driver-verified. r03-green ablations
+    # (levpair/roberta/unidirect) sit just past the window — the official
+    # record already covers them. Demotion policy: merge-law variants
     # (hist_merge, bloom_merge — joining hll_merge/cms_merge) and
     # compositions whose parts are both inside (ivf_sq_topk) sit past the
     # window with the r04-green refreshers (o8, o13); all stay covered by
@@ -2751,9 +2751,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_2hop": q_kg_path_2hop,
         "kg_snapshot_delta": q_kg_snapshot_delta,
         "kg_re_examples": q_kg_re_examples,
-        "kg_triples_levpair": q_kg_triples_levpair,
-        "kg_mentions_roberta": q_kg_mentions_roberta,
-        "kg_triples_unidirect": q_kg_triples_unidirect,
+        # --- session-5 training-export + agent-analytics rows (never
+        # driver-verified; displace the levpair/roberta/unidirect ablations
+        # past the window — all three are green in CORRECTNESS_r03.json so
+        # the official record already covers them) ---
+        "kg_ner_examples": q_kg_ner_examples,
+        "tool_transitions": q_tool_transitions,
+        "pq_ann_topk": _q_pq_ann_topk,
         "semdedup": _q_semdedup,
         "multimodal_resize": q_multimodal_resize,
         "o17_coref_conll": q_o17_coref_conll,
@@ -2790,14 +2794,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **head,
         # displaced by the session-5 KG rows (flagship family outranks
-        # them for the driver window; all three stay pytest-gated)
+        # them for the driver window; all stay pytest-gated)
         "zipf_slope": DATAOPS_QUERIES["zipf_slope"],
-        "pq_ann_topk": _q_pq_ann_topk,
         "retention_cohorts": q_retention_cohorts,
-        # session-5 training-export + agent-analytics rows (past the
-        # window this round; full pytest oracle gate covers them)
-        "kg_ner_examples": q_kg_ner_examples,
-        "tool_transitions": q_tool_transitions,
+        # r03-green ablation variants, displaced by the session-5
+        # training-export rows (official driver record already covers
+        # them; full pytest oracle gate still does)
+        "kg_triples_levpair": q_kg_triples_levpair,
+        "kg_mentions_roberta": q_kg_mentions_roberta,
+        "kg_triples_unidirect": q_kg_triples_unidirect,
         # past the window: all green in CORRECTNESS_r04.json, still in
         # the full pytest oracle gate
         "sessionize": q_sessionize,
