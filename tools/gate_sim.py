@@ -1,0 +1,75 @@
+"""Driver-gate simulation: every queries() entry vs its oracle_sql() twin
+at sf0.01, rows+schema+hash, written as a CORRECTNESS-style JSON.
+
+The driver only checks the first 50 queries() entries; this runs ALL of
+them (119 as of round 5) under the same compare discipline (column sort
+by name, float round-6, row sort), so the full catalog has a local
+driver-equivalent record. Run from the repo root:
+
+    PYTHONPATH=. python tools/gate_sim.py [SF_DIR] [OUT_JSON]
+
+Exit status 1 if any twin mismatches."""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+from pl_marker_spark import queries_catalog as qc
+from pl_marker_spark.session import get_spark
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    os.path.dirname(__file__), "gate_sim.json")
+spark = get_spark()
+spark.sparkContext.setLogLevel("ERROR")
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+
+def norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    return v
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+out = {}
+qs = qc.queries()
+oracles = qc.oracle_sql()
+for name in qs:
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "err": None}
+    try:
+        sdf = qs[name](spark, SF)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        rec["spark_rows"] = len(srows)
+        rec["oracle_rows"] = len(drows)
+        rec["rows_match"] = len(srows) == len(drows)
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
+        rec["hash_match"] = canon(srows, scols) == canon(drows, dcols)
+    except Exception as exc:  # noqa: BLE001
+        rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+    out[name] = rec
+    ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+    print(("PASS" if ok else "FAIL"), name, rec.get("spark_rows"),
+          rec["err"] or "", flush=True)
+
+with open(OUT, "w") as f:
+    json.dump(out, f, indent=1)
+bad = [k for k, v in out.items()
+       if not (v["rows_match"] and v["schema_match"] and v["hash_match"])]
+print("TOTAL", len(out), "BAD", len(bad), bad)
+sys.exit(1 if bad else 0)
