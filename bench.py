@@ -133,6 +133,14 @@ def main() -> None:
             out["triples"], out["turns_tok"]).count()
         timings["kg_re_examples_at_scale"] = round(time.time() - t0, 3)
         extras["re_examples_rows"] = n_ex
+
+        # N-Triples interchange export over the at-scale graph (map-only
+        # string assembly over nodes/edges; the serialization a triple
+        # store ingests).
+        t0 = time.time()
+        nt = queries_catalog.ntriples_from(out["nodes"], out["edges"])
+        nt.write.format("noop").mode("overwrite").save()
+        timings["kg_export_ntriples_at_scale"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

@@ -1345,7 +1345,13 @@ def q_kg_export_ntriples(spark, sf_dir):
     Oracle: the DuckDB twin assembles the same grammar over the VALUES
     nodes/edges twins with the same escape chain."""
     out = _pipeline_outputs(spark, sf_dir)
-    n, e = out["nodes"], out["edges"]
+    return ntriples_from(out["nodes"], out["edges"])
+
+
+def ntriples_from(n: DataFrame, e: DataFrame) -> DataFrame:
+    """N-Triples statement table from any (nodes, edges) pair — the
+    grammar core shared by the gated catalog query and the at-scale
+    bench leg over the flagship pipeline's outputs."""
     subj = F.concat(F.lit("<urn:kg:e:"),
                     F.col("entity_id").cast("string"), F.lit(">"))
     lab = n.select(
