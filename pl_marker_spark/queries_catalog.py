@@ -1507,6 +1507,45 @@ def q_kg_schema_stats(spark, sf_dir):
     )
 
 
+def q_kg_type_violations(spark, sf_dir):
+    """Constraint VALIDATION over the extracted triples (the SHACL-style
+    QA pass a production KG pipeline runs after schema induction): each
+    predicate's licensed (domain, range) is induced as its dominant
+    (subj_type, obj_type) pair — max support, then lexicographic
+    tie-break — and every observed type pair is flagged against it, with
+    its share of the predicate's mass. Distinct from kg_schema_stats:
+    that row PROFILES P(pred | pair); this one derives the per-predicate
+    constraint and routes the violating mass, i.e. the report a data-QA
+    gate consumes. Plan: one map-side-combinable groupBy to the
+    O(|preds|·|types|²) census, two windows partitioned by pred over
+    that aggregate — nothing corpus-scale past the first combine."""
+    t = _pipeline_outputs(spark, sf_dir)["triples"]
+    census = t.groupBy("pred", "subj_type", "obj_type").agg(
+        F.count("*").alias("n"))
+    w_lic = Window.partitionBy("pred").orderBy(
+        F.desc("n"), F.asc("subj_type"), F.asc("obj_type"))
+    w_tot = Window.partitionBy("pred")
+    ranked = census.withColumn("rk", F.row_number().over(w_lic))
+    lic = ranked.filter(F.col("rk") == 1).select(
+        "pred", F.col("subj_type").alias("lic_subj"),
+        F.col("obj_type").alias("lic_obj"))
+    return (census
+            .withColumn("pred_total", F.sum("n").over(w_tot))
+            .join(F.broadcast(lic), "pred")
+            .select(
+                "pred", "subj_type", "obj_type",
+                F.col("n").cast("long").alias("n"),
+                F.col("pred_total").cast("long").alias("pred_total"),
+                "lic_subj", "lic_obj",
+                ((F.col("subj_type") != F.col("lic_subj"))
+                 | (F.col("obj_type") != F.col("lic_obj")))
+                .cast("boolean").alias("is_violation"),
+                F.round(F.col("n").cast("double")
+                        / F.col("pred_total").cast("double"), 6)
+                .alias("share"),
+            ))
+
+
 NEG_SAMPLES_K = 4
 
 
@@ -2312,6 +2351,29 @@ FROM per
 """
 
 
+def _sql_kg_type_violations() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH t AS ({kg["kg_triples"]}),
+census AS (SELECT pred, subj_type, obj_type, count(*)::BIGINT AS n
+           FROM t GROUP BY pred, subj_type, obj_type),
+lic AS (SELECT pred, subj_type AS lic_subj, obj_type AS lic_obj
+        FROM (SELECT pred, subj_type, obj_type,
+                     row_number() OVER (PARTITION BY pred
+                        ORDER BY n DESC, subj_type ASC, obj_type ASC) AS rk
+              FROM census) WHERE rk = 1),
+tot AS (SELECT pred, sum(n)::BIGINT AS pred_total FROM census GROUP BY pred)
+SELECT c.pred, c.subj_type, c.obj_type, c.n, tot.pred_total,
+       lic.lic_subj, lic.lic_obj,
+       (c.subj_type <> lic.lic_subj OR c.obj_type <> lic.lic_obj)
+         AS is_violation,
+       round(c.n::DOUBLE / tot.pred_total::DOUBLE, 6) AS share
+FROM census c JOIN lic USING (pred) JOIN tot USING (pred)
+"""
+
+
 def _sql_kg_export_ntriples() -> str:
     """Twin of q_kg_export_ntriples: the same N-Triples grammar assembled
     with DuckDB string concatenation. The ECHAR chain mirrors _nt_escape
@@ -2909,6 +2971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
         "zipf_slope": DATAOPS_QUERIES["zipf_slope"],
         "retention_cohorts": q_retention_cohorts,
+        # session-6 KG validation row (new; gate_sim + pytest cover it)
+        "kg_type_violations": q_kg_type_violations,
         # r03-green ablation variants, displaced by the session-5
         # training-export rows (official driver record already covers
         # them; full pytest oracle gate still does)
@@ -3021,6 +3085,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triple_conf": _sql_kg_triple_conf(),
         "kg_link_predict": _sql_kg_link_predict(),
         "kg_schema_stats": _sql_kg_schema_stats(),
+        "kg_type_violations": _sql_kg_type_violations(),
         "kg_negative_samples": _sql_kg_negative_samples(),
         "kg_entity_cooccur": _sql_kg_entity_cooccur(),
         "kg_edge_temporal": _sql_kg_edge_temporal(),

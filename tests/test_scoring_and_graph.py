@@ -158,6 +158,45 @@ def test_provenance_alias_conf_invariants(spark):
         assert abs(r.conf - expect) < 1e-6
 
 
+def test_type_violations_invariants(spark):
+    """kg_type_violations is a consistent QA report: per-pred totals
+    equal the sum of pair supports, shares sum to 1, the licensed pair
+    is the pred's max-support pair (lexicographic tie-break), exactly
+    the licensed row is non-violating, and the census covers exactly
+    the (pred, pair) set of the triples table."""
+    from collections import defaultdict
+
+    from pl_marker_spark.queries_catalog import (
+        q_kg_triples,
+        q_kg_type_violations,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_kg_type_violations(spark, sf).collect()
+    triples = q_kg_triples(spark, sf).collect()
+
+    census: dict = defaultdict(int)
+    for t in triples:
+        census[(t.pred, t.subj_type, t.obj_type)] += 1
+    assert {(r.pred, r.subj_type, r.obj_type) for r in rows} == set(census)
+
+    by_pred: dict = defaultdict(list)
+    for r in rows:
+        assert r.n == census[(r.pred, r.subj_type, r.obj_type)]
+        by_pred[r.pred].append(r)
+    for pred, rs in by_pred.items():
+        total = sum(r.n for r in rs)
+        assert all(r.pred_total == total for r in rs)
+        assert abs(sum(r.share for r in rs) - 1.0) < 1e-4
+        lic = min(rs, key=lambda r: (-r.n, r.subj_type, r.obj_type))
+        ok = [r for r in rs if not r.is_violation]
+        assert len(ok) == 1
+        assert (ok[0].subj_type, ok[0].obj_type) == (lic.subj_type,
+                                                     lic.obj_type)
+        assert all((r.lic_subj, r.lic_obj)
+                   == (lic.subj_type, lic.obj_type) for r in rs)
+
+
 def test_ntriples_export_invariants(spark):
     """kg_export_ntriples emits spec-valid RDF 1.1 N-Triples: the escape
     chain matches an independent python ECHAR encoder on adversarial
