@@ -1517,21 +1517,22 @@ def q_kg_type_violations(spark, sf_dir):
     that row PROFILES P(pred | pair); this one derives the per-predicate
     constraint and routes the violating mass, i.e. the report a data-QA
     gate consumes. Plan: one map-side-combinable groupBy to the
-    O(|preds|·|types|²) census, two windows partitioned by pred over
-    that aggregate — nothing corpus-scale past the first combine."""
+    O(|preds|·|types|²) census, then ALL constraint columns (licensed
+    pair via first() over the ordered full frame, predicate total) ride
+    one pred-partitioned window sort — a single exchange of the census,
+    no self-join back (the join formulation planned 3 extra exchanges;
+    the DuckDB twin keeps the join shape, so the gate also checks the
+    two formulations against each other)."""
     t = _pipeline_outputs(spark, sf_dir)["triples"]
     census = t.groupBy("pred", "subj_type", "obj_type").agg(
         F.count("*").alias("n"))
-    w_lic = Window.partitionBy("pred").orderBy(
-        F.desc("n"), F.asc("subj_type"), F.asc("obj_type"))
-    w_tot = Window.partitionBy("pred")
-    ranked = census.withColumn("rk", F.row_number().over(w_lic))
-    lic = ranked.filter(F.col("rk") == 1).select(
-        "pred", F.col("subj_type").alias("lic_subj"),
-        F.col("obj_type").alias("lic_obj"))
+    full = Window.partitionBy("pred").orderBy(
+        F.desc("n"), F.asc("subj_type"), F.asc("obj_type")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
     return (census
-            .withColumn("pred_total", F.sum("n").over(w_tot))
-            .join(F.broadcast(lic), "pred")
+            .withColumn("pred_total", F.sum("n").over(full))
+            .withColumn("lic_subj", F.first("subj_type").over(full))
+            .withColumn("lic_obj", F.first("obj_type").over(full))
             .select(
                 "pred", "subj_type", "obj_type",
                 F.col("n").cast("long").alias("n"),
