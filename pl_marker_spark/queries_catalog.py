@@ -1378,6 +1378,47 @@ def ntriples_from(n: DataFrame, e: DataFrame) -> DataFrame:
     return lab.unionByName(typ).unionByName(edg).unionByName(rej)
 
 
+def q_kg_ntriples_roundtrip(spark, sf_dir):
+    """Export → parse → reconstruct round-trip of the knowledge graph —
+    the serialization actually LOADS back (sources.read_ntriples is the
+    import half a triple store or a re-ingest run uses). The gated frame
+    is the reconstructed node table with in/out degrees from the
+    reconstructed edge set, so one hash pins subject/object id parsing,
+    predicate extraction, type-token extraction AND the literal
+    unescape (split-on-``\\\\`` / per-segment transform / re-join — the
+    order-free inversion of the exporter's ECHAR chain; sequential
+    replace would fabricate newlines from escaped backslashes).
+    Oracle: DuckDB assembles the SAME lines via the export twin, then
+    parses them with its own regexp_extract + string_split /
+    list_transform / array_to_string unescape — one grammar, two
+    independent parser implementations. Edge weights deliberately do
+    not round-trip: RDF graphs are triple SETS (multiplicity is not in
+    the model), so reconstruction is distinct-based on both engines.
+    Scale shape: parse is a map-only codegen regexp pass; degrees are
+    map-side-combinable counts; the label/type/degree joins all key on
+    entity_id."""
+    from .sources import graph_from_ntriples, read_ntriples
+
+    out = _pipeline_outputs(spark, sf_dir)
+    lines = (ntriples_from(out["nodes"], out["edges"])
+             .filter(F.col("kind") != "rejected_token").select("line"))
+    stmts = read_ntriples(spark, lines)
+    nodes, edges = graph_from_ntriples(stmts)
+    outd = edges.groupBy(F.col("src_id").alias("entity_id")).agg(
+        F.count("*").cast("long").alias("out_deg"))
+    ind = edges.groupBy(F.col("dst_id").alias("entity_id")).agg(
+        F.count("*").cast("long").alias("in_deg"))
+    return (nodes.join(outd, "entity_id", "left")
+            .join(ind, "entity_id", "left")
+            .select(F.col("entity_id").cast("long").alias("entity_id"),
+                    "canonical_name",
+                    F.coalesce("type", F.lit("")).alias("type"),
+                    F.coalesce("out_deg", F.lit(0)).cast("long")
+                     .alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).cast("long")
+                     .alias("in_deg")))
+
+
 def _resolved_triple_sites(out: dict) -> DataFrame:
     """Triples with their endpoints resolved to canonical entity ids —
     one row per extracted triple (conv_id, turn_idx, s1, e1, s2, e2, pred,
@@ -2413,6 +2454,71 @@ UNION ALL SELECT kind, line FROM rej
 """
 
 
+#: DuckDB (RE2) twins of sources._NT_*_LINE — single-space separators
+#: because both parsers consume the exporter's own output here. Raw
+#: strings: every backslash below is literal SQL text.
+_SQL_NT_LABEL_RE = r"'^<urn:kg:e:([0-9]+)> <urn:kg:p:label> \"((?:[^\"\\]|\\.)*)\" \.$'"
+_SQL_NT_TYPE_RE = (r"'^<urn:kg:e:([0-9]+)> "
+                   r"<http://www\.w3\.org/1999/02/22-rdf-syntax-ns#type> "
+                   r"<urn:kg:t:([A-Za-z0-9_-]+)> \.$'")
+_SQL_NT_EDGE_RE = (r"'^<urn:kg:e:([0-9]+)> <urn:kg:p:([A-Za-z0-9_-]+)> "
+                   r"<urn:kg:e:([0-9]+)> \.$'")
+
+
+def _sql_nt_unescape(expr: str) -> str:
+    """DuckDB mirror of sources.nt_unescape — the same split-on-'\\\\' /
+    per-segment replace / re-join-with-'\\' shape, so the twin gates two
+    independent implementations of the identical algebra."""
+    per_seg = (r"""x -> replace(replace(replace(replace(x, '\"', '"'), """
+               r"'\n', chr(10)), '\r', chr(13)), '\t', chr(9))")
+    # string_split's separator is a PLAIN string, so '\\' is the literal
+    # two-char escaped-backslash pair and '\' the single-backslash join
+    # delimiter.
+    return (r"array_to_string(list_transform(string_split(" + expr
+            + r", '\\'), " + per_seg + r"), '\')")
+
+
+def _sql_kg_ntriples_roundtrip() -> str:
+    """Twin of q_kg_ntriples_roundtrip: re-serialize via the export twin,
+    then parse with DuckDB's own regexp_extract + unescape and rebuild
+    the node/degree frame. Distinct-based reconstruction on both sides
+    (RDF set semantics)."""
+    unesc = _sql_nt_unescape(
+        f"regexp_extract(line, {_SQL_NT_LABEL_RE}, 2)")
+    return f"""
+WITH x AS ({_sql_kg_export_ntriples()}),
+lines AS (SELECT line FROM x WHERE kind <> 'rejected_token'),
+lab AS (SELECT DISTINCT
+               CAST(regexp_extract(line, {_SQL_NT_LABEL_RE}, 1) AS BIGINT)
+                 AS entity_id,
+               {unesc} AS canonical_name
+        FROM lines WHERE regexp_matches(line, {_SQL_NT_LABEL_RE})),
+typ AS (SELECT DISTINCT
+               CAST(regexp_extract(line, {_SQL_NT_TYPE_RE}, 1) AS BIGINT)
+                 AS entity_id,
+               regexp_extract(line, {_SQL_NT_TYPE_RE}, 2) AS type
+        FROM lines WHERE regexp_matches(line, {_SQL_NT_TYPE_RE})),
+edg AS (SELECT DISTINCT
+               CAST(regexp_extract(line, {_SQL_NT_EDGE_RE}, 1) AS BIGINT)
+                 AS src_id,
+               regexp_extract(line, {_SQL_NT_EDGE_RE}, 2) AS pred,
+               CAST(regexp_extract(line, {_SQL_NT_EDGE_RE}, 3) AS BIGINT)
+                 AS dst_id
+        FROM lines WHERE regexp_matches(line, {_SQL_NT_EDGE_RE})),
+outd AS (SELECT src_id AS entity_id, COUNT(*)::BIGINT AS out_deg
+         FROM edg GROUP BY 1),
+ind AS (SELECT dst_id AS entity_id, COUNT(*)::BIGINT AS in_deg
+        FROM edg GROUP BY 1)
+SELECT l.entity_id, l.canonical_name, COALESCE(t.type, '') AS type,
+       COALESCE(o.out_deg, 0)::BIGINT AS out_deg,
+       COALESCE(i.in_deg, 0)::BIGINT AS in_deg
+FROM lab l
+LEFT JOIN typ t USING (entity_id)
+LEFT JOIN outd o USING (entity_id)
+LEFT JOIN ind i USING (entity_id)
+"""
+
+
 def _sql_kg_triple_provenance() -> str:
     from .oracle_values import kg_oracle_sqls
 
@@ -2974,6 +3080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         # session-6 KG validation row (new; gate_sim + pytest cover it)
         "kg_type_violations": q_kg_type_violations,
+        # session-7 round-trip row: export → read_ntriples → reconstruct
+        # (the reader half of the N-Triples pair; gate_sim + pytest)
+        "kg_ntriples_roundtrip": q_kg_ntriples_roundtrip,
         # r03-green ablation variants, displaced by the session-5
         # training-export rows (official driver record already covers
         # them; full pytest oracle gate still does)
@@ -3082,6 +3191,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": SQL_RETENTION,
         "kg_canonical_alias": _sql_kg_canonical_alias(),
         "kg_export_ntriples": _sql_kg_export_ntriples(),
+        "kg_ntriples_roundtrip": _sql_kg_ntriples_roundtrip(),
         "kg_triple_provenance": _sql_kg_triple_provenance(),
         "kg_triple_conf": _sql_kg_triple_conf(),
         "kg_link_predict": _sql_kg_link_predict(),

@@ -331,3 +331,134 @@ def read_ontonotes_conll(spark: SparkSession, path: str):
         "conv_id string, turn_idx int, start int, end int, label string",
     )
     return transcripts, gold
+
+
+# ---------------------------------------------------------------------------
+# N-Triples reader — the import half of the kg_export_ntriples round-trip.
+# A triple store (or this engine, re-ingesting a prior export) reads the
+# RDF 1.1 N-Triples serialization back into (nodes, edges) tables. The
+# grammar is the exporter's (queries_catalog.ntriples_from): subjects /
+# edge objects are `<urn:kg:e:ID>` IRIs, predicates `<urn:kg:p:TOK>`,
+# types `<urn:kg:t:TOK>` behind the rdf:type IRI, labels are
+# STRING_LITERAL_QUOTE with the 5-char ECHAR set (\\ \" \n \r \t).
+# Statement kind is decided by OBJECT FORM (IRI vs literal vs rdf:type
+# predicate), never by predicate name, so a relation predicate literally
+# named "label" cannot shadow the label statements.
+#
+# Scale shape: classification + extraction are regexp projections inside
+# whole-stage codegen — a map-only pass over text partitions (no Python,
+# no shuffle); at 100 TB this reads like any other scan. Reconstruction
+# (graph_from_ntriples) adds one distinct on edges and one entity_id
+# equi-join of two node-sized sides — both AQE-planned shuffles keyed on
+# the same column.
+
+#: STRING_LITERAL_QUOTE body: any run of non-quote/non-backslash chars or
+#: ECHAR pairs. Java and RE2 read `(?:[^"\\]|\\.)*` identically.
+_NT_LIT_BODY = r'((?:[^"\\]|\\.)*)'
+_NT_LABEL_LINE = (r'^\s*<urn:kg:e:([0-9]+)>\s+<urn:kg:p:label>\s+"'
+                  + _NT_LIT_BODY + r'"\s+\.\s*$')
+_NT_TYPE_LINE = (r'^\s*<urn:kg:e:([0-9]+)>\s+'
+                 r'<http://www\.w3\.org/1999/02/22-rdf-syntax-ns#type>\s+'
+                 r'<urn:kg:t:([A-Za-z0-9_-]+)>\s+\.\s*$')
+_NT_EDGE_LINE = (r'^\s*<urn:kg:e:([0-9]+)>\s+<urn:kg:p:([A-Za-z0-9_-]+)>'
+                 r'\s+<urn:kg:e:([0-9]+)>\s+\.\s*$')
+_NT_BLANK_LINE = r'^\s*(#.*)?$'
+
+
+def nt_unescape(col):
+    """Invert the exporter's ECHAR chain on a string column, JVM-side.
+
+    Sequential ``replace`` CANNOT unescape correctly: in ``a\\\\nb`` (an
+    escaped backslash followed by a literal ``n``) a naive ``\\n``->LF
+    replace would eat the second backslash and fabricate a newline. The
+    order-free formulation: split on the two-char escaped-backslash pair
+    (so no segment contains ``\\\\``), unescape the four simple escapes
+    inside each segment with ``transform`` (they can no longer overlap),
+    and re-join with a single backslash. ``limit=-1`` keeps trailing
+    empty segments, so a trailing escaped backslash survives. All three
+    steps are Catalyst higher-order/string expressions — no UDF."""
+    segs = F.split(col, r"\\\\", -1)
+    segs = F.transform(
+        segs,
+        lambda s: F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(s, F.lit('\\"'), F.lit('"')),
+                    F.lit("\\n"), F.lit("\n")),
+                F.lit("\\r"), F.lit("\r")),
+            F.lit("\\t"), F.lit("\t")),
+    )
+    return F.array_join(segs, "\\")
+
+
+def read_ntriples(spark: SparkSession, lines: DataFrame) -> DataFrame:
+    """Parse a `line: string` DataFrame of N-Triples statements into one
+    row per statement: (kind, subj_id, pred, obj_id, obj_token, literal,
+    line). kinds: `label` (subj_id + unescaped literal), `type` (subj_id
+    + obj_token), `edge` (subj_id + pred + obj_id). Blank / `#`-comment
+    lines (legal N-Triples) drop silently; anything else surfaces as a
+    `parse_reject` row carrying the offending line — same
+    nothing-silently-drops discipline as the exporter's rejected_token.
+
+    Use ``spark.read.text(path).withColumnRenamed("value", "line")`` to
+    feed an .nt file; parsing is then a map-only codegen pass."""
+    c = F.col("line")
+    return (
+        lines
+        .filter(~c.rlike(_NT_BLANK_LINE))
+        .select(
+            F.when(c.rlike(_NT_LABEL_LINE), F.lit("label"))
+             .when(c.rlike(_NT_TYPE_LINE), F.lit("type"))
+             .when(c.rlike(_NT_EDGE_LINE), F.lit("edge"))
+             .otherwise(F.lit("parse_reject")).alias("kind"),
+            c.alias("line"),
+        )
+        .select(
+            "kind",
+            F.when(F.col("kind") == "label",
+                   F.regexp_extract("line", _NT_LABEL_LINE, 1))
+             .when(F.col("kind") == "type",
+                   F.regexp_extract("line", _NT_TYPE_LINE, 1))
+             .when(F.col("kind") == "edge",
+                   F.regexp_extract("line", _NT_EDGE_LINE, 1))
+             .cast("long").alias("subj_id"),
+            F.when(F.col("kind") == "edge",
+                   F.regexp_extract("line", _NT_EDGE_LINE, 2)).alias("pred"),
+            F.when(F.col("kind") == "edge",
+                   F.regexp_extract("line", _NT_EDGE_LINE, 3))
+             .cast("long").alias("obj_id"),
+            F.when(F.col("kind") == "type",
+                   F.regexp_extract("line", _NT_TYPE_LINE, 2))
+             .alias("obj_token"),
+            F.when(F.col("kind") == "label",
+                   nt_unescape(F.regexp_extract("line", _NT_LABEL_LINE, 2)))
+             .alias("literal"),
+            "line",
+        )
+    )
+
+
+def graph_from_ntriples(stmts: DataFrame):
+    """(nodes, edges) reconstruction from a parsed statement table.
+
+    RDF graphs are SETS of triples, so reconstruction is distinct-based:
+    edge multiplicity (the exporter's `weight`/`score_sum` aggregates)
+    is not representable in N-Triples and does not round-trip — by the
+    data model, not by accident. Nodes keep a NULL type when the export
+    rejected a non-IRI-safe type token. Shuffle budget: one distinct on
+    (src, pred, dst) + one entity_id equi-join; both key on entity ids,
+    so AQE coalesces them against the same distribution."""
+    labels = (stmts.filter(F.col("kind") == "label")
+              .select(F.col("subj_id").alias("entity_id"),
+                      F.col("literal").alias("canonical_name"))
+              .distinct())
+    types = (stmts.filter(F.col("kind") == "type")
+             .select(F.col("subj_id").alias("entity_id"),
+                     F.col("obj_token").alias("type"))
+             .distinct())
+    nodes = labels.join(types, "entity_id", "left")
+    edges = (stmts.filter(F.col("kind") == "edge")
+             .select(F.col("subj_id").alias("src_id"), "pred",
+                     F.col("obj_id").alias("dst_id"))
+             .distinct())
+    return nodes, edges
