@@ -141,6 +141,31 @@ def main() -> None:
         nt = queries_catalog.ntriples_from(out["nodes"], out["edges"])
         nt.write.format("noop").mode("overwrite").save()
         timings["kg_export_ntriples_at_scale"] = round(time.time() - t0, 3)
+
+        # … and the re-ingest direction: persist the serialization as text
+        # (untimed — that's the export consumer's storage), then time
+        # sources.read_ntriples + graph reconstruction over the files.
+        # The reconstructed edge count is asserted against the graph's
+        # in-bench (exporter emits one statement per aggregated edge and
+        # synthetic predicates are IRI-safe, so the set round-trips
+        # exactly).
+        from pyspark.sql import functions as F
+
+        from pl_marker_spark.sources import graph_from_ntriples, read_ntriples
+
+        ntdir = f"{workdir}/ntriples"
+        (nt.filter(F.col("kind") != "rejected_token")
+           .select("line").write.mode("overwrite").text(ntdir))
+        t0 = time.time()
+        lines = spark.read.text(ntdir).withColumnRenamed("value", "line")
+        rt_nodes, rt_edges = graph_from_ntriples(
+            read_ntriples(spark, lines))
+        n_nodes_rt = rt_nodes.count()
+        n_edges_rt = rt_edges.count()
+        timings["kg_read_ntriples_at_scale"] = round(time.time() - t0, 3)
+        extras["ntriples_roundtrip_nodes"] = n_nodes_rt
+        extras["ntriples_roundtrip_edges"] = n_edges_rt
+        assert n_edges_rt == n_edges, (n_edges_rt, n_edges)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
