@@ -375,6 +375,50 @@ def main() -> None:
         extras["aa_ring_400k_pairs"] = row.c
         assert n_labels < n_nodes // 2, f"labelprop degenerate: {n_labels}"
 
+        # --- BGP matching at graph scale (round-5 session 8): the kg
+        # corpus' entity graph binds the cyclic pattern ~25 times, so the
+        # conjunctive-query join shape gets a deterministic typed graph
+        # with a closed-form answer. bgp_n = 240k nodes typed by residue
+        # (id%3: 0=PER, 1=ORG, 2=GPE); every PER p has ORG-AFF→p+1 and
+        # PHYS→p+2, every 4th PER a second ORG-AFF→p+4 (star fan-out
+        # actually exercised), and GEN-AFF (p+1)→(p+2) exists for
+        # alternating PERs (the closing edge fires on exactly half the
+        # base bindings). Expected exactly: bindings = PERs + PERs/4
+        # = bgp_n/3 + bgp_n/12, closed = bgp_n/6. ------------------------
+        from pl_marker_spark.graphops import bgp_person_org_place
+
+        bgp_n = 240_000
+        ids = spark.range(bgp_n).select(F.col("id"))
+        pers = ids.filter(F.col("id") % 3 == 0)
+        bgp_edges = (
+            pers.select(F.col("id").alias("src_id"),
+                        ((F.col("id") + 1) % bgp_n).alias("dst_id"),
+                        F.lit("ORG-AFF").alias("pred"))
+            .union(pers.select(F.col("id"),
+                               ((F.col("id") + 2) % bgp_n),
+                               F.lit("PHYS")))
+            .union(pers.filter(F.col("id") % 12 == 0)
+                   .select(F.col("id"), ((F.col("id") + 4) % bgp_n),
+                           F.lit("ORG-AFF")))
+            .union(pers.filter((F.col("id") / 3).cast("long") % 2 == 0)
+                   .select(((F.col("id") + 1) % bgp_n),
+                           ((F.col("id") + 2) % bgp_n),
+                           F.lit("GEN-AFF")))
+        ).withColumn("weight", F.lit(1))
+        bgp_nodes = ids.select(
+            F.col("id").alias("entity_id"),
+            F.concat(F.lit("e"), F.col("id")).alias("canonical_name"),
+            F.element_at(F.array(F.lit("PER"), F.lit("ORG"), F.lit("GPE")),
+                         (F.col("id") % 3 + 1).cast("int")).alias("type"))
+        t0 = time.time()
+        b = bgp_person_org_place(bgp_edges, bgp_nodes)
+        brow = b.agg(F.count("*").alias("c"),
+                     F.sum("closed").alias("cl")).collect()[0]
+        timings["bgp_400k"] = round(time.time() - t0, 3)
+        assert (brow.c, brow.cl) == (bgp_n // 3 + bgp_n // 12, bgp_n // 6), \
+            f"bgp_400k wrong: {brow}"
+        extras["bgp_400k_bindings"] = brow.c
+
     if "vec100k" in sections:
         # --- IVF / SemDeDup at 100k vectors (round-4 VERDICT item #8): the sf
         # embeddings table is 2,000 vectors — constant-overhead territory for

@@ -180,3 +180,51 @@ def label_propagation(und: DataFrame, rounds: int = 3,
             .localCheckpoint()
         )
     return labels
+
+
+def bgp_person_org_place(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Cyclic basic-graph-pattern match over a typed predicate graph:
+
+        ?p ORG-AFF ?o .  ?p PHYS ?g .  OPTIONAL { ?o GEN-AFF ?g }
+        ?p a PER .  ?o a ORG .  ?g a GPE .
+
+    Shared by the catalog row (queries_catalog.q_kg_bgp_match, over the
+    pipeline's constructed graph) and bench.py's bgp_400k leg (over a
+    deterministic 400k-edge graph with a closed-form answer). Inputs:
+    edges (src_id, dst_id, pred, weight), nodes (entity_id,
+    canonical_name, type). Returns one row per binding with canonical
+    names, both edge supports and the closure flag.
+
+    Plan: the constant-predicate selections prune at the edge scan; BOTH
+    star legs key on ?p = src_id so one hash partitioning serves the
+    star join; the closing probe is a distinct 2-column projection
+    equi-joined on (?o, ?g); the three type/name constraints are
+    node-dim joins (entity table ≪ |E| — broadcast-eligible). Skewed
+    hub bindings (?p with many orgs × many places) follow the
+    degree-cap/salt discipline documented on triangle_counts."""
+    aff = (edges.filter(F.col("pred") == "ORG-AFF")
+           .select(F.col("src_id").alias("p"), F.col("dst_id").alias("o"),
+                   F.col("weight").cast("long").alias("w_aff")))
+    phys = (edges.filter(F.col("pred") == "PHYS")
+            .select(F.col("src_id").alias("p"), F.col("dst_id").alias("g"),
+                    F.col("weight").cast("long").alias("w_phys")))
+    gen = (edges.filter(F.col("pred") == "GEN-AFF")
+           .select(F.col("src_id").alias("o"), F.col("dst_id").alias("g"))
+           .distinct().withColumn("closed", F.lit(1)))
+
+    def typed(var: str, typ: str, name_col: str) -> DataFrame:
+        return nodes.filter(F.col("type") == typ).select(
+            F.col("entity_id").alias(var),
+            F.col("canonical_name").alias(name_col))
+
+    return (aff.join(phys, "p")
+            .join(gen, ["o", "g"], "left")
+            .join(typed("p", "PER", "person"), "p")
+            .join(typed("o", "ORG", "org"), "o")
+            .join(typed("g", "GPE", "place"), "g")
+            .select(F.col("p").cast("long").alias("p"),
+                    F.col("o").cast("long").alias("o"),
+                    F.col("g").cast("long").alias("g"),
+                    "person", "org", "place", "w_aff", "w_phys",
+                    F.coalesce("closed", F.lit(0)).cast("long")
+                     .alias("closed")))

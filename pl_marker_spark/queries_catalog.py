@@ -1863,34 +1863,13 @@ def q_kg_bgp_match(spark, sf_dir):
     bindings (a hub ?p with many orgs × many places); the skew lever is
     the same degree-cap/salt discipline graphops.triangle_counts
     documents — here the star fan-out is bounded by the corpus's
-    per-person relation counts and AQE handles residual skew."""
+    per-person relation counts and AQE handles residual skew. The join
+    shape lives in graphops.bgp_person_org_place, shared with bench.py's
+    bgp_400k at-scale leg (closed-form-asserted 400k-edge graph)."""
+    from .graphops import bgp_person_org_place
+
     out = _pipeline_outputs(spark, sf_dir)
-    e = out["edges"]
-    n = out["nodes"]
-    aff = (e.filter(F.col("pred") == "ORG-AFF")
-           .select(F.col("src_id").alias("p"), F.col("dst_id").alias("o"),
-                   F.col("weight").cast("long").alias("w_aff")))
-    phys = (e.filter(F.col("pred") == "PHYS")
-            .select(F.col("src_id").alias("p"), F.col("dst_id").alias("g"),
-                    F.col("weight").cast("long").alias("w_phys")))
-    gen = (e.filter(F.col("pred") == "GEN-AFF")
-           .select(F.col("src_id").alias("o"), F.col("dst_id").alias("g"))
-           .distinct().withColumn("closed", F.lit(1)))
-    def typed(var, typ, name_col):
-        return n.filter(F.col("type") == typ).select(
-            F.col("entity_id").alias(var),
-            F.col("canonical_name").alias(name_col))
-    return (aff.join(phys, "p")
-            .join(gen, ["o", "g"], "left")
-            .join(typed("p", "PER", "person"), "p")
-            .join(typed("o", "ORG", "org"), "o")
-            .join(typed("g", "GPE", "place"), "g")
-            .select(F.col("p").cast("long").alias("p"),
-                    F.col("o").cast("long").alias("o"),
-                    F.col("g").cast("long").alias("g"),
-                    "person", "org", "place", "w_aff", "w_phys",
-                    F.coalesce("closed", F.lit(0)).cast("long")
-                     .alias("closed")))
+    return bgp_person_org_place(out["edges"], out["nodes"])
 
 
 def q_kg_snapshot_delta(spark, sf_dir):
