@@ -1838,6 +1838,50 @@ def q_kg_path_2hop(spark, sf_dir):
     )
 
 
+def q_kg_reachability(spark, sf_dir):
+    """SPARQL property-path reachability over the constructed graph —
+    the `?s (:p)+ ?t` query form: every directed (src, dst) pair
+    connected within ≤3 hops over the full edge set, with the hop count
+    of the SHORTEST such path. BFS frontier expansion: level k+1 joins
+    the level-k frontier to the edge list and anti-joins everything
+    already reached, so a pair is emitted exactly at its min-hops level
+    (the anti-join IS the min() — no per-pair aggregation pass).
+    Self-reachability via cycles is kept (a real cycle answer), matching
+    the recursive twin. Oracle: DuckDB WITH RECURSIVE over the same
+    edges, min(hops) GROUP BY — iteration vs fixpoint recursion, one
+    semantics.
+
+    100-TB shape: the edge list is localCheckpoint-ed once (ids only, 2
+    narrow columns) and each level is ONE equi-join on the frontier's
+    dst + one left-anti join on (src, dst) against the reached set; the
+    frontier is re-checkpointed per level so plan depth stays flat (the
+    pagerank/LPA discipline). Depth is capped (3) — the transitive
+    closure of a web-scale graph is quadratic and never materialized
+    wholesale; hub-node fan-out is the skew risk, handled by the
+    degree-cap/salt discipline documented on graphops.triangle_counts."""
+    out = _pipeline_outputs(spark, sf_dir)
+    e = (out["edges"].select("src_id", "dst_id").distinct()
+         .localCheckpoint())
+    reached = e.withColumn("hops", F.lit(1)).localCheckpoint()
+    frontier = reached
+    for k in (2, 3):
+        nxt = (frontier.select(F.col("src_id"),
+                               F.col("dst_id").alias("mid"))
+               .join(e.select(F.col("src_id").alias("mid"),
+                              F.col("dst_id").alias("new_dst")), "mid")
+               .select("src_id", F.col("new_dst").alias("dst_id"))
+               .distinct()
+               .join(reached.select("src_id", "dst_id"),
+                     ["src_id", "dst_id"], "left_anti")
+               .withColumn("hops", F.lit(k)).localCheckpoint())
+        reached = reached.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return reached.select(
+        F.col("src_id").cast("long").alias("src_id"),
+        F.col("dst_id").cast("long").alias("dst_id"),
+        F.col("hops").cast("long").alias("min_hops"))
+
+
 def q_kg_bgp_match(spark, sf_dir):
     """SPARQL-style basic-graph-pattern matching over the CONSTRUCTED
     graph — the query half of a KG engine (the reference builds graphs;
@@ -2183,6 +2227,25 @@ SELECT pred1, pred2,
        sum(coalesce(cl.closed, 0))::BIGINT AS n_closed
 FROM p LEFT JOIN cl ON p.a = cl.a AND p.c = cl.c
 GROUP BY pred1, pred2
+"""
+
+
+def _sql_kg_reachability() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src_id, dst_id
+                     FROM ({kg["kg_graph_edges"]}) g),
+reach(src_id, dst_id, hops) AS (
+    SELECT src_id, dst_id, 1 FROM e
+    UNION ALL
+    SELECT r.src_id, e.dst_id, r.hops + 1
+    FROM reach r JOIN e ON r.dst_id = e.src_id
+    WHERE r.hops < 3)
+SELECT src_id::BIGINT AS src_id, dst_id::BIGINT AS dst_id,
+       min(hops)::BIGINT AS min_hops
+FROM reach GROUP BY src_id, dst_id
 """
 
 
@@ -3109,7 +3172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         # --- slots 25-34: new in round 5, never driver-verified ---
         "dup_span_merge": q_dup_span_merge,
-        "containment_neardup": q_containment_neardup,
+        # session-8 property-path row (never driver-verified; displaces
+        # containment_neardup — the near-dup family keeps minhash /
+        # simhash×2 / embedding / semdedup / dup_span_merge in-window)
+        "kg_reachability": q_kg_reachability,
         "bpe_train": DATAOPS_QUERIES["bpe_train"],
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "graph_kcore": ANALYTICS_QUERIES["graph_kcore"],
@@ -3151,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_bigram": DATAOPS_QUERIES["kneser_ney_bigram"],
         "wordpiece_train": DATAOPS_QUERIES["wordpiece_train"],
         "pmi_pairs": DATAOPS_QUERIES["pmi_pairs"],
+        "containment_neardup": q_containment_neardup,
         # r03-green ablation variants, displaced by the session-5
         # training-export rows (official driver record already covers
         # them; full pytest oracle gate still does)
@@ -3273,6 +3340,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_2hop": _sql_kg_path_2hop(),
         "kg_snapshot_delta": _sql_kg_snapshot_delta(),
         "kg_bgp_match": _sql_kg_bgp_match(),
+        "kg_reachability": _sql_kg_reachability(),
         "kg_re_examples": _sql_kg_re_examples(),
         "kg_ner_examples": _sql_kg_ner_examples(),
         "tool_transitions": _sql_tool_transitions(),
