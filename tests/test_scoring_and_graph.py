@@ -458,3 +458,58 @@ def test_ner_examples_and_tool_transitions_invariants(spark):
     got = {(r.tool, r.next_tool): (r.n, r.n_convs)
            for r in q_tool_transitions(spark, sf).collect()}
     assert got == {k: (v, len(expect_convs[k])) for k, v in expect_n.items()}
+
+
+def test_bgp_and_reachability_semantics(spark):
+    """Hand-built graphs pin the two session-8 query-surface semantics
+    the synthetic corpus may not exercise: (1) BGP star fan-out
+    multiplies bindings and the closing edge flags ONLY the matching
+    (o, g) pair; (2) reachability reports min-hops under shorter
+    alternatives and keeps cycle self-reachability."""
+    from pyspark.sql import functions as F
+
+    from pl_marker_spark.graphops import bgp_person_org_place
+
+    # p1(PER) works at o1,o2(ORG), located at g1,g2(GPE); only (o1, g1)
+    # closed -> 4 bindings, exactly one with closed=1.
+    edges = spark.createDataFrame(
+        [(1, 10, "ORG-AFF", 2), (1, 11, "ORG-AFF", 1),
+         (1, 20, "PHYS", 1), (1, 21, "PHYS", 3),
+         (10, 20, "GEN-AFF", 1),
+         # distractors: wrong types / wrong predicate
+         (10, 1, "ORG-AFF", 1), (1, 99, "PER-SOC", 1)],
+        "src_id long, dst_id long, pred string, weight long")
+    nodes = spark.createDataFrame(
+        [(1, "alice", "PER"), (10, "acme", "ORG"), (11, "beta", "ORG"),
+         (20, "paris", "GPE"), (21, "oslo", "GPE"), (99, "bob", "PER")],
+        "entity_id long, canonical_name string, type string")
+    rows = {(r.o, r.g): r for r in
+            bgp_person_org_place(edges, nodes).collect()}
+    assert len(rows) == 4
+    assert rows[(10, 20)].closed == 1
+    assert sum(r.closed for r in rows.values()) == 1
+    assert rows[(11, 21)].person == "alice"
+    assert rows[(11, 21)].w_aff == 1 and rows[(11, 21)].w_phys == 3
+
+    # Reachability: chain a->b->c->a (3-cycle) plus shortcut a->c.
+    # min-hops must prefer the shortcut (a,c,1) over the 2-hop path,
+    # and the cycle yields self-reachability at exactly 3 hops.
+    from pl_marker_spark.queries_catalog import q_kg_reachability
+    import pl_marker_spark.queries_catalog as qc
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src_id long, dst_id long")
+    # drive the same BFS body over a crafted edge set by monkeypatching
+    # the pipeline-outputs source for this call
+    orig = qc._pipeline_outputs
+    try:
+        qc._pipeline_outputs = lambda s, sf: {"edges": cyc}
+        got = {(r.src_id, r.dst_id): r.min_hops
+               for r in q_kg_reachability(spark, "unused").collect()}
+    finally:
+        qc._pipeline_outputs = orig
+    assert got[(1, 3)] == 1          # shortcut wins over a->b->c
+    assert got[(1, 1)] == 2          # self-reach via shortcut cycle 1->3->1
+    assert got[(3, 3)] == 2          # ... and 3->1->3
+    assert got[(2, 2)] == 3          # full ring is the only return path
+    assert got[(1, 2)] == 1 and got[(2, 1)] == 2 and got[(3, 2)] == 2
