@@ -419,6 +419,24 @@ def main() -> None:
             f"bgp_400k wrong: {brow}"
         extras["bgp_400k_bindings"] = brow.c
 
+        # --- Property-path reachability at graph scale (round-5 session
+        # 8): reuse the AA bounded-degree 400k-edge cycle (i→i+1, i→i+2).
+        # Closed form: within 3 hops node i reaches exactly i+1..i+6 with
+        # min-hops ⌈d/2⌉ — 2 pairs per level → 6n pairs total, 2n per
+        # hop level, all asserted. ----------------------------------------
+        from pl_marker_spark.graphops import bounded_reachability
+
+        t0 = time.time()
+        reach = bounded_reachability(
+            cyc.select(F.col("src").alias("src_id"),
+                       F.col("dst").alias("dst_id")), max_hops=3)
+        per_level = {r.hops: r.c for r in reach.groupBy("hops").agg(
+            F.count("*").alias("c")).collect()}
+        timings["reach_400k"] = round(time.time() - t0, 3)
+        assert per_level == {1: 2 * aa_n, 2: 2 * aa_n, 3: 2 * aa_n}, \
+            f"reach_400k wrong: {per_level}"
+        extras["reach_400k_pairs"] = sum(per_level.values())
+
     if "vec100k" in sections:
         # --- IVF / SemDeDup at 100k vectors (round-4 VERDICT item #8): the sf
         # embeddings table is 2,000 vectors — constant-overhead territory for

@@ -228,3 +228,40 @@ def bgp_person_org_place(edges: DataFrame, nodes: DataFrame) -> DataFrame:
                     "person", "org", "place", "w_aff", "w_phys",
                     F.coalesce("closed", F.lit(0)).cast("long")
                      .alias("closed")))
+
+
+def bounded_reachability(edges: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Directed min-hops closure within ``max_hops`` — the SPARQL
+    property-path `p{1,k}` evaluator shared by the catalog row
+    (queries_catalog.q_kg_reachability, over the pipeline's constructed
+    graph) and bench.py's reach_400k leg (closed-form cycle graph).
+    Input: edges with (src_id, dst_id); output (src_id, dst_id, hops)
+    where hops is the SHORTEST directed path length ≤ max_hops.
+
+    BFS frontier expansion: level k+1 equi-joins the level-k frontier to
+    the edge list on the frontier's dst and left-anti joins everything
+    already reached, so a pair is emitted exactly at its min-hops level
+    (the anti-join IS the min() — no per-pair aggregation pass). Cycle
+    self-reachability is kept. The edge list is localCheckpoint-ed once
+    (2 narrow columns); the frontier and reached set re-checkpoint per
+    level so plan depth — and recompute cost — stays flat in max_hops
+    (the pagerank/LPA discipline). Depth stays capped: a web-scale
+    transitive closure is quadratic and never materialized wholesale;
+    hub fan-out follows the degree-cap/salt discipline documented on
+    triangle_counts."""
+    e = edges.select("src_id", "dst_id").distinct().localCheckpoint()
+    reached = e.withColumn("hops", F.lit(1)).localCheckpoint()
+    frontier = reached
+    for k in range(2, max_hops + 1):
+        nxt = (frontier.select(F.col("src_id"),
+                               F.col("dst_id").alias("mid"))
+               .join(e.select(F.col("src_id").alias("mid"),
+                              F.col("dst_id").alias("new_dst")), "mid")
+               .select("src_id", F.col("new_dst").alias("dst_id"))
+               .distinct()
+               .join(reached.select("src_id", "dst_id"),
+                     ["src_id", "dst_id"], "left_anti")
+               .withColumn("hops", F.lit(k)).localCheckpoint())
+        reached = reached.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return reached

@@ -1858,24 +1858,13 @@ def q_kg_reachability(spark, sf_dir):
     pagerank/LPA discipline). Depth is capped (3) — the transitive
     closure of a web-scale graph is quadratic and never materialized
     wholesale; hub-node fan-out is the skew risk, handled by the
-    degree-cap/salt discipline documented on graphops.triangle_counts."""
+    degree-cap/salt discipline documented on graphops.triangle_counts.
+    The BFS body lives in graphops.bounded_reachability, shared with
+    bench.py's reach_400k at-scale leg (closed-form cycle graph)."""
+    from .graphops import bounded_reachability
+
     out = _pipeline_outputs(spark, sf_dir)
-    e = (out["edges"].select("src_id", "dst_id").distinct()
-         .localCheckpoint())
-    reached = e.withColumn("hops", F.lit(1)).localCheckpoint()
-    frontier = reached
-    for k in (2, 3):
-        nxt = (frontier.select(F.col("src_id"),
-                               F.col("dst_id").alias("mid"))
-               .join(e.select(F.col("src_id").alias("mid"),
-                              F.col("dst_id").alias("new_dst")), "mid")
-               .select("src_id", F.col("new_dst").alias("dst_id"))
-               .distinct()
-               .join(reached.select("src_id", "dst_id"),
-                     ["src_id", "dst_id"], "left_anti")
-               .withColumn("hops", F.lit(k)).localCheckpoint())
-        reached = reached.unionAll(nxt).localCheckpoint()
-        frontier = nxt
+    reached = bounded_reachability(out["edges"], max_hops=3)
     return reached.select(
         F.col("src_id").cast("long").alias("src_id"),
         F.col("dst_id").cast("long").alias("dst_id"),
