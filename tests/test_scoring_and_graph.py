@@ -513,3 +513,32 @@ def test_bgp_and_reachability_semantics(spark):
     assert got[(3, 3)] == 2          # ... and 3->1->3
     assert got[(2, 2)] == 3          # full ring is the only return path
     assert got[(1, 2)] == 1 and got[(2, 1)] == 2 and got[(3, 2)] == 2
+
+
+def test_infer_edges_multi_derivation_and_suppression(spark):
+    """Crafted graph pins the two kg_infer_edges behaviors sf0.01 leaves
+    thin: (1) two distinct mids deriving the same (p, g) count as
+    n_derivations=2 with best_support = the strongest derivation's
+    weakest link; (2) an inferred pair that already exists as ANY edge
+    is suppressed."""
+    import pl_marker_spark.queries_catalog as qc
+    from pl_marker_spark.queries_catalog import q_kg_infer_edges
+
+    edges = spark.createDataFrame(
+        [(1, 10, "ORG-AFF", 5), (1, 11, "ORG-AFF", 2),
+         (10, 20, "GEN-AFF", 3), (11, 20, "GEN-AFF", 9),
+         # second person whose inferred (2, 20) already exists
+         (2, 10, "ORG-AFF", 1), (2, 20, "PER-SOC", 1)],
+        "src_id long, dst_id long, pred string, weight long")
+    orig = qc._pipeline_outputs
+    try:
+        qc._pipeline_outputs = lambda s, sf: {"edges": edges}
+        rows = q_kg_infer_edges(spark, "unused").collect()
+    finally:
+        qc._pipeline_outputs = orig
+    assert len(rows) == 1
+    r = rows[0]
+    # derivations: via mid 10 min(5,3)=3, via mid 11 min(2,9)=2 -> best 3
+    assert (r.src_id, r.dst_id, r.pred, r.n_derivations,
+            r.best_support) == (1, 20, "PHYS", 2, 3)
+    assert r.rule == "ORG-AFF/GEN-AFF"
