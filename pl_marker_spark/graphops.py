@@ -265,3 +265,95 @@ def bounded_reachability(edges: DataFrame, max_hops: int = 3) -> DataFrame:
         reached = reached.unionAll(nxt).localCheckpoint()
         frontier = nxt
     return reached
+
+
+def bottleneck_paths(edges: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Bottleneck (widest-path) closure within ``max_hops`` over the
+    (max, min) semiring: for every directed (src, dst) pair connected in
+    ≤ max_hops hops, the STRONGEST CHAIN support — max over paths of the
+    minimum edge weight along the path — plus the hop count of the
+    shortest path achieving it. On a KG whose edge weights are evidence
+    counts this answers "how strongly are these two entities connected
+    through any chain of relations?", the trust-propagation dual of
+    bounded_reachability's plain min-hops.
+
+    Delta Bellman-Ford: parallel edges collapse to their max weight once
+    (a weaker parallel edge can never appear on a widest path), then each
+    level extends only the IMPROVED frontier — a candidate (src, dst,
+    supp) survives iff supp strictly beats the incumbent best. Dominance
+    is safe in this semiring: extending a path can only lower its support
+    (min), so an equal-or-better incumbent found at an earlier-or-equal
+    level dominates every extension within the hop cap, and strict
+    improvement keeps ``hops`` = the first (smallest) level at which the
+    final support was achieved — exactly the recursive twin's
+    min(hops) FILTER (supp = max). Oracle: DuckDB WITH RECURSIVE
+    enumerating all ≤ max_hops paths with least()-folded support.
+
+    100-TB shape: the collapsed edge list is localCheckpoint-ed once (3
+    narrow columns); each level is ONE equi-join on the frontier's dst +
+    a map-side-combinable groupBy (per-pair max) + one left join against
+    the incumbent table; frontier and best re-checkpoint per level so
+    plan depth stays flat (the bounded_reachability discipline). The
+    frontier SHRINKS as supports converge — delta propagation is the
+    property that makes Bellman-Ford viable at scale. Depth stays capped;
+    hub fan-out follows the triangle_counts degree-cap/salt note."""
+    e = (edges.groupBy("src_id", "dst_id")
+         .agg(F.max("weight").alias("w")).localCheckpoint())
+    best = e.select(
+        "src_id", "dst_id", F.col("w").alias("best_support"),
+        F.lit(1).alias("hops")).localCheckpoint()
+    frontier = best
+    for k in range(2, max_hops + 1):
+        cand = (
+            frontier.select("src_id", F.col("dst_id").alias("mid"),
+                            "best_support")
+            .join(e.select(F.col("src_id").alias("mid"),
+                           F.col("dst_id").alias("new_dst"), "w"), "mid")
+            .select("src_id", F.col("new_dst").alias("dst_id"),
+                    F.least("best_support", "w").alias("best_support"))
+            .groupBy("src_id", "dst_id")
+            .agg(F.max("best_support").alias("best_support"))
+            .withColumn("hops", F.lit(k))
+        )
+        imp = (
+            cand.join(best.select("src_id", "dst_id",
+                                  F.col("best_support").alias("_cur")),
+                      ["src_id", "dst_id"], "left")
+            .filter(F.col("_cur").isNull()
+                    | (F.col("best_support") > F.col("_cur")))
+            .drop("_cur").localCheckpoint()
+        )
+        best = (best.join(imp.select("src_id", "dst_id"),
+                          ["src_id", "dst_id"], "left_anti")
+                .unionByName(imp).localCheckpoint())
+        frontier = imp
+    return best
+
+
+def next_hop_table(edges: DataFrame, walk_len: int = 4) -> DataFrame:
+    """Deterministic per-step next-hop table for hash-driven random walks
+    (DeepWalk/node2vec corpus generation, RNG-free so partition-stable):
+    over the symmetrized adjacency, step k at node a moves to the
+    neighbor b minimizing md5("k:a:b") (lowercase-hex string order; b
+    ascending breaks the astronomically-unlikely digest tie). Keying the
+    hash on (step, cur, dst) — not on the walk id — makes the table
+    precomputable: walk assembly becomes ``walk_len`` plain equi-joins
+    against an O(|V|·walk_len) table instead of an iterated per-walk
+    argmin, and every walk is replayable from the table alone.
+
+    Returns (step, cur, nxt) for step 1..walk_len. One |E|·walk_len
+    explode + a per-(step, cur) window over neighbor lists — partitioned
+    by node, so the sort is per-adjacency-list, never global. Hub nodes
+    carry the usual degree-cap/salt note (triangle_counts)."""
+    from pyspark.sql import Window
+
+    und = symmetrize(edges)
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    cand = adj.withColumn(
+        "step", F.explode(F.array(*[F.lit(i) for i in range(1, walk_len + 1)])))
+    hkey = F.md5(F.concat_ws(":", "step", "a", "b"))
+    w = Window.partitionBy("step", "a").orderBy(hkey.asc(), F.col("b").asc())
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("step", F.col("a").alias("cur"), F.col("b").alias("nxt")))

@@ -1915,6 +1915,174 @@ def q_kg_infer_edges(spark, sf_dir):
                     "n_derivations", "best_support"))
 
 
+def q_kg_best_chain(spark, sf_dir):
+    """Bottleneck best-chain closure over the constructed graph — the
+    trust-propagation dual of kg_reachability: for every directed
+    (src, dst) pair connected within ≤3 hops, the STRONGEST chain of
+    evidence (max over paths of the min edge weight along the path — the
+    (max, min) semiring) and the hop count of the shortest path achieving
+    it. Where kg_reachability answers "is B derivable from A", this
+    answers "how well-supported is the strongest derivation" — the score
+    a KG serving layer attaches to multi-hop answers. Engine: delta
+    Bellman-Ford (graphops.bottleneck_paths — improvement-only frontier,
+    per-level localCheckpoint, capped depth); oracle: DuckDB WITH
+    RECURSIVE enumerating every ≤3-hop path with least()-folded support
+    then max/min-filter aggregation — delta propagation vs exhaustive
+    enumeration, one semiring."""
+    from .graphops import bottleneck_paths
+
+    out = _pipeline_outputs(spark, sf_dir)
+    best = bottleneck_paths(out["edges"], max_hops=3)
+    return best.select(
+        F.col("src_id").cast("long").alias("src_id"),
+        F.col("dst_id").cast("long").alias("dst_id"),
+        F.col("best_support").cast("long").alias("best_support"),
+        F.col("hops").cast("long").alias("hops"))
+
+
+def q_kg_embed_eval(spark, sf_dir):
+    """KG-completion ranking evaluation — the MRR / Hits@k harness every
+    link-prediction training run ends with (Bordes et al. 2013 FILTERED
+    protocol, the eval dual of kg_negative_samples' training half). Each
+    edge (h, pred, t) is a tail-prediction query; candidates are every
+    entity of t's type; true tails of (h, pred) other than t are FILTERED
+    out; the scoring model is the deterministic conversation
+    co-occurrence count score(h, c) = |{convs mentioning both h and c}|
+    (the kg_entity_cooccur incidence — a real, interpretable baseline
+    ranker), ties broken by candidate id ascending. Per predicate:
+    n_queries, Hits@1/3/10, and MRR in exact integer micro-units
+    (Σ 1000000 div rank — integer division BEFORE the sum, so the
+    aggregate is reduction-order-independent across engines; divide by
+    n_queries downstream for the float MRR).
+
+    100-TB shape: rank-by-count, never rank-by-sort — rank(q) = 1 +
+    #candidates strictly better than the true tail, so no per-query
+    sorted list is ever materialized; the entity dim (vocab-scale) joins
+    broadcast, the (h, c) score lookups key the one big shuffle against
+    the co-occurrence table, and the filtered set is one left-anti
+    equi-join on (h, pred, c). Hits/MRR aggregate map-side-combinably
+    per predicate."""
+    out = _pipeline_outputs(spark, sf_dir)
+    e, n, me = out["edges"], out["nodes"], out["mention_entity"]
+    inc = me.select("conv_id", "entity_id").distinct().localCheckpoint()
+    cooc = (inc.select("conv_id", F.col("entity_id").alias("h"))
+            .join(inc.select("conv_id", F.col("entity_id").alias("c")),
+                  "conv_id")
+            .filter(F.col("h") != F.col("c"))
+            .groupBy("h", "c").agg(F.count("*").alias("n_hc")))
+    q = e.select(F.col("src_id").alias("h"), "pred",
+                 F.col("dst_id").alias("t"))
+    typ = n.select(F.col("entity_id").alias("t"),
+                   F.col("type").alias("t_type"))
+    qs = (q.join(F.broadcast(typ), "t")
+          .join(cooc.select(F.col("h"), F.col("c").alias("t"),
+                            F.col("n_hc").alias("s_true")),
+                ["h", "t"], "left")
+          .fillna(0, ["s_true"]).localCheckpoint())
+    cand = qs.join(
+        F.broadcast(n.select(F.col("entity_id").alias("c"),
+                             F.col("type").alias("t_type"))), "t_type")
+    # FILTERED protocol: any (h, pred, c) that is itself a true edge
+    # leaves the candidate pool. This also removes c == t, which is
+    # harmless: rank counts STRICTLY better candidates only.
+    cand = cand.join(
+        e.select(F.col("src_id").alias("h"), "pred",
+                 F.col("dst_id").alias("c")),
+        ["h", "pred", "c"], "left_anti")
+    scored = (cand.join(cooc.select("h", "c", F.col("n_hc").alias("s_c")),
+                        ["h", "c"], "left")
+              .fillna(0, ["s_c"]))
+    better = (scored.filter(
+        (F.col("s_c") > F.col("s_true"))
+        | ((F.col("s_c") == F.col("s_true")) & (F.col("c") < F.col("t"))))
+        .groupBy("h", "pred", "t").agg(F.count("*").alias("n_better")))
+    ranks = (qs.join(better, ["h", "pred", "t"], "left")
+             .fillna(0, ["n_better"])
+             .select("pred", (F.col("n_better") + 1).alias("rank")))
+    return (ranks.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("rank") <= 1, 1).otherwise(0))
+         .cast("long").alias("hits1"),
+        F.sum(F.when(F.col("rank") <= 3, 1).otherwise(0))
+         .cast("long").alias("hits3"),
+        F.sum(F.when(F.col("rank") <= 10, 1).otherwise(0))
+         .cast("long").alias("hits10"),
+        F.sum(F.expr("1000000 div rank")).cast("long").alias("mrr_micro")))
+
+
+def q_kg_random_walks(spark, sf_dir):
+    """DeepWalk-style random-walk corpus generation over the constructed
+    graph (Perozzi et al. 2014) — the training-data export a graph-
+    embedding run consumes, made RNG-FREE so it is partition-stable and
+    exactly twin-able: one walk of length 4 starts at every non-isolated
+    node of the symmetrized graph, and step k at node a moves to the
+    neighbor b minimizing md5("k:a:b") (graphops.next_hop_table; id
+    ascending breaks digest ties). Keying the hash on (step, cur) — not
+    the walk id — makes the next-hop table PRECOMPUTABLE, so walk
+    assembly is 4 plain equi-joins against an O(|V|·L) table instead of
+    an iterated per-walk argmin; the same table replays any walk.
+    Output: (walk_id = start node, step 0..4, node_id) long format.
+
+    100-TB shape: the next-hop table is one |E|·L explode + a
+    per-(step, node) window (sorts are per-adjacency-list, never
+    global), localCheckpoint-ed once; each assembly join keys on the
+    current node against that small table (broadcast at vocab scale);
+    no per-level lineage growth. Walk count scales with |V|, not |E|."""
+    from .graphops import next_hop_table
+
+    out = _pipeline_outputs(spark, sf_dir)
+    nxt = next_hop_table(out["edges"], walk_len=4).localCheckpoint()
+    starts = nxt.filter(F.col("step") == 1).select(
+        F.col("cur").alias("walk_id")).distinct()
+    levels = [starts.select("walk_id", F.lit(0).alias("step"),
+                            F.col("walk_id").alias("node_id"))]
+    cur = starts.select("walk_id", F.col("walk_id").alias("cur"))
+    for k in range(1, 5):
+        cur = (cur.join(nxt.filter(F.col("step") == k), "cur")
+               .select("walk_id", F.col("nxt").alias("cur")))
+        levels.append(cur.select(
+            "walk_id", F.lit(k).alias("step"), F.col("cur").alias("node_id")))
+    walks = levels[0]
+    for lv in levels[1:]:
+        walks = walks.unionByName(lv)
+    return walks.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("step").cast("long").alias("step"),
+        F.col("node_id").cast("long").alias("node_id"))
+
+
+def q_kg_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient over the undirected simple
+    projection of the constructed graph — 2·tri(v) / (deg(v)·(deg(v)−1))
+    for deg ≥ 2 — the standard community-density panel next to
+    kg_entity_pagerank (centrality) and graph_kcore (coreness):
+    entities whose neighborhoods are cliques vs hubs bridging unrelated
+    clusters. Reuses the materialized-wedge triangle kernel
+    (graphops.triangle_counts — edge list localCheckpoint-ed ONCE before
+    its 3-way self-join, the round-4 VERDICT fix) plus an O(|V|) degree
+    aggregate; the division is ONE exact-integer-ratio double op rounded
+    6dp, so cross-engine equality is reduction-order-safe."""
+    from .graphops import symmetrize, triangle_counts
+
+    out = _pipeline_outputs(spark, sf_dir)
+    und = symmetrize(out["edges"]).localCheckpoint()
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count("*").alias("degree"))
+    tri = triangle_counts(und, a="a", b="b")
+    return (deg.filter(F.col("degree") >= 2)
+            .join(tri.select(F.col("node").alias("a"), "n_tri"),
+                  "a", "left")
+            .fillna(0, ["n_tri"])
+            .select(
+                F.col("a").cast("long").alias("node_id"),
+                F.col("degree").cast("long").alias("degree"),
+                F.col("n_tri").cast("long").alias("n_tri"),
+                F.round(F.lit(2.0) * F.col("n_tri")
+                        / (F.col("degree") * (F.col("degree") - 1)), 6)
+                 .alias("clustering")))
+
+
 def q_kg_bgp_match(spark, sf_dir):
     """SPARQL-style basic-graph-pattern matching over the CONSTRUCTED
     graph — the query half of a KG engine (the reference builds graphs;
@@ -2301,6 +2469,135 @@ SELECT p::BIGINT AS src_id, g::BIGINT AS dst_id,
 FROM inf
 WHERE NOT EXISTS (SELECT 1 FROM e
                   WHERE e.src_id = inf.p AND e.dst_id = inf.g)
+"""
+
+
+def _sql_kg_best_chain() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH RECURSIVE e AS (SELECT src_id, dst_id, max(weight)::BIGINT AS w
+                     FROM ({kg["kg_graph_edges"]}) g
+                     GROUP BY src_id, dst_id),
+paths(src_id, dst_id, supp, hops) AS (
+    SELECT src_id, dst_id, w, 1 FROM e
+    UNION ALL
+    SELECT p.src_id, e.dst_id, least(p.supp, e.w), p.hops + 1
+    FROM paths p JOIN e ON p.dst_id = e.src_id
+    WHERE p.hops < 3),
+agg AS (SELECT src_id, dst_id, max(supp) AS best_support
+        FROM paths GROUP BY src_id, dst_id)
+SELECT a.src_id::BIGINT AS src_id, a.dst_id::BIGINT AS dst_id,
+       a.best_support::BIGINT AS best_support,
+       min(p.hops)::BIGINT AS hops
+FROM agg a JOIN paths p ON p.src_id = a.src_id AND p.dst_id = a.dst_id
+                       AND p.supp = a.best_support
+GROUP BY a.src_id, a.dst_id, a.best_support
+"""
+
+
+def _sql_kg_embed_eval() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS ({kg["kg_graph_edges"]}),
+n AS ({kg["kg_graph_nodes"]}),
+me AS ({kg["kg_mention_entity"]}),
+inc AS (SELECT DISTINCT conv_id, entity_id FROM me),
+cooc AS (SELECT a.entity_id AS h, b.entity_id AS c, count(*) AS n_hc
+         FROM inc a JOIN inc b ON a.conv_id = b.conv_id
+         WHERE a.entity_id <> b.entity_id
+         GROUP BY a.entity_id, b.entity_id),
+q AS (SELECT e.src_id AS h, e.pred, e.dst_id AS t, n.type AS t_type,
+             coalesce(cc.n_hc, 0) AS s_true
+      FROM e JOIN n ON n.entity_id = e.dst_id
+      LEFT JOIN cooc cc ON cc.h = e.src_id AND cc.c = e.dst_id),
+cand AS (SELECT q.h, q.pred, q.t, q.s_true, nn.entity_id AS c
+         FROM q JOIN n nn ON nn.type = q.t_type
+         WHERE NOT EXISTS (SELECT 1 FROM e
+                           WHERE e.src_id = q.h AND e.pred = q.pred
+                             AND e.dst_id = nn.entity_id)),
+scored AS (SELECT cand.h, cand.pred, cand.t, cand.s_true, cand.c,
+                  coalesce(cc.n_hc, 0) AS s_c
+           FROM cand LEFT JOIN cooc cc ON cc.h = cand.h AND cc.c = cand.c),
+better AS (SELECT h, pred, t, count(*) AS n_better FROM scored
+           WHERE s_c > s_true OR (s_c = s_true AND c < t)
+           GROUP BY h, pred, t),
+ranks AS (SELECT q.pred, 1 + coalesce(b.n_better, 0) AS rank
+          FROM q LEFT JOIN better b
+            ON b.h = q.h AND b.pred = q.pred AND b.t = q.t)
+SELECT pred, count(*)::BIGINT AS n_queries,
+       sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END)::BIGINT AS hits1,
+       sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END)::BIGINT AS hits3,
+       sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits10,
+       sum(1000000 // rank)::BIGINT AS mrr_micro
+FROM ranks GROUP BY pred
+"""
+
+
+def _sql_kg_random_walks() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS ({kg["kg_graph_edges"]}),
+und AS (SELECT DISTINCT least(src_id, dst_id) AS a,
+                        greatest(src_id, dst_id) AS b
+        FROM e WHERE src_id <> dst_id),
+adj AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+cand AS (SELECT s.step, adj.a, adj.b,
+                md5(s.step::VARCHAR || ':' || adj.a::VARCHAR
+                    || ':' || adj.b::VARCHAR) AS hkey
+         FROM adj CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS step) s),
+nxt AS (SELECT step, a AS cur, b AS nxt FROM (
+            SELECT step, a, b,
+                   row_number() OVER (PARTITION BY step, a
+                                      ORDER BY hkey, b) AS rn
+            FROM cand) r WHERE rn = 1),
+w0 AS (SELECT DISTINCT a AS walk_id FROM adj),
+s1 AS (SELECT w0.walk_id, n.nxt AS cur FROM w0
+       JOIN nxt n ON n.step = 1 AND n.cur = w0.walk_id),
+s2 AS (SELECT s1.walk_id, n.nxt AS cur FROM s1
+       JOIN nxt n ON n.step = 2 AND n.cur = s1.cur),
+s3 AS (SELECT s2.walk_id, n.nxt AS cur FROM s2
+       JOIN nxt n ON n.step = 3 AND n.cur = s2.cur),
+s4 AS (SELECT s3.walk_id, n.nxt AS cur FROM s3
+       JOIN nxt n ON n.step = 4 AND n.cur = s3.cur)
+SELECT walk_id::BIGINT AS walk_id, 0::BIGINT AS step,
+       walk_id::BIGINT AS node_id FROM w0
+UNION ALL SELECT walk_id::BIGINT, 1::BIGINT, cur::BIGINT FROM s1
+UNION ALL SELECT walk_id::BIGINT, 2::BIGINT, cur::BIGINT FROM s2
+UNION ALL SELECT walk_id::BIGINT, 3::BIGINT, cur::BIGINT FROM s3
+UNION ALL SELECT walk_id::BIGINT, 4::BIGINT, cur::BIGINT FROM s4
+"""
+
+
+def _sql_kg_clustering() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS ({kg["kg_graph_edges"]}),
+und AS (SELECT DISTINCT least(src_id, dst_id) AS a,
+                        greatest(src_id, dst_id) AS b
+        FROM e WHERE src_id <> dst_id),
+adj AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT a AS node, count(*) AS degree FROM adj GROUP BY a),
+tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT ta AS node FROM tri
+            UNION ALL SELECT tb FROM tri
+            UNION ALL SELECT tc FROM tri),
+ntri AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node)
+SELECT d.node::BIGINT AS node_id, d.degree::BIGINT AS degree,
+       coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+       round(2.0 * coalesce(t.n_tri, 0)
+             / (d.degree * (d.degree - 1)), 6) AS clustering
+FROM deg d LEFT JOIN ntri t ON t.node = d.node
+WHERE d.degree >= 2
 """
 
 
@@ -3231,7 +3528,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # containment_neardup — the near-dup family keeps minhash /
         # simhash×2 / embedding / semdedup / dup_span_merge in-window)
         "kg_reachability": q_kg_reachability,
-        "bpe_train": DATAOPS_QUERIES["bpe_train"],
+        # session-9 KG rows (never driver-verified; per round-4 directive
+        # #1 kg_* rows outrank non-kg rows for the window — they displace
+        # bpe_train / unigram_train / hist_build / sq_ann_topk, whose
+        # families keep in-window representatives: bpe_encode for the
+        # tokenizer family, bloom_build for state-building sketches,
+        # ann_ivf/ann_cosine/pq_ann for ANN search; all four displaced
+        # rows stay under the full gate_sim + pytest oracle gate)
+        "kg_best_chain": q_kg_best_chain,
+        "kg_embed_eval": q_kg_embed_eval,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "graph_kcore": ANALYTICS_QUERIES["graph_kcore"],
         # session-8 rule-materialization row (never driver-verified;
@@ -3239,19 +3544,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window, pagerank/degree/triangles are r04-verified)
         "kg_infer_edges": q_kg_infer_edges,
         "bloom_build": ANALYTICS_QUERIES["bloom_build"],
-        # --- slots 35-41: new this session, never driver-verified
-        # (unigram tokenizer, histogram quantile sketch, PMI, bigram LM)
-        "unigram_train": DATAOPS_QUERIES["unigram_train"],
-        "hist_build": ANALYTICS_QUERIES["hist_build"],
+        # session-9 rows continued (see the rotation note above)
+        "kg_random_walks": q_kg_random_walks,
+        "kg_clustering": q_kg_clustering,
         # session-8 KG query row (never driver-verified; displaces
         # pmi_pairs — the PMI law keeps its in-window representative in
         # kg_entity_cooccur)
         "kg_bgp_match": q_kg_bgp_match,
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
-        # --- slots 39-48: the session-3/4 rows (never driver-verified:
-        # SQ + PQ quantization families, WordPiece, JSD drift, Zipf fit,
-        # cohort retention — all sf0.01-spot-checked) ---
-        "sq_ann_topk": _q_sq_ann_topk,
         # --- session-6/7 KG rows (never driver-verified; per round-4
         # directive #1 every kg_* row belongs in the official window —
         # they displace kneser_ney_bigram / wordpiece_train, whose
@@ -3275,6 +3575,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_bigram": DATAOPS_QUERIES["kneser_ney_bigram"],
         "wordpiece_train": DATAOPS_QUERIES["wordpiece_train"],
         "pmi_pairs": DATAOPS_QUERIES["pmi_pairs"],
+        # displaced by the session-9 KG rows (families keep in-window
+        # representatives — see the head rotation note)
+        "bpe_train": DATAOPS_QUERIES["bpe_train"],
+        "unigram_train": DATAOPS_QUERIES["unigram_train"],
+        "hist_build": ANALYTICS_QUERIES["hist_build"],
+        "sq_ann_topk": _q_sq_ann_topk,
         "containment_neardup": q_containment_neardup,
         "graph_labelprop": ANALYTICS_QUERIES["graph_labelprop"],
         # r03-green ablation variants, displaced by the session-5
@@ -3401,6 +3707,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_match": _sql_kg_bgp_match(),
         "kg_reachability": _sql_kg_reachability(),
         "kg_infer_edges": _sql_kg_infer_edges(),
+        "kg_best_chain": _sql_kg_best_chain(),
+        "kg_embed_eval": _sql_kg_embed_eval(),
+        "kg_random_walks": _sql_kg_random_walks(),
+        "kg_clustering": _sql_kg_clustering(),
         "kg_re_examples": _sql_kg_re_examples(),
         "kg_ner_examples": _sql_kg_ner_examples(),
         "tool_transitions": _sql_tool_transitions(),

@@ -542,3 +542,129 @@ def test_infer_edges_multi_derivation_and_suppression(spark):
     assert (r.src_id, r.dst_id, r.pred, r.n_derivations,
             r.best_support) == (1, 20, "PHYS", 2, 3)
     assert r.rule == "ORG-AFF/GEN-AFF"
+
+
+def test_best_chain_semiring_and_hops(spark):
+    """Hand graph pins the (max, min) bottleneck semantics the synthetic
+    corpus leaves thin: (1) parallel edges collapse to their max weight;
+    (2) a wider-but-longer path beats a narrow direct edge, including a
+    3-hop winner found only after two delta-improvement rounds; (3) an
+    equal-support longer path must NOT displace the shorter hop count."""
+    from pl_marker_spark.graphops import bottleneck_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2, "A", 1), (1, 2, "B", 4),        # parallel -> direct supp 4
+         (1, 3, "A", 9), (3, 2, "A", 7),        # 2-hop supp 7
+         (3, 4, "A", 8), (4, 2, "A", 8),        # 1->3->4->2 supp 8 (3 hops)
+         (6, 7, "A", 5), (6, 8, "A", 5), (8, 7, "A", 5)],  # tie case
+        "src_id long, dst_id long, pred string, weight long")
+    got = {(r.src_id, r.dst_id): (r.best_support, r.hops)
+           for r in bottleneck_paths(edges, max_hops=3).collect()}
+    assert got[(1, 2)] == (8, 3)   # two successive strict improvements
+    assert got[(1, 3)] == (9, 1)
+    assert got[(1, 4)] == (8, 2)
+    assert got[(3, 2)] == (8, 2)   # via 4 beats the direct 7
+    assert got[(6, 7)] == (5, 1)   # equal-supp 2-hop path keeps hops=1
+
+
+def test_random_walks_follow_md5_argmin(spark):
+    """The next-hop table and the assembled walks must equal an
+    independent python recomputation of the md5-argmin rule, and every
+    walk must traverse real edges of the symmetrized graph."""
+    import hashlib
+
+    import pl_marker_spark.queries_catalog as qc
+    from pl_marker_spark.graphops import next_hop_table
+    from pl_marker_spark.queries_catalog import q_kg_random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2, "A", 1), (2, 3, "A", 1), (3, 1, "A", 1), (3, 4, "A", 1),
+         (5, 5, "A", 1)],   # self-loop: dropped, 5 is isolated
+        "src_id long, dst_id long, pred string, weight long")
+    und = {(1, 2), (2, 3), (1, 3), (3, 4)}
+    adj: dict[int, list[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+
+    def expect_next(k, a):
+        return min((hashlib.md5(f"{k}:{a}:{b}".encode()).hexdigest(), b)
+                   for b in adj[a])[1]
+
+    nxt = {(r.step, r.cur): r.nxt
+           for r in next_hop_table(edges, walk_len=4).collect()}
+    assert set(nxt) == {(k, a) for k in range(1, 5) for a in adj}
+    for (k, a), b in nxt.items():
+        assert b == expect_next(k, a)
+
+    orig = qc._pipeline_outputs
+    try:
+        qc._pipeline_outputs = lambda s, sf: {"edges": edges}
+        rows = q_kg_random_walks(spark, "unused").collect()
+    finally:
+        qc._pipeline_outputs = orig
+    walks: dict[int, dict[int, int]] = {}
+    for r in rows:
+        walks.setdefault(r.walk_id, {})[r.step] = r.node_id
+    assert set(walks) == set(adj)           # one walk per non-isolated node
+    for start, path in walks.items():
+        assert sorted(path) == [0, 1, 2, 3, 4]
+        assert path[0] == start
+        cur = start
+        for k in range(1, 5):
+            assert path[k] == expect_next(k, cur)
+            assert (min(cur, path[k]), max(cur, path[k])) in und
+            cur = path[k]
+
+
+def test_clustering_and_embed_eval_semantics(spark):
+    """(1) Local clustering coefficient on triangle+pendant: interior
+    triangle nodes are fully clustered, the hub dilutes to 1/3, the
+    pendant (deg 1) is excluded. (2) The filtered-ranking eval pins the
+    Bordes FILTERED protocol and the id-ascending tie-break."""
+    import pl_marker_spark.queries_catalog as qc
+    from pl_marker_spark.queries_catalog import (
+        q_kg_clustering,
+        q_kg_embed_eval,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2, "A", 1), (2, 3, "A", 1), (1, 3, "A", 1), (1, 4, "A", 1)],
+        "src_id long, dst_id long, pred string, weight long")
+    orig = qc._pipeline_outputs
+    try:
+        qc._pipeline_outputs = lambda s, sf: {"edges": tri}
+        got = {r.node_id: (r.degree, r.n_tri, r.clustering)
+               for r in q_kg_clustering(spark, "unused").collect()}
+    finally:
+        qc._pipeline_outputs = orig
+    assert got[1] == (3, 1, round(2 / 6, 6))
+    assert got[2] == (2, 1, 1.0) and got[3] == (2, 1, 1.0)
+    assert 4 not in got   # deg 1: coefficient undefined, excluded
+
+    # embed-eval: h=1 (PER); GPE tails 19,20,21,22. True edges (1,PHYS,20)
+    # and (1,PHYS,21) are the two queries AND each other's filtered tails.
+    # Co-occurrence scores: s(1,22)=2, s(1,19)=s(1,20)=s(1,21)=1, so for
+    # both queries candidate 22 outranks (2>1) and candidate 19 ties but
+    # wins the id-ascending tie-break (19 < 20, 19 < 21) -> rank 3 each.
+    e = spark.createDataFrame(
+        [(1, 20, "PHYS", 1), (1, 21, "PHYS", 1)],
+        "src_id long, dst_id long, pred string, weight long")
+    n = spark.createDataFrame(
+        [(1, "PER"), (19, "GPE"), (20, "GPE"), (21, "GPE"), (22, "GPE")],
+        "entity_id long, type string")
+    me = spark.createDataFrame(
+        [("c1", 1), ("c1", 22), ("c2", 1), ("c2", 22),
+         ("c3", 1), ("c3", 20), ("c4", 1), ("c4", 21), ("c5", 1), ("c5", 19)],
+        "conv_id string, entity_id long")
+    try:
+        qc._pipeline_outputs = lambda s, sf: {
+            "edges": e, "nodes": n, "mention_entity": me}
+        rows = q_kg_embed_eval(spark, "unused").collect()
+    finally:
+        qc._pipeline_outputs = orig
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.pred, r.n_queries, r.hits1, r.hits3, r.hits10) == \
+        ("PHYS", 2, 0, 2, 2)
+    assert r.mrr_micro == 2 * (1000000 // 3)
