@@ -437,6 +437,101 @@ def main() -> None:
             f"reach_400k wrong: {per_level}"
         extras["reach_400k_pairs"] = sum(per_level.values())
 
+        # --- Bottleneck best-chain at graph scale (round-5 session 9):
+        # same i→i+1 / i→i+2 cycle, but weighted — +1 edges carry weight 1,
+        # +2 edges weight 5 — so the (max, min) semiring actually has to
+        # choose chains (a plain reachability would not notice the
+        # weights). Closed form within 3 hops: distance d ∈ {2,4,6} is
+        # covered by an all-(+2) chain → support 5 at hops d/2; distance
+        # d ∈ {1,3,5} forces at least one +1 edge → support 1 at hops
+        # ⌈d/2⌉. So: 6n pairs, 2n per hop level, support sums to 18n,
+        # and exactly 3n pairs achieve support 5 — all asserted. The
+        # delta frontier must also CONVERGE: weaker level-3 candidates
+        # (e.g. +1+1+1 onto a support-5 incumbent) die in the
+        # improvement filter. -----------------------------------------
+        from pl_marker_spark.graphops import bottleneck_paths
+
+        wcyc = spark.range(aa_n).select(
+            F.col("id").alias("src_id"),
+            ((F.col("id") + 1) % aa_n).alias("dst_id"),
+            F.lit(1).alias("weight")
+        ).union(spark.range(aa_n).select(
+            F.col("id").alias("src_id"),
+            ((F.col("id") + 2) % aa_n).alias("dst_id"),
+            F.lit(5).alias("weight")))
+        t0 = time.time()
+        bp = bottleneck_paths(wcyc, max_hops=3)
+        brow2 = bp.agg(
+            F.count("*").alias("c"), F.sum("best_support").alias("s"),
+            F.sum(F.when(F.col("best_support") == 5, 1).otherwise(0))
+             .alias("n5")).collect()[0]
+        per_hop = {r.hops: r.c for r in bp.groupBy("hops").agg(
+            F.count("*").alias("c")).collect()}
+        timings["bottleneck_400k"] = round(time.time() - t0, 3)
+        assert (brow2.c, brow2.s, brow2.n5) == (
+            6 * aa_n, 18 * aa_n, 3 * aa_n), f"bottleneck_400k: {brow2}"
+        assert per_hop == {1: 2 * aa_n, 2: 2 * aa_n, 3: 2 * aa_n}, \
+            f"bottleneck_400k hops wrong: {per_hop}"
+        extras["bottleneck_400k_pairs"] = brow2.c
+
+        # --- Random-walk corpus at graph scale (round-5 session 9): the
+        # next-hop table + 4 assembly joins over the symmetrized cycle
+        # (degree 4 everywhere). The md5-argmin choices are opaque by
+        # design, but the SHAPE is closed-form: the table is exactly
+        # walk_len·n rows (one winner per (step, node)), every node
+        # starts a walk, and the long-format corpus is 5n rows with n
+        # distinct walk ids per step. ----------------------------------
+        from pl_marker_spark.graphops import next_hop_table
+
+        t0 = time.time()
+        nxt = next_hop_table(
+            cyc.select(F.col("src").alias("src_id"),
+                       F.col("dst").alias("dst_id")),
+            walk_len=4).localCheckpoint()
+        n_tab = nxt.count()
+        cur = nxt.filter(F.col("step") == 1).select(
+            F.col("cur").alias("walk_id"), F.col("cur"))
+        n_walk_rows = cur.count()  # level 0 = starts
+        for k in range(1, 5):
+            cur = (cur.join(nxt.filter(F.col("step") == k), "cur")
+                   .select("walk_id", F.col("nxt").alias("cur")))
+            n_walk_rows += cur.count()
+        timings["walks_400k"] = round(time.time() - t0, 3)
+        assert n_tab == 4 * aa_n, f"walks_400k table wrong: {n_tab}"
+        assert n_walk_rows == 5 * aa_n, f"walks_400k corpus wrong: {n_walk_rows}"
+        extras["walks_400k_rows"] = n_walk_rows
+
+        # --- Local clustering coefficient at graph scale (round-5
+        # session 9): on the symmetrized cycle every node has degree 4
+        # and sits in exactly 3 triangles ({i,i+1,i+2} shifted), so the
+        # coefficient is uniformly 2·3/(4·3) = 0.5 — n rows, sum n_tri
+        # = 3n, min = max = 0.5, all asserted. Drives the same
+        # materialized-wedge triangle kernel + degree aggregate as
+        # kg_clustering. ------------------------------------------------
+        from pl_marker_spark.graphops import triangle_counts
+
+        und_c = symmetrize(cyc, "src", "dst").localCheckpoint()
+        t0 = time.time()
+        adj_c = und_c.unionByName(
+            und_c.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg_c = adj_c.groupBy("a").agg(F.count("*").alias("degree"))
+        lcc = (deg_c.filter(F.col("degree") >= 2)
+               .join(triangle_counts(und_c, a="a", b="b")
+                     .select(F.col("node").alias("a"), "n_tri"), "a", "left")
+               .fillna(0, ["n_tri"])
+               .select("a", "degree", "n_tri",
+                       F.round(F.lit(2.0) * F.col("n_tri")
+                               / (F.col("degree") * (F.col("degree") - 1)),
+                               6).alias("clustering")))
+        crow = lcc.agg(
+            F.count("*").alias("c"), F.sum("n_tri").alias("s"),
+            F.min("clustering").alias("lo"),
+            F.max("clustering").alias("hi")).collect()[0]
+        timings["clustering_400k"] = round(time.time() - t0, 3)
+        assert (crow.c, crow.s, crow.lo, crow.hi) == (
+            aa_n, 3 * aa_n, 0.5, 0.5), f"clustering_400k wrong: {crow}"
+        extras["clustering_400k_nodes"] = crow.c
+
     if "vec100k" in sections:
         # --- IVF / SemDeDup at 100k vectors (round-4 VERDICT item #8): the sf
         # embeddings table is 2,000 vectors — constant-overhead territory for
