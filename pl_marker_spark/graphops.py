@@ -357,3 +357,92 @@ def next_hop_table(edges: DataFrame, walk_len: int = 4) -> DataFrame:
     return (cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("step", F.col("a").alias("cur"), F.col("b").alias("nxt")))
+
+
+def personalized_pagerank(edges: DataFrame, n_seeds: int = 5,
+                          iters: int = 3) -> DataFrame:
+    """Personalized PageRank from the ``n_seeds`` highest-degree
+    entities (degree desc, id asc tie-break) over the undirected simple
+    projection — the "related entities" serving primitive behind every
+    KG recommendation panel ("people also connected to X"). Exact
+    INTEGER arithmetic in micro-units so the twin is reduction-order
+    safe: r_0(s, s) = 1e6, and each iteration emits per-edge terms
+    (85 * r_k(u)) div (100 * deg(u)) — floor division applied BEFORE the
+    sum, so every term is an exact integer on both engines — plus a
+    150000 teleport on the seed. The tiny mass lost to flooring and to
+    rows filtered at 0 is identical on both engines by construction.
+
+    100-TB shape: the degree-annotated adjacency materializes ONCE
+    (localCheckpoint — it enters every iteration); each iteration is one
+    equi-join of the sparse rank table against it + one map-side-
+    combinable groupBy; ranks re-checkpoint per iteration so plan depth
+    stays flat (the pagerank/bounded_reachability discipline). The rank
+    table stays sparse — |seeds| * (3-hop neighborhood), never
+    |seeds| * |V| — and the seed selection is a driver-side top-k
+    (TakeOrderedAndProject), never a global sort."""
+    und = symmetrize(edges)
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
+    adj_deg = (adj.join(deg, "a")
+               .select(F.col("a").alias("u"), F.col("b").alias("v"), "deg")
+               .localCheckpoint())
+    seeds = (deg.orderBy(F.col("deg").desc(), F.col("a").asc())
+             .limit(n_seeds).select(F.col("a").alias("seed_id"))
+             .localCheckpoint())
+    teleport = seeds.select(
+        "seed_id", F.col("seed_id").alias("node"),
+        F.lit(150000).cast("long").alias("term"))
+    r = seeds.select("seed_id", F.col("seed_id").alias("node"),
+                     F.lit(1000000).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (r.select("seed_id", F.col("node").alias("u"), "r")
+                   .join(adj_deg, "u")
+                   .select("seed_id", F.col("v").alias("node"),
+                           F.expr("(85 * r) div (100 * deg)").alias("term")))
+        r = (contrib.unionByName(teleport)
+             .groupBy("seed_id", "node")
+             .agg(F.sum("term").cast("long").alias("r"))
+             .filter(F.col("r") > 0).localCheckpoint())
+    return r.select("seed_id", "node", F.col("r").alias("ppr_micro"))
+
+
+def neighbor_jaccard(edges: DataFrame) -> DataFrame:
+    """Structural-role similarity: Jaccard overlap of neighbor sets for
+    every entity pair sharing at least one neighbor on the undirected
+    simple projection — high-overlap NON-edges are entity-resolution
+    candidates the surface-form linker missed (two ids playing the same
+    role in the same neighborhoods), and high-overlap edges flag
+    near-duplicate relations. Returns (a, b, n_common, is_edge,
+    jaccard) with a < b.
+
+    Wedge join: adj(u, x) ⋈ adj(u, y) on the shared neighbor u with
+    x < y → per-pair count = |N(x) ∩ N(y)|; union size by
+    inclusion-exclusion from the degree table (never a second join
+    against the neighbor lists). Pair fan-out is Σ_u deg(u)², the same
+    hub-bounded shape as triangle_counts — degree-cap/salt hubs at
+    scale; the edge flag is one equi-join against the (a < b) canonical
+    edge list, ids-only throughout."""
+    und = symmetrize(edges).localCheckpoint()
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
+    pairs = (adj.select(F.col("a").alias("u"), F.col("b").alias("x"))
+             .join(adj.select(F.col("a").alias("u"), F.col("b").alias("y")),
+                   "u")
+             .filter(F.col("x") < F.col("y"))
+             .groupBy("x", "y").agg(F.count("*").alias("n_common")))
+    return (pairs
+            .join(deg.select(F.col("a").alias("x"),
+                             F.col("deg").alias("deg_x")), "x")
+            .join(deg.select(F.col("a").alias("y"),
+                             F.col("deg").alias("deg_y")), "y")
+            .join(und.select(F.col("a").alias("x"), F.col("b").alias("y"),
+                             F.lit(1).alias("is_edge")),
+                  ["x", "y"], "left")
+            .fillna(0, ["is_edge"])
+            .select(F.col("x").alias("a"), F.col("y").alias("b"),
+                    "n_common", F.col("is_edge").cast("long").alias("is_edge"),
+                    F.round(F.col("n_common") / (F.col("deg_x")
+                            + F.col("deg_y") - F.col("n_common")),
+                            6).alias("jaccard")))

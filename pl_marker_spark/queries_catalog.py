@@ -2117,6 +2117,88 @@ def q_kg_bgp_match(spark, sf_dir):
     return bgp_person_org_place(out["edges"], out["nodes"])
 
 
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank from the 5 highest-degree entities — the
+    "related entities" panel a KG serving layer answers from (random
+    walk with restart, Haveliwala 2002), next to kg_best_chain's
+    widest-path score and kg_embed_eval's ranking harness. Exact
+    integer micro-unit arithmetic (per-edge floor division BEFORE the
+    sum) makes three power iterations reduction-order-identical across
+    engines; the oracle unrolls the same recurrence as three chained
+    CTEs. Engine: graphops.personalized_pagerank — degree-annotated
+    adjacency materialized once, sparse rank table re-checkpointed per
+    iteration, seed selection a driver-side top-k."""
+    from .graphops import personalized_pagerank
+
+    out = _pipeline_outputs(spark, sf_dir)
+    ppr = personalized_pagerank(out["edges"], n_seeds=5, iters=3)
+    return ppr.select(
+        F.col("seed_id").cast("long").alias("seed_id"),
+        F.col("node").cast("long").alias("node_id"),
+        F.col("ppr_micro").cast("long").alias("ppr_micro"))
+
+
+def q_kg_neighbor_jaccard(spark, sf_dir):
+    """Neighbor-set Jaccard for every entity pair sharing a neighbor —
+    the structural-role similarity table: high-overlap NON-edges are
+    entity-resolution candidates the surface-form linker missed (two
+    canonical ids playing the same role in the same neighborhoods — the
+    signal that drives a second-pass merge review), high-overlap edges
+    flag redundant relations. The wedge-join shape is triangle_counts'
+    (hub-bounded Σ deg²; degree-cap/salt at scale); union size comes
+    from the degree table by inclusion-exclusion, never a second pass
+    over neighbor lists. Engine: graphops.neighbor_jaccard."""
+    from .graphops import neighbor_jaccard
+
+    out = _pipeline_outputs(spark, sf_dir)
+    nj = neighbor_jaccard(out["edges"])
+    return nj.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        "is_edge", "jaccard")
+
+
+def q_kg_agg_negation(spark, sf_dir):
+    """SPARQL aggregate + negation over the constructed graph — the
+    GROUP BY / HAVING / FILTER NOT EXISTS surface every KG query engine
+    needs beyond plain BGPs: "organizations with at least 2 distinct
+    PER affiliates that have NO GEN-AFF grounding to any GPE" —
+    exactly the audit query a KG curator runs to find unlocalized
+    institutions worth enriching. Returns (org_id, org_name,
+    n_affiliates, total_weight).
+
+    100-TB shape: the constant-predicate selections prune at the edge
+    scan; the affiliate rollup is one map-side-combinable groupBy on
+    dst_id; the negation is a LEFT ANTI equi-join against the distinct
+    (GEN-AFF src with GPE dst) projection — ids-only, semi-join sized,
+    never a correlated per-row probe; node-type constraints broadcast
+    off the entity dim."""
+    out = _pipeline_outputs(spark, sf_dir)
+    e, n = out["edges"], out["nodes"]
+    per = n.filter(F.col("type") == "PER").select(
+        F.col("entity_id").alias("src_id"))
+    org = n.filter(F.col("type") == "ORG").select(
+        F.col("entity_id").alias("dst_id"), "canonical_name")
+    gpe = n.filter(F.col("type") == "GPE").select(
+        F.col("entity_id").alias("g_id"))
+    aff = (e.filter(F.col("pred") == "ORG-AFF")
+           .join(F.broadcast(per), "src_id")
+           .join(F.broadcast(org), "dst_id")
+           .groupBy("dst_id", "canonical_name")
+           .agg(F.countDistinct("src_id").cast("long").alias("n_affiliates"),
+                F.sum("weight").cast("long").alias("total_weight"))
+           .filter(F.col("n_affiliates") >= 2))
+    grounded = (e.filter(F.col("pred") == "GEN-AFF")
+                .join(F.broadcast(gpe),
+                      F.col("dst_id") == F.col("g_id"))
+                .select(F.col("src_id").alias("dst_id")).distinct())
+    return (aff.join(grounded, "dst_id", "left_anti")
+            .select(F.col("dst_id").cast("long").alias("org_id"),
+                    F.col("canonical_name").alias("org_name"),
+                    "n_affiliates", "total_weight"))
+
+
 def q_kg_snapshot_delta(spark, sf_dir):
     """Incremental-KG snapshot diff: split the corpus at the midpoint
     conv id (zero-padded ids make the cutoff a plain lexicographic
@@ -2598,6 +2680,89 @@ SELECT d.node::BIGINT AS node_id, d.degree::BIGINT AS degree,
              / (d.degree * (d.degree - 1)), 6) AS clustering
 FROM deg d LEFT JOIN ntri t ON t.node = d.node
 WHERE d.degree >= 2
+"""
+
+
+def _sql_kg_ppr() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    # one iteration of the integer-exact recurrence, chained three times
+    step = """
+(SELECT seed_id, node, sum(term)::BIGINT AS r FROM (
+    SELECT p.seed_id, adj.b AS node,
+           (85 * p.r) // (100 * deg.degree) AS term
+    FROM {prev} p JOIN adj ON adj.a = p.node
+    JOIN deg ON deg.a = p.node
+    UNION ALL
+    SELECT seed_id, seed_id, 150000 FROM seeds) t
+ GROUP BY seed_id, node HAVING sum(term) > 0)"""
+    return f"""
+WITH e AS ({kg["kg_graph_edges"]}),
+und AS (SELECT DISTINCT least(src_id, dst_id) AS a,
+                        greatest(src_id, dst_id) AS b
+        FROM e WHERE src_id <> dst_id),
+adj AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT a, count(*) AS degree FROM adj GROUP BY a),
+seeds AS (SELECT a AS seed_id FROM deg
+          ORDER BY degree DESC, a ASC LIMIT 5),
+r0 AS (SELECT seed_id, seed_id AS node, 1000000::BIGINT AS r FROM seeds),
+r1 AS {step.format(prev="r0")},
+r2 AS {step.format(prev="r1")},
+r3 AS {step.format(prev="r2")}
+SELECT seed_id::BIGINT AS seed_id, node::BIGINT AS node_id,
+       r::BIGINT AS ppr_micro
+FROM r3
+"""
+
+
+def _sql_kg_neighbor_jaccard() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS ({kg["kg_graph_edges"]}),
+und AS (SELECT DISTINCT least(src_id, dst_id) AS a,
+                        greatest(src_id, dst_id) AS b
+        FROM e WHERE src_id <> dst_id),
+adj AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT a, count(*) AS degree FROM adj GROUP BY a),
+pairs AS (SELECT l.b AS x, r.b AS y, count(*) AS n_common
+          FROM adj l JOIN adj r ON l.a = r.a AND l.b < r.b
+          GROUP BY l.b, r.b)
+SELECT p.x::BIGINT AS a, p.y::BIGINT AS b, p.n_common::BIGINT AS n_common,
+       CASE WHEN u.a IS NULL THEN 0 ELSE 1 END::BIGINT AS is_edge,
+       round(p.n_common
+             / (dx.degree + dy.degree - p.n_common), 6) AS jaccard
+FROM pairs p
+JOIN deg dx ON dx.a = p.x
+JOIN deg dy ON dy.a = p.y
+LEFT JOIN und u ON u.a = p.x AND u.b = p.y
+"""
+
+
+def _sql_kg_agg_negation() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS ({kg["kg_graph_edges"]}),
+n AS ({kg["kg_graph_nodes"]}),
+aff AS (SELECT e.dst_id, no.canonical_name,
+               count(DISTINCT e.src_id)::BIGINT AS n_affiliates,
+               sum(e.weight)::BIGINT AS total_weight
+        FROM e
+        JOIN n np ON np.entity_id = e.src_id AND np.type = 'PER'
+        JOIN n no ON no.entity_id = e.dst_id AND no.type = 'ORG'
+        WHERE e.pred = 'ORG-AFF'
+        GROUP BY e.dst_id, no.canonical_name
+        HAVING count(DISTINCT e.src_id) >= 2)
+SELECT aff.dst_id::BIGINT AS org_id, aff.canonical_name AS org_name,
+       aff.n_affiliates, aff.total_weight
+FROM aff
+WHERE NOT EXISTS (SELECT 1 FROM e g
+                  JOIN n ng ON ng.entity_id = g.dst_id AND ng.type = 'GPE'
+                  WHERE g.pred = 'GEN-AFF' AND g.src_id = aff.dst_id)
 """
 
 
@@ -3511,7 +3676,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the official record already covers them) ---
         "kg_ner_examples": q_kg_ner_examples,
         "tool_transitions": q_tool_transitions,
-        "pq_ann_topk": _q_pq_ann_topk,
         "semdedup": _q_semdedup,
         "multimodal_resize": q_multimodal_resize,
         "o17_coref_conll": q_o17_coref_conll,
@@ -3538,12 +3702,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_best_chain": q_kg_best_chain,
         "kg_embed_eval": q_kg_embed_eval,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
-        "graph_kcore": ANALYTICS_QUERIES["graph_kcore"],
+        # session-9 KG query-surface rows (never driver-verified; per
+        # round-4 directive #1 kg_* rows outrank non-kg rows for the
+        # window — they displace pq_ann_topk / graph_kcore / bloom_build:
+        # ANN search keeps ann_ivf_topk + ann_cosine_topk + semdedup
+        # in-window, graph analytics keeps three kg graph-query rows here
+        # plus r04-green pagerank/degree/triangles, and the sketch family
+        # keeps its r04-green hll×3/cms×2 records; all three displaced
+        # rows stay under the full gate_sim + pytest oracle gate)
+        "kg_ppr": q_kg_ppr,
+        "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+        "kg_agg_negation": q_kg_agg_negation,
         # session-8 rule-materialization row (never driver-verified;
-        # displaces graph_labelprop — graph analytics keeps graph_kcore
-        # in-window, pagerank/degree/triangles are r04-verified)
+        # displaces graph_labelprop — graph analytics keeps the kg graph
+        # rows in-window, pagerank/degree/triangles are r04-verified)
         "kg_infer_edges": q_kg_infer_edges,
-        "bloom_build": ANALYTICS_QUERIES["bloom_build"],
         # session-9 rows continued (see the rotation note above)
         "kg_random_walks": q_kg_random_walks,
         "kg_clustering": q_kg_clustering,
@@ -3581,6 +3754,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train": DATAOPS_QUERIES["unigram_train"],
         "hist_build": ANALYTICS_QUERIES["hist_build"],
         "sq_ann_topk": _q_sq_ann_topk,
+        # displaced by the session-9 KG query-surface rows (see the head
+        # rotation note; families keep in-window or r04-green records)
+        "pq_ann_topk": _q_pq_ann_topk,
+        "graph_kcore": ANALYTICS_QUERIES["graph_kcore"],
+        "bloom_build": ANALYTICS_QUERIES["bloom_build"],
         "containment_neardup": q_containment_neardup,
         "graph_labelprop": ANALYTICS_QUERIES["graph_labelprop"],
         # r03-green ablation variants, displaced by the session-5
@@ -3711,6 +3889,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_embed_eval": _sql_kg_embed_eval(),
         "kg_random_walks": _sql_kg_random_walks(),
         "kg_clustering": _sql_kg_clustering(),
+        "kg_ppr": _sql_kg_ppr(),
+        "kg_neighbor_jaccard": _sql_kg_neighbor_jaccard(),
+        "kg_agg_negation": _sql_kg_agg_negation(),
         "kg_re_examples": _sql_kg_re_examples(),
         "kg_ner_examples": _sql_kg_ner_examples(),
         "tool_transitions": _sql_tool_transitions(),

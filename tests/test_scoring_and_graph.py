@@ -668,3 +668,58 @@ def test_clustering_and_embed_eval_semantics(spark):
     assert (r.pred, r.n_queries, r.hits1, r.hits3, r.hits10) == \
         ("PHYS", 2, 0, 2, 2)
     assert r.mrr_micro == 2 * (1000000 // 3)
+
+
+def test_ppr_integer_recurrence_and_seeds(spark):
+    """Hand path graph 1-2-3 pins the exact integer PPR recurrence and
+    the (degree desc, id asc) seed protocol: with n_seeds=2 the seeds
+    are node 2 (deg 2) then node 1 (deg 1 — beats 3 on id), and one
+    iteration gives, per seed, exactly per-edge floor((85*r)/ (100*deg))
+    contributions plus the 150000 teleport on the seed itself."""
+    from pl_marker_spark.graphops import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, "A", 1), (2, 3, "A", 1)],
+        "src_id long, dst_id long, pred string, weight long")
+    got = {(r.seed_id, r.node): r.ppr_micro
+           for r in personalized_pagerank(
+               edges, n_seeds=2, iters=1).collect()}
+    assert got == {
+        # seed 2 (deg 2): 85e6 div 200 = 425000 to each neighbor
+        (2, 1): 425000, (2, 3): 425000, (2, 2): 150000,
+        # seed 1 (deg 1): 85e6 div 100 = 850000 to node 2
+        (1, 2): 850000, (1, 1): 150000,
+    }
+    # three iterations must conserve <= initial mass per seed (floor
+    # division and rank-0 filtering only ever LOSE micro-units) and
+    # remain strictly positive everywhere emitted
+    r3 = personalized_pagerank(edges, n_seeds=2, iters=3).collect()
+    per_seed = {}
+    for r in r3:
+        assert r.ppr_micro > 0
+        per_seed[r.seed_id] = per_seed.get(r.seed_id, 0) + r.ppr_micro
+    assert set(per_seed) == {1, 2}
+    assert all(v <= 1_000_000 for v in per_seed.values())
+
+
+def test_neighbor_jaccard_square_graph(spark):
+    """The 4-cycle 1-2-3-4-1 pins the wedge/jaccard algebra: exactly the
+    two diagonal pairs share neighbors — (1,3) via {2,4} and (2,4) via
+    {1,3} — each with n_common=2, degrees 2+2, union 2, jaccard 1.0,
+    and is_edge=0 (they are the ER-candidate NON-edges the op exists to
+    surface). Adding chord 1-3 flips is_edge for that pair and shrinks
+    its jaccard (degrees grow, intersection does not)."""
+    from pl_marker_spark.graphops import neighbor_jaccard
+
+    sq = [(1, 2, "A", 1), (2, 3, "A", 1), (3, 4, "A", 1), (4, 1, "A", 1)]
+    schema = "src_id long, dst_id long, pred string, weight long"
+    got = {(r.a, r.b): (r.n_common, r.is_edge, r.jaccard)
+           for r in neighbor_jaccard(
+               spark.createDataFrame(sq, schema)).collect()}
+    assert got == {(1, 3): (2, 0, 1.0), (2, 4): (2, 0, 1.0)}
+    with_chord = spark.createDataFrame(sq + [(1, 3, "A", 1)], schema)
+    got2 = {(r.a, r.b): (r.n_common, r.is_edge, r.jaccard)
+            for r in neighbor_jaccard(with_chord).collect()}
+    # (1,3): neighbors 1={2,4,3}, 3={2,4,1} -> common {2,4}, union 4
+    assert got2[(1, 3)] == (2, 1, 0.5)
+    assert got2[(2, 4)] == (2, 0, 1.0)
