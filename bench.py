@@ -532,6 +532,57 @@ def main() -> None:
             aa_n, 3 * aa_n, 0.5, 0.5), f"clustering_400k wrong: {crow}"
         extras["clustering_400k_nodes"] = crow.c
 
+        # --- Neighbor-set Jaccard at graph scale (round-5 session 9):
+        # on the ±1/±2 cycle exactly the distance-1..4 pairs share a
+        # neighbor — per src: d1 (2 common, union 6, edge), d2 (1, 7,
+        # edge), d3 (2, 6, non-edge), d4 (1, 7, non-edge) → 4n pairs,
+        # Σ n_common = 6n, 2n edges, jaccard ∈ {1/3, 1/7} only. -------
+        from pl_marker_spark.graphops import neighbor_jaccard
+
+        t0 = time.time()
+        nj = neighbor_jaccard(
+            cyc.select(F.col("src").alias("src_id"),
+                       F.col("dst").alias("dst_id")))
+        jrow = nj.agg(
+            F.count("*").alias("c"), F.sum("n_common").alias("s"),
+            F.sum("is_edge").alias("ne"),
+            F.countDistinct("jaccard").alias("nj")).collect()[0]
+        timings["jaccard_graph_400k"] = round(time.time() - t0, 3)
+        assert (jrow.c, jrow.s, jrow.ne, jrow.nj) == (
+            4 * aa_n, 6 * aa_n, 2 * aa_n, 2), f"jaccard_graph_400k: {jrow}"
+        extras["jaccard_graph_400k_pairs"] = jrow.c
+
+        # --- Personalized PageRank at graph scale (round-5 session 9):
+        # seeds on the degree-4 cycle are ids 0..4 (tie → id asc); the
+        # exact integer recurrence is independently re-computed driver-
+        # side on the seeds' sparse ±6 neighborhoods (3 iterations never
+        # reach further) and the full (rows, Σ ppr_micro) fingerprint
+        # must match. ---------------------------------------------------
+        from pl_marker_spark.graphops import personalized_pagerank
+
+        t0 = time.time()
+        ppr = personalized_pagerank(
+            cyc.select(F.col("src").alias("src_id"),
+                       F.col("dst").alias("dst_id")),
+            n_seeds=5, iters=3)
+        prow = ppr.agg(F.count("*").alias("c"),
+                       F.sum("ppr_micro").alias("s")).collect()[0]
+        timings["ppr_400k"] = round(time.time() - t0, 3)
+        exp_rows, exp_sum = 0, 0
+        for seed in range(5):
+            r = {seed: 1_000_000}
+            for _ in range(3):
+                nr = {seed: 150_000}
+                for u, m in r.items():
+                    for v in (u - 2, u - 1, u + 1, u + 2):
+                        nr[v] = nr.get(v, 0) + (85 * m) // 400
+                r = {k: v for k, v in nr.items() if v > 0}
+            exp_rows += len(r)
+            exp_sum += sum(r.values())
+        assert (prow.c, prow.s) == (exp_rows, exp_sum), \
+            f"ppr_400k wrong: {prow} vs {(exp_rows, exp_sum)}"
+        extras["ppr_400k_rows"] = prow.c
+
     if "vec100k" in sections:
         # --- IVF / SemDeDup at 100k vectors (round-4 VERDICT item #8): the sf
         # embeddings table is 2,000 vectors — constant-overhead territory for
