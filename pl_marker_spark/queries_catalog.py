@@ -2199,6 +2199,50 @@ def q_kg_agg_negation(spark, sf_dir):
                     "n_affiliates", "total_weight"))
 
 
+def q_kg_graph_stats(spark, sf_dir):
+    """ANALYZE-style graph statistics — the one-row summary a query
+    planner (and every monitoring dashboard) keeps per KG snapshot:
+    node/edge cardinalities, predicate vocabulary size, the undirected
+    simple-edge count, degree extremes, isolated-node count, and density
+    in exact integer micro-units (1e6 · |E_und| · 2 div (|V|·(|V|−1)) —
+    integer division, reduction-order-free). These are the inputs to
+    join-order and broadcast decisions over the node/edge tables, and
+    the drift sentinel an ingest pipeline alarms on.
+
+    100-TB shape: three map-side-combinable single-pass aggregates (edge
+    census, degree census, node count) joined as one-row crossings —
+    no global sort, no per-node output; the degree extremes come off
+    the degree aggregate, never a window."""
+    out = _pipeline_outputs(spark, sf_dir)
+    e, n = out["edges"], out["nodes"]
+    from .graphops import symmetrize
+
+    und = symmetrize(e)
+    deg = (und.select(F.col("a").alias("x"))
+           .unionAll(und.select(F.col("b").alias("x")))
+           .groupBy("x").agg(F.count("*").alias("deg")))
+    node_stats = n.agg(F.count("*").cast("long").alias("n_nodes"))
+    edge_stats = e.agg(
+        F.count("*").cast("long").alias("n_edges_directed"),
+        F.countDistinct("pred").cast("long").alias("n_predicates"),
+        F.sum("weight").cast("long").alias("total_weight"))
+    und_stats = und.agg(F.count("*").cast("long").alias("n_edges_und"))
+    deg_stats = deg.agg(
+        F.count("*").cast("long").alias("n_connected"),
+        F.min("deg").cast("long").alias("deg_min"),
+        F.max("deg").cast("long").alias("deg_max"))
+    return (node_stats.crossJoin(edge_stats).crossJoin(und_stats)
+            .crossJoin(deg_stats)
+            .select(
+                "n_nodes", "n_edges_directed", "n_predicates",
+                "total_weight", "n_edges_und", "deg_min", "deg_max",
+                (F.col("n_nodes") - F.col("n_connected"))
+                .cast("long").alias("n_isolated"),
+                F.expr("(1000000 * 2 * n_edges_und) div "
+                       "(n_nodes * (n_nodes - 1))")
+                 .cast("long").alias("density_micro")))
+
+
 def q_kg_snapshot_delta(spark, sf_dir):
     """Incremental-KG snapshot diff: split the corpus at the midpoint
     conv id (zero-padded ids make the cutoff a plain lexicographic
@@ -2763,6 +2807,36 @@ FROM aff
 WHERE NOT EXISTS (SELECT 1 FROM e g
                   JOIN n ng ON ng.entity_id = g.dst_id AND ng.type = 'GPE'
                   WHERE g.pred = 'GEN-AFF' AND g.src_id = aff.dst_id)
+"""
+
+
+def _sql_kg_graph_stats() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS ({kg["kg_graph_edges"]}),
+n AS ({kg["kg_graph_nodes"]}),
+und AS (SELECT DISTINCT least(src_id, dst_id) AS a,
+                        greatest(src_id, dst_id) AS b
+        FROM e WHERE src_id <> dst_id),
+deg AS (SELECT x, count(*) AS deg FROM (
+            SELECT a AS x FROM und UNION ALL SELECT b FROM und) t
+        GROUP BY x),
+ns AS (SELECT count(*)::BIGINT AS n_nodes FROM n),
+es AS (SELECT count(*)::BIGINT AS n_edges_directed,
+              count(DISTINCT pred)::BIGINT AS n_predicates,
+              sum(weight)::BIGINT AS total_weight FROM e),
+us AS (SELECT count(*)::BIGINT AS n_edges_und FROM und),
+ds AS (SELECT count(*)::BIGINT AS n_connected,
+              min(deg)::BIGINT AS deg_min,
+              max(deg)::BIGINT AS deg_max FROM deg)
+SELECT n_nodes, n_edges_directed, n_predicates, total_weight,
+       n_edges_und, deg_min, deg_max,
+       (n_nodes - n_connected)::BIGINT AS n_isolated,
+       ((1000000 * 2 * n_edges_und) // (n_nodes * (n_nodes - 1)))::BIGINT
+         AS density_micro
+FROM ns, es, us, ds
 """
 
 
@@ -3686,8 +3760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_cosine_topk": q_ann_cosine_topk,
-        # --- slots 25-34: new in round 5, never driver-verified ---
-        "dup_span_merge": q_dup_span_merge,
         # session-8 property-path row (never driver-verified; displaces
         # containment_neardup — the near-dup family keeps minhash /
         # simhash×2 / embedding / semdedup / dup_span_merge in-window)
@@ -3713,6 +3785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": q_kg_ppr,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_agg_negation": q_kg_agg_negation,
+        # session-9 planner-statistics row (never driver-verified;
+        # displaces dup_span_merge — the near-dup family keeps five
+        # in-window rows: minhash / simhash×2 / embedding / semdedup)
+        "kg_graph_stats": q_kg_graph_stats,
         # session-8 rule-materialization row (never driver-verified;
         # displaces graph_labelprop — graph analytics keeps the kg graph
         # rows in-window, pagerank/degree/triangles are r04-verified)
@@ -3756,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_ann_topk": _q_sq_ann_topk,
         # displaced by the session-9 KG query-surface rows (see the head
         # rotation note; families keep in-window or r04-green records)
+        "dup_span_merge": q_dup_span_merge,
         "pq_ann_topk": _q_pq_ann_topk,
         "graph_kcore": ANALYTICS_QUERIES["graph_kcore"],
         "bloom_build": ANALYTICS_QUERIES["bloom_build"],
@@ -3890,6 +3967,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_random_walks": _sql_kg_random_walks(),
         "kg_clustering": _sql_kg_clustering(),
         "kg_ppr": _sql_kg_ppr(),
+        "kg_graph_stats": _sql_kg_graph_stats(),
         "kg_neighbor_jaccard": _sql_kg_neighbor_jaccard(),
         "kg_agg_negation": _sql_kg_agg_negation(),
         "kg_re_examples": _sql_kg_re_examples(),
