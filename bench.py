@@ -419,6 +419,28 @@ def main() -> None:
             f"bgp_400k wrong: {brow}"
         extras["bgp_400k_bindings"] = brow.c
 
+        # --- DESCRIBE-style entity cards at graph scale (round-5 session
+        # 10): the group-concat serving shape (broadcast name attach + one
+        # collect_list groupBy) over the same 240k-node typed graph.
+        # Closed form: card holders = every PER (bgp_n/3) + the GEN-AFF
+        # source ORGs (alternating PERs' p+1 → bgp_n/6); facts = 80k
+        # ORG-AFF + 80k PHYS + 20k extra ORG-AFF + 40k GEN-AFF = 220k;
+        # only the every-12th PERs hold 3 facts. --------------------------
+        from pl_marker_spark.graphops import entity_cards
+
+        t0 = time.time()
+        cards = entity_cards(bgp_edges, bgp_nodes)
+        crow = cards.agg(
+            F.count("*").alias("c"), F.sum("n_facts").alias("s"),
+            F.max("n_facts").alias("m"),
+            F.sum((F.col("n_facts") == 3).cast("long")).alias("n3"),
+        ).collect()[0]
+        timings["card_240k"] = round(time.time() - t0, 3)
+        assert (crow.c, crow.s, crow.m, crow.n3) == (
+            bgp_n // 3 + bgp_n // 6, 220_000, 3, bgp_n // 12), \
+            f"card_240k wrong: {crow}"
+        extras["card_240k_cards"] = crow.c
+
         # --- Property-path reachability at graph scale (round-5 session
         # 8): reuse the AA bounded-degree 400k-edge cycle (i→i+1, i→i+2).
         # Closed form: within 3 hops node i reaches exactly i+1..i+6 with

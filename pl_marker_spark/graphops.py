@@ -446,3 +446,47 @@ def neighbor_jaccard(edges: DataFrame) -> DataFrame:
                     F.round(F.col("n_common") / (F.col("deg_x")
                             + F.col("deg_y") - F.col("n_common")),
                             6).alias("jaccard")))
+
+
+def entity_cards(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """SPARQL DESCRIBE-style entity cards: one row per entity with ≥1
+    outgoing fact — canonical name/type, out-fact count, total evidence
+    weight, in-degree, and a deterministic one-string digest of all
+    outgoing facts (`pred:object_name(weight)` items, byte-order sorted,
+    '; '-joined). The digest makes the fact set hash-comparable across
+    snapshots. Expects edges (src_id, dst_id, pred, weight) and nodes
+    (entity_id, canonical_name, type, ...).
+
+    Scale shape: object names attach via ONE broadcast of the entity dim
+    (|V| ≪ |E|); the card is a single map-side-combinable groupBy on
+    src_id whose collect_list is bounded by per-entity out-degree (the
+    hub bound a serving layer caps anyway); the in-degree census is a
+    second ids-only groupBy joined entity-to-entity. The final
+    name/type attach is |V|-to-|V| (cards is entity-grained), so it is
+    left un-hinted — AQE picks broadcast when the dim fits and a
+    co-partitioned shuffle join when it doesn't. No window, no global
+    sort — ordering lives INSIDE each card via array_sort.
+    Shared by queries_catalog.q_kg_entity_card (driver-gated vs a
+    string_agg(... ORDER BY item) DuckDB twin) and bench.py's
+    closed-form card_240k leg."""
+    dim = nodes.select("entity_id", "canonical_name", "type")
+    dst_name = dim.select(F.col("entity_id").alias("dst_id"),
+                          F.col("canonical_name").alias("obj_name"))
+    item = F.concat("pred", F.lit(":"), "obj_name", F.lit("("),
+                    F.col("weight").cast("long").cast("string"), F.lit(")"))
+    cards = (edges.join(F.broadcast(dst_name), "dst_id")
+             .select(F.col("src_id").alias("entity_id"), item.alias("item"),
+                     F.col("weight").cast("long").alias("w"))
+             .groupBy("entity_id")
+             .agg(F.count("*").cast("long").alias("n_facts"),
+                  F.sum("w").cast("long").alias("out_weight"),
+                  F.array_join(F.array_sort(F.collect_list("item")), "; ")
+                  .alias("card")))
+    in_deg = (edges.groupBy(F.col("dst_id").alias("entity_id"))
+              .agg(F.count("*").cast("long").alias("n_in")))
+    return (cards.join(dim, "entity_id")
+            .join(in_deg, "entity_id", "left")
+            .select(F.col("entity_id").cast("long").alias("entity_id"),
+                    "canonical_name", "type", "n_facts", "out_weight",
+                    F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
+                    "card"))
