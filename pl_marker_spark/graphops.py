@@ -490,3 +490,55 @@ def entity_cards(edges: DataFrame, nodes: DataFrame) -> DataFrame:
                     "canonical_name", "type", "n_facts", "out_weight",
                     F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
                     "card"))
+
+
+def khop_subgraph(edges: DataFrame, n_seeds: int = 3, k: int = 2) -> DataFrame:
+    """Induced k-hop neighborhood export — the CONSTRUCT/visualization
+    serving primitive ("fetch the subgraph around X"): for each of the
+    ``n_seeds`` highest-degree entities (degree desc, id asc tie-break,
+    the personalized_pagerank seed rule) every DIRECTED edge whose two
+    endpoints both lie within k undirected hops of the seed, annotated
+    with the endpoints' min-hop distances. Returns (seed_id, src_id,
+    dst_id, pred, weight, src_hops, dst_hops).
+
+    100-TB shape: seeded BFS touches only the seed neighborhoods — the
+    frontier is deduped per level (groupBy min-hops) and re-checkpointed
+    so plan depth stays flat (the bounded_reachability discipline; that
+    shape is bench-asserted at 400k edges in reach_400k, and the
+    degree-census + driver-side top-k seed selection in ppr_400k); the
+    induced-edge step is two ids-only equi-joins of the edge list
+    against the per-seed reach set — never an all-pairs expansion."""
+    und = symmetrize(edges)
+    adj = (und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .localCheckpoint())
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    seeds = (deg.orderBy(F.col("deg").desc(), F.col("u").asc())
+             .limit(n_seeds).select(F.col("u").alias("seed_id"))
+             .localCheckpoint())
+    reach = seeds.select(
+        "seed_id", F.col("seed_id").alias("node"),
+        F.lit(0).cast("long").alias("hops"))
+    frontier = reach
+    for lvl in range(1, k + 1):
+        frontier = (frontier.select("seed_id", F.col("node").alias("u"))
+                    .join(adj, "u")
+                    .select("seed_id", F.col("v").alias("node"),
+                            F.lit(lvl).cast("long").alias("hops"))
+                    .groupBy("seed_id", "node")
+                    .agg(F.min("hops").alias("hops"))
+                    .localCheckpoint())
+        reach = reach.unionByName(frontier)
+    rmin = (reach.groupBy("seed_id", "node")
+            .agg(F.min("hops").cast("long").alias("hops"))
+            .localCheckpoint())
+    src_r = rmin.select("seed_id", F.col("node").alias("src_id"),
+                        F.col("hops").alias("src_hops"))
+    dst_r = rmin.select("seed_id", F.col("node").alias("dst_id"),
+                        F.col("hops").alias("dst_hops"))
+    return (edges.join(src_r, "src_id")
+            .join(dst_r, ["seed_id", "dst_id"])
+            .select("seed_id", "src_id", "dst_id", "pred",
+                    F.col("weight").cast("long").alias("weight"),
+                    "src_hops", "dst_hops"))

@@ -2302,6 +2302,27 @@ def q_kg_cc_components(spark, sf_dir):
                     "component_size"))
 
 
+def q_kg_khop_subgraph(spark, sf_dir):
+    """Induced 2-hop neighborhood export around the 3 highest-degree
+    entities — the CONSTRUCT/visualization serving primitive next to
+    kg_entity_card's DESCRIBE: the directed edge set a front-end fetches
+    to render "the graph around X", endpoints annotated with min-hop
+    distances from the seed. Engine: graphops.khop_subgraph (per-level
+    deduped + re-checkpointed seeded BFS, induced edges via two ids-only
+    equi-joins; the BFS shape is bench-asserted at 400k edges in
+    reach_400k, the degree-census seed top-k in ppr_400k). The DuckDB
+    twin re-derives reach independently via a bounded recursive CTE."""
+    from .graphops import khop_subgraph
+
+    out = _pipeline_outputs(spark, sf_dir)
+    kh = khop_subgraph(out["edges"], n_seeds=3, k=2)
+    return kh.select(
+        F.col("seed_id").cast("long").alias("seed_id"),
+        F.col("src_id").cast("long").alias("src_id"),
+        F.col("dst_id").cast("long").alias("dst_id"),
+        "pred", "weight", "src_hops", "dst_hops")
+
+
 def q_kg_snapshot_delta(spark, sf_dir):
     """Incremental-KG snapshot diff: split the corpus at the midpoint
     conv id (zero-padded ids make the cutoff a plain lexicographic
@@ -2946,6 +2967,32 @@ sz AS (SELECT component_id, count(*)::BIGINT AS component_size FROM lbl
 SELECT entity_id::BIGINT AS entity_id, component_id::BIGINT AS component_id,
        component_size
 FROM lbl JOIN sz USING (component_id)
+"""
+
+
+def _sql_kg_khop_subgraph() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH RECURSIVE ed AS ({kg["kg_graph_edges"]}),
+e AS (SELECT src_id AS u, dst_id AS v FROM ed WHERE src_id <> dst_id
+      UNION SELECT dst_id, src_id FROM ed WHERE src_id <> dst_id),
+deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+seeds AS (SELECT u AS seed_id FROM deg ORDER BY deg DESC, u ASC LIMIT 3),
+reach(seed_id, node, hops) AS (
+    SELECT seed_id, seed_id, 0 FROM seeds
+    UNION ALL
+    SELECT r.seed_id, e.v, r.hops + 1
+    FROM reach r JOIN e ON r.node = e.u WHERE r.hops < 2),
+rmin AS (SELECT seed_id, node, min(hops)::BIGINT AS hops FROM reach
+         GROUP BY seed_id, node)
+SELECT a.seed_id::BIGINT AS seed_id, ed.src_id::BIGINT AS src_id,
+       ed.dst_id::BIGINT AS dst_id, ed.pred, ed.weight::BIGINT AS weight,
+       a.hops AS src_hops, b.hops AS dst_hops
+FROM ed
+JOIN rmin a ON ed.src_id = a.node
+JOIN rmin b ON ed.dst_id = b.node AND a.seed_id = b.seed_id
 """
 
 
@@ -3932,7 +3979,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them for the driver window; all stay pytest-gated) — jsd_drift
         # joined this group when kg_export_ntriples took its slot;
         # bpe_encode / bigram_lm_ce joined when the session-10 serving
-        # rows (entity_card, cc_components) took theirs
+        # rows (entity_card, cc_components) took theirs; khop_subgraph
+        # (session 10) starts past-window — every in-window slot is a
+        # flagship kg/dedup/ANN row and its BFS + seed shapes already
+        # hold in-window records via kg_reachability / kg_ppr
+        "kg_khop_subgraph": q_kg_khop_subgraph,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
@@ -4090,6 +4141,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_stats": _sql_kg_graph_stats(),
         "kg_entity_card": _sql_kg_entity_card(),
         "kg_cc_components": _sql_kg_cc_components(),
+        "kg_khop_subgraph": _sql_kg_khop_subgraph(),
         "kg_neighbor_jaccard": _sql_kg_neighbor_jaccard(),
         "kg_agg_negation": _sql_kg_agg_negation(),
         "kg_re_examples": _sql_kg_re_examples(),
