@@ -723,3 +723,70 @@ def test_neighbor_jaccard_square_graph(spark):
     # (1,3): neighbors 1={2,4,3}, 3={2,4,1} -> common {2,4}, union 4
     assert got2[(1, 3)] == (2, 1, 0.5)
     assert got2[(2, 4)] == (2, 0, 1.0)
+
+
+def test_entity_cards_digest_and_counts(spark):
+    """Hand graph pins the card algebra: node 1 (PER "alice") has three
+    out-facts — two predicates to node 2 ("acme") and one to node 3
+    ("paris") — so its card is the three items in BYTE order (ORG-AFF
+    before PHYS; '(' sorts before any letter never matters here since
+    items differ at the pred/object), n_facts=3, out_weight=5; node 2
+    has one out-fact and n_in=2; node 3 holds no card (no out-edges)
+    even though it has in-degree. Self-loops count as both out-fact and
+    in-edge for their node."""
+    from pl_marker_spark.graphops import entity_cards
+
+    edges = spark.createDataFrame(
+        [(1, 2, "ORG-AFF", 2), (1, 2, "PHYS", 1), (1, 3, "GEN-AFF", 2),
+         (2, 3, "PHYS", 4), (2, 2, "ORG-AFF", 1)],
+        "src_id long, dst_id long, pred string, weight long")
+    nodes = spark.createDataFrame(
+        [(1, "alice", "PER"), (2, "acme", "ORG"), (3, "paris", "GPE")],
+        "entity_id long, canonical_name string, type string")
+    got = {r.entity_id: r for r in entity_cards(edges, nodes).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].n_facts, got[1].out_weight, got[1].n_in) == (3, 5, 0)
+    assert got[1].card == "GEN-AFF:paris(2); ORG-AFF:acme(2); PHYS:acme(1)"
+    assert (got[2].n_facts, got[2].out_weight, got[2].n_in) == (2, 5, 3)
+    assert got[2].card == "ORG-AFF:acme(1); PHYS:paris(4)"
+    assert (got[1].canonical_name, got[1].type) == ("alice", "PER")
+
+
+def test_khop_subgraph_path_graph(spark):
+    """Path 1-2-3-4-5 (directed i→i+1, weight i): the unique top-degree
+    tie-break picks seeds by id asc among equal degrees — n_seeds=1
+    selects node 2 (deg 2, lowest id among the deg-2 interior 2,3,4).
+    k=2 reach from 2 = {2:0, 1:1, 3:1, 4:2}; induced directed edges are
+    exactly 1→2, 2→3, 3→4 with the endpoint hop annotations, and 4→5 is
+    excluded because node 5 is 3 hops out."""
+    from pl_marker_spark.graphops import khop_subgraph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, "R", i) for i in range(1, 5)],
+        "src_id long, dst_id long, pred string, weight long")
+    rows = khop_subgraph(edges, n_seeds=1, k=2).collect()
+    got = {(r.src_id, r.dst_id): (r.seed_id, r.src_hops, r.dst_hops, r.weight)
+           for r in rows}
+    assert got == {(1, 2): (2, 1, 0, 1),
+                   (2, 3): (2, 0, 1, 2),
+                   (3, 4): (2, 1, 2, 3)}
+
+
+def test_kg_cc_components_isolated_nodes(spark):
+    """The catalog CC row must label isolated entities with their own id
+    and size 1 — pin the coalesce path on the kernel output directly:
+    edges 1-2, 2-3 plus isolated node 9 → component 1 of size 3 and
+    component 9 of size 1."""
+    from pyspark.sql import functions as F
+
+    from pl_marker_spark.pipeline.cc import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "entity_id long")
+    cc = connected_components(edges)
+    lbl = (nodes.join(cc, F.col("entity_id") == F.col("sid"), "left")
+           .select("entity_id",
+                   F.coalesce("component", "entity_id").alias("component")))
+    got = {r.entity_id: r.component for r in lbl.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
