@@ -496,6 +496,67 @@ def main() -> None:
             f"bottleneck_400k hops wrong: {per_hop}"
         extras["bottleneck_400k_pairs"] = brow2.c
 
+        # --- Min-cost cheapest chains at graph scale (round-5 session
+        # 11): the (min, +) dual on the same cycle, re-priced so the
+        # semiring has real choices — +1 edges cost 3, +2 edges cost 2.
+        # Closed form within 3 hops (a · (+1) edges + b · (+2) edges,
+        # a+2b = d, a+b ≤ 3, cost 3a+2b): d=1→(3,h1), d=2→(2,h1: the
+        # single +2 edge beats the 6-cost 2-hop — the improvement filter
+        # must kill the costlier candidate), d=3→(5,h2), d=4→(4,h2),
+        # d=5→(7,h3), d=6→(6,h3). So 6n pairs, cost sum 27n, 2n pairs
+        # per hop level — all asserted. -----------------------------------
+        from pl_marker_spark.graphops import min_cost_paths
+
+        ccyc = spark.range(aa_n).select(
+            F.col("id").alias("src_id"),
+            ((F.col("id") + 1) % aa_n).alias("dst_id"),
+            F.lit(3).alias("cost")
+        ).union(spark.range(aa_n).select(
+            F.col("id").alias("src_id"),
+            ((F.col("id") + 2) % aa_n).alias("dst_id"),
+            F.lit(2).alias("cost")))
+        t0 = time.time()
+        mc = min_cost_paths(ccyc, max_hops=3)
+        mrow = mc.agg(
+            F.count("*").alias("c"),
+            F.sum("min_cost").alias("s")).collect()[0]
+        mc_hops = {r.hops: r.c for r in mc.groupBy("hops").agg(
+            F.count("*").alias("c")).collect()}
+        timings["mincost_400k"] = round(time.time() - t0, 3)
+        assert (mrow.c, mrow.s) == (6 * aa_n, 27 * aa_n), \
+            f"mincost_400k wrong: {mrow}"
+        assert mc_hops == {1: 2 * aa_n, 2: 2 * aa_n, 3: 2 * aa_n}, \
+            f"mincost_400k hops wrong: {mc_hops}"
+        extras["mincost_400k_pairs"] = mrow.c
+
+        # --- HITS at graph scale (round-5 session 11): a direction-
+        # sensitive closed form — even i → i+1 and i+3 (odd targets only),
+        # so evens are pure hubs (out-deg 2, in-deg 0) and odds pure
+        # authorities (in-deg 2, out-deg 0). Unnormalized integer
+        # recurrence after 3 iterations: evens (h=64, a=0), odds (h=0,
+        # a=32) — a swapped join direction or a lost spine row fails the
+        # assert loudly. --------------------------------------------------
+        from pl_marker_spark.graphops import hits as hits_kernel
+
+        hedges = spark.range(aa_n // 2).select(
+            (F.col("id") * 2).alias("src_id"),
+            (F.col("id") * 2 + 1).alias("dst_id")
+        ).union(spark.range(aa_n // 2).select(
+            (F.col("id") * 2).alias("src_id"),
+            ((F.col("id") * 2 + 3) % aa_n).alias("dst_id")))
+        hnodes = spark.range(aa_n).select(F.col("id").alias("node"))
+        t0 = time.time()
+        hh = hits_kernel(hnodes, hedges, iters=3)
+        hrow = hh.agg(
+            F.count("*").alias("c"), F.sum("h").alias("sh"),
+            F.sum("a").alias("sa"), F.max("h").alias("mh"),
+            F.max("a").alias("ma")).collect()[0]
+        timings["hits_400k"] = round(time.time() - t0, 3)
+        assert (hrow.c, hrow.sh, hrow.sa, hrow.mh, hrow.ma) == (
+            aa_n, 64 * aa_n // 2, 32 * aa_n // 2, 64, 32), \
+            f"hits_400k wrong: {hrow}"
+        extras["hits_400k_nodes"] = hrow.c
+
         # --- Random-walk corpus at graph scale (round-5 session 9): the
         # next-hop table + 4 assembly joins over the symmetrized cycle
         # (degree 4 everywhere). The md5-argmin choices are opaque by

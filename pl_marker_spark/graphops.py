@@ -330,6 +330,110 @@ def bottleneck_paths(edges: DataFrame, max_hops: int = 3) -> DataFrame:
     return best
 
 
+def min_cost_paths(edges: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Cheapest-path closure within ``max_hops`` over the (min, +)
+    semiring: for every directed (src, dst) pair connected in ≤ max_hops
+    hops, the minimum total cost over all paths (sum of per-edge costs)
+    plus the hop count of the shortest path achieving that cost. The
+    additive dual of bottleneck_paths' (max, min): with edge cost set to
+    an inverse-evidence "resistance", this is the trust-weighted distance
+    a KG serving layer ranks explanation chains by.
+
+    Input: edges with (src_id, dst_id, cost); parallel edges collapse to
+    their min cost once (a costlier parallel edge can never lie on a
+    cheapest path). Delta Bellman-Ford with strict-improvement dominance:
+    a candidate survives iff its cost strictly beats the incumbent.
+    Dominance is safe because extending a path only ADDS cost (costs are
+    non-negative), so an equal-or-cheaper incumbent found at an
+    earlier-or-equal level dominates every extension within the hop cap;
+    strict improvement keeps ``hops`` = the first (smallest) level at
+    which the final cost was achieved — the twin's min(hops) FILTER
+    (cost = min). Cycle paths back to the source are kept, matching
+    bounded_reachability.
+
+    100-TB shape: identical to bottleneck_paths — the collapsed edge list
+    localCheckpoints once, each level is one equi-join on the frontier's
+    dst + a map-side-combinable per-pair min + one incumbent left join;
+    frontier and best re-checkpoint per level so plan depth stays flat,
+    and the frontier SHRINKS as costs converge. Hub fan-out follows the
+    triangle_counts degree-cap/salt note."""
+    e = (edges.groupBy("src_id", "dst_id")
+         .agg(F.min("cost").alias("c")).localCheckpoint())
+    best = e.select(
+        "src_id", "dst_id", F.col("c").alias("min_cost"),
+        F.lit(1).alias("hops")).localCheckpoint()
+    frontier = best
+    for k in range(2, max_hops + 1):
+        cand = (
+            frontier.select("src_id", F.col("dst_id").alias("mid"),
+                            "min_cost")
+            .join(e.select(F.col("src_id").alias("mid"),
+                           F.col("dst_id").alias("new_dst"), "c"), "mid")
+            .select("src_id", F.col("new_dst").alias("dst_id"),
+                    (F.col("min_cost") + F.col("c")).alias("min_cost"))
+            .groupBy("src_id", "dst_id")
+            .agg(F.min("min_cost").alias("min_cost"))
+            .withColumn("hops", F.lit(k))
+        )
+        imp = (
+            cand.join(best.select("src_id", "dst_id",
+                                  F.col("min_cost").alias("_cur")),
+                      ["src_id", "dst_id"], "left")
+            .filter(F.col("_cur").isNull()
+                    | (F.col("min_cost") < F.col("_cur")))
+            .drop("_cur").localCheckpoint()
+        )
+        best = (best.join(imp.select("src_id", "dst_id"),
+                          ["src_id", "dst_id"], "left_anti")
+                .unionByName(imp).localCheckpoint())
+        frontier = imp
+    return best
+
+
+def hits(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration HITS hubs & authorities over the DIRECTED simple
+    graph — the centrality pair PageRank can't express: a hub points at
+    good authorities, an authority is pointed at by good hubs. On a KG
+    whose edges run subject→object this separates "entities that assert
+    many well-supported facts" from "entities many facts are about".
+
+    Deliberately UNNORMALIZED so the scores stay exact integers: with
+    h₀ = a₀ = 1, the recurrence aₖ(v) = Σ_{u→v} hₖ₋₁(u) then
+    hₖ(u) = Σ_{u→v} aₖ(v) (the standard sequential update) keeps every
+    score a sum of products of in/out-degrees — BIGINT-exact, so the twin
+    gates hash-identical with no float tolerance, and the RANKING equals
+    the L1-normalized textbook iteration (normalization is a positive
+    per-iteration scalar). Growth is bounded by (d_max²)^iters; at
+    iters=3 even d_max ~ 10³ stays far inside int64. Self-loops drop and
+    parallel predicates collapse once (distinct (src, dst)).
+
+    Plan shape per iteration: exactly two |E|-scale equi-join +
+    map-side-combinable aggregations (one keyed on dst for a, one on src
+    for h), each left-joined back onto the node spine so zero-degree
+    nodes hold 0 rather than vanish; scores re-checkpoint per iteration
+    so lineage stays flat (the pagerank discipline). At production scale
+    the edge list would be bucketed by src/dst so both joins reuse scan
+    partitioning."""
+    e = (edges.filter(F.col("src_id") != F.col("dst_id"))
+         .select("src_id", "dst_id").distinct().localCheckpoint())
+    spine = nodes.select("node").localCheckpoint()
+    h = spine.withColumn("h", F.lit(1).cast("long"))
+    for _ in range(iters):
+        a_in = (e.join(h.select(F.col("node").alias("src_id"), "h"),
+                       "src_id")
+                .groupBy("dst_id").agg(F.sum("h").alias("s")))
+        a = (spine.join(a_in, spine["node"] == a_in["dst_id"], "left")
+             .select("node", F.coalesce("s", F.lit(0))
+                     .cast("long").alias("a")).localCheckpoint())
+        h_out = (e.join(a.select(F.col("node").alias("dst_id"), "a"),
+                        "dst_id")
+                 .groupBy("src_id").agg(F.sum("a").alias("s")))
+        h = (spine.join(h_out, spine["node"] == h_out["src_id"], "left")
+             .select("node", F.coalesce("s", F.lit(0))
+                     .cast("long").alias("h")).localCheckpoint())
+    return h.join(a, "node").select("node", "h", "a")
+
+
 def next_hop_table(edges: DataFrame, walk_len: int = 4) -> DataFrame:
     """Deterministic per-step next-hop table for hash-driven random walks
     (DeepWalk/node2vec corpus generation, RNG-free so partition-stable):

@@ -2323,6 +2323,58 @@ def q_kg_khop_subgraph(spark, sf_dir):
         "pred", "weight", "src_hops", "dst_hops")
 
 
+def q_kg_min_cost_path(spark, sf_dir):
+    """Cheapest explanation chains ≤3 hops over the constructed KG under
+    the (min, +) semiring — the additive dual of kg_best_chain's widest
+    path: each edge costs an inverse-evidence "resistance"
+    (1e6 div weight, exact integer — heavily-evidenced facts are cheap
+    to traverse), and the row (src, dst, min_cost, hops) gives the
+    cheapest total cost over any ≤3-hop chain plus the length of the
+    shortest chain achieving it. This is the distance a serving layer
+    ranks "how are X and Y connected?" answers by when chain LENGTH and
+    chain STRENGTH must trade off in one number. Engine:
+    graphops.min_cost_paths (delta Bellman-Ford, strict-improvement
+    dominance, per-level re-checkpoint); twin: recursive-CTE enumeration
+    of every ≤3-hop path with the summed cost, min per pair, min hops
+    among cost-minimal paths — a fully independent derivation."""
+    from .graphops import min_cost_paths
+
+    out = _pipeline_outputs(spark, sf_dir)
+    e = out["edges"].select(
+        "src_id", "dst_id",
+        F.expr("1000000 div weight").cast("long").alias("cost"))
+    mc = min_cost_paths(e, max_hops=3)
+    return mc.select(
+        F.col("src_id").cast("long").alias("src_id"),
+        F.col("dst_id").cast("long").alias("dst_id"),
+        F.col("min_cost").cast("long").alias("min_cost"),
+        F.col("hops").cast("long").alias("hops"))
+
+
+def q_kg_hits(spark, sf_dir):
+    """HITS hubs & authorities (3 iterations, integer-exact) over the
+    directed KG — subject→object edge direction makes the split
+    meaningful: hub score concentrates on entities that ASSERT many
+    well-supported facts, authority score on entities facts are ABOUT.
+    PageRank (kg_entity_pagerank) can't separate the two roles on a
+    directed graph; together they are the centrality panel of the
+    serving surface. Unnormalized on purpose: every score is a sum of
+    degree products, BIGINT-exact in both engines (no float tolerance in
+    the gate), and the ranking equals the normalized textbook iteration.
+    Engine: graphops.hits (two |E| map-side-combinable aggs per
+    iteration, node-spine left joins keep zero-degree entities at 0,
+    per-iteration checkpoint); twin: the same 3 iterations unrolled as
+    chained CTEs over the pinned VALUES graph."""
+    from .graphops import hits
+
+    out = _pipeline_outputs(spark, sf_dir)
+    nodes = out["nodes"].select(F.col("entity_id").alias("node"))
+    hs = hits(nodes, out["edges"], iters=3)
+    return hs.select(
+        F.col("node").cast("long").alias("entity_id"),
+        F.col("h").alias("hub"), F.col("a").alias("auth"))
+
+
 def q_kg_snapshot_delta(spark, sf_dir):
     """Incremental-KG snapshot diff: split the corpus at the midpoint
     conv id (zero-padded ids make the cutoff a plain lexicographic
@@ -3018,6 +3070,63 @@ LEFT JOIN gen ON gen.o = aff.o AND gen.g = phys.g
 JOIN n np ON np.entity_id = aff.p AND np.type = 'PER'
 JOIN n no ON no.entity_id = aff.o AND no.type = 'ORG'
 JOIN n ng ON ng.entity_id = phys.g AND ng.type = 'GPE'
+"""
+
+
+def _sql_kg_min_cost_path() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH RECURSIVE ed AS ({kg["kg_graph_edges"]}),
+ce AS (SELECT src_id, dst_id, min(1000000 // weight) AS c
+       FROM ed GROUP BY src_id, dst_id),
+paths(src_id, dst_id, cost, hops) AS (
+    SELECT src_id, dst_id, c, 1 FROM ce
+    UNION ALL
+    SELECT p.src_id, ce.dst_id, p.cost + ce.c, p.hops + 1
+    FROM paths p JOIN ce ON p.dst_id = ce.src_id
+    WHERE p.hops < 3),
+best AS (SELECT src_id, dst_id, min(cost) AS min_cost
+         FROM paths GROUP BY src_id, dst_id)
+SELECT b.src_id::BIGINT AS src_id, b.dst_id::BIGINT AS dst_id,
+       b.min_cost::BIGINT AS min_cost, min(p.hops)::BIGINT AS hops
+FROM best b JOIN paths p
+  ON p.src_id = b.src_id AND p.dst_id = b.dst_id AND p.cost = b.min_cost
+GROUP BY b.src_id, b.dst_id, b.min_cost
+"""
+
+
+def _sql_kg_hits(iters: int = 3) -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    steps = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+a{i} AS (
+  SELECT n.node, coalesce(s.s, 0)::BIGINT AS a
+  FROM spine n LEFT JOIN (
+    SELECT e.dst_id AS node, sum(hp.h) AS s
+    FROM {prev_h} hp JOIN e ON hp.node = e.src_id
+    GROUP BY e.dst_id) s USING (node)),
+h{i} AS (
+  SELECT n.node, coalesce(s.s, 0)::BIGINT AS h
+  FROM spine n LEFT JOIN (
+    SELECT e.src_id AS node, sum(ap.a) AS s
+    FROM a{i} ap JOIN e ON ap.node = e.dst_id
+    GROUP BY e.src_id) s USING (node))""")
+        prev_h = f"h{i}"
+    return f"""
+WITH ed AS ({kg["kg_graph_edges"]}),
+n AS ({kg["kg_graph_nodes"]}),
+e AS (SELECT DISTINCT src_id, dst_id FROM ed WHERE src_id <> dst_id),
+spine AS (SELECT entity_id AS node FROM n),
+h0 AS (SELECT node, 1::BIGINT AS h FROM spine),
+{",".join(steps)}
+SELECT h.node::BIGINT AS entity_id, h.h AS hub, a.a AS auth
+FROM h{iters} h JOIN a{iters} a USING (node)
 """
 
 
@@ -3984,6 +4093,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship kg/dedup/ANN row and its BFS + seed shapes already
         # hold in-window records via kg_reachability / kg_ppr
         "kg_khop_subgraph": q_kg_khop_subgraph,
+        # session-11 serving rows (past-window: every in-window slot is a
+        # flagship kg/dedup/ANN row; BFS/semiring/centrality shapes hold
+        # in-window records via kg_reachability / kg_best_chain /
+        # kg_entity_pagerank — these stay gate_sim + pytest covered)
+        "kg_min_cost_path": q_kg_min_cost_path,
+        "kg_hits": q_kg_hits,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
@@ -4142,6 +4257,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_card": _sql_kg_entity_card(),
         "kg_cc_components": _sql_kg_cc_components(),
         "kg_khop_subgraph": _sql_kg_khop_subgraph(),
+        "kg_min_cost_path": _sql_kg_min_cost_path(),
+        "kg_hits": _sql_kg_hits(),
         "kg_neighbor_jaccard": _sql_kg_neighbor_jaccard(),
         "kg_agg_negation": _sql_kg_agg_negation(),
         "kg_re_examples": _sql_kg_re_examples(),

@@ -790,3 +790,56 @@ def test_kg_cc_components_isolated_nodes(spark):
                    F.coalesce("component", "entity_id").alias("component")))
     got = {r.entity_id: r.component for r in lbl.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_min_cost_paths_semiring_and_hops(spark):
+    """Hand graph pins the (min, +) cheapest-chain semantics: (1)
+    parallel edges collapse to their min cost; (2) a cheaper-but-longer
+    path beats a costly direct edge, including a 3-hop winner that needs
+    two delta-improvement rounds; (3) an equal-cost longer path must NOT
+    displace the shorter hop count; (4) costs ADD along the chain."""
+    from pl_marker_spark.graphops import min_cost_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 2, 20),            # parallel -> direct cost 9
+         (1, 3, 2), (3, 2, 4),             # 2-hop cost 6
+         (3, 4, 1), (4, 2, 2),             # 1->3->4->2 cost 5 (3 hops)
+         (6, 7, 4), (6, 8, 2), (8, 7, 2)],  # tie: 2-hop also costs 4
+        "src_id long, dst_id long, cost long")
+    got = {(r.src_id, r.dst_id): (r.min_cost, r.hops)
+           for r in min_cost_paths(edges, max_hops=3).collect()}
+    assert got[(1, 2)] == (5, 3)   # two successive strict improvements
+    assert got[(1, 3)] == (2, 1)
+    assert got[(1, 4)] == (3, 2)
+    assert got[(3, 2)] == (3, 2)   # via 4 beats the direct 4
+    assert got[(6, 7)] == (4, 1)   # equal-cost 2-hop path keeps hops=1
+
+
+def test_hits_matches_numpy_and_keeps_zero_degree(spark):
+    """graphops.hits must equal the unnormalized textbook recurrence
+    computed densely in numpy on a directed hand graph, keep zero-degree
+    nodes at 0 (spine left join), drop self-loops, and collapse parallel
+    predicates to one edge."""
+    import numpy as np
+
+    from pl_marker_spark.graphops import hits
+
+    # directed: 1->2, 1->3, 2->3, 3->1, plus self-loop 2->2 (dropped),
+    # duplicate 1->2 (collapsed), and isolated node 9
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1)]
+    ids = [1, 2, 3, 9]
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((4, 4), dtype=np.int64)
+    for u, v in pairs:
+        A[idx[u], idx[v]] = 1
+    h = np.ones(4, dtype=np.int64)
+    for _ in range(3):
+        a = A.T @ h
+        h = A @ a
+    edges = spark.createDataFrame(
+        [(u, v) for u, v in pairs] + [(2, 2), (1, 2)],
+        "src_id long, dst_id long")
+    nodes = spark.createDataFrame([(i,) for i in ids], "node long")
+    got = {r.node: (r.h, r.a) for r in hits(nodes, edges, iters=3).collect()}
+    assert got == {v: (int(h[idx[v]]), int(a[idx[v]])) for v in ids}
+    assert got[9] == (0, 0)
