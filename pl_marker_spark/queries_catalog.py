@@ -1732,6 +1732,98 @@ def q_kg_edge_temporal(spark, sf_dir):
     )
 
 
+_GAP_US = 7_200_000_000  # 2 h: adjacent-conv evidence (1 h apart) merges
+
+
+def q_kg_edge_intervals(spark, sf_dir):
+    """Temporal coalescing (gaps-and-islands) of edge evidence: each
+    canonical edge's sighting times collapse into maximal ACTIVITY
+    INTERVALS — a new interval starts where the gap to the previous
+    sighting exceeds 2 h. This is the valid-time table a temporal KG
+    stores instead of raw sighting lists: "this fact was actively
+    asserted during [t1,t2] and again during [t3,t4]" — the input to
+    Allen-algebra overlap queries and staleness policies, one step finer
+    than kg_edge_temporal's single first/last footprint. Offsets-only
+    contract (_turn_meta) keeps every value tz-invariant.
+
+    100-TB shape: ONE shuffle keyed on the edge; the lag + running-sum
+    island windows sort WITHIN each edge's partition (bounded by
+    per-edge evidence, never a global sort); the interval rollup is
+    map-side combinable on (edge, island). Tie order inside a window is
+    irrelevant: equal timestamps have gap 0, so island ids are
+    deterministic under any tie-break. Twin: the same islands derived
+    via SQL window functions in DuckDB — textbook gaps-and-islands."""
+    from pyspark.sql import Window
+
+    out = _pipeline_outputs(spark, sf_dir)
+    sites = _resolved_triple_sites(out).select(
+        "conv_id", "turn_idx", "src_id", "dst_id", "pred")
+    tm = _turn_meta(out)
+    t0 = tm.agg(F.min("ts_us").alias("min_us"))
+    ev = (
+        sites.join(tm.select("conv_id", "turn_idx", "ts_us"),
+                   ["conv_id", "turn_idx"], "inner")
+        .crossJoin(F.broadcast(t0))
+        .withColumn("off_us", F.col("ts_us") - F.col("min_us"))
+    )
+    w = Window.partitionBy("src_id", "dst_id", "pred").orderBy("off_us")
+    isl = (
+        ev.withColumn("_prev", F.lag("off_us").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull()
+             | (F.col("off_us") - F.col("_prev") > _GAP_US)).cast("long"))
+        .withColumn("interval_idx", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return isl.groupBy("src_id", "dst_id", "pred", "interval_idx").agg(
+        F.min("off_us").cast("long").alias("start_off_us"),
+        F.max("off_us").cast("long").alias("end_off_us"),
+        F.count("*").cast("long").alias("n_events"),
+    ).select(
+        F.col("src_id").cast("long").alias("src_id"),
+        F.col("dst_id").cast("long").alias("dst_id"),
+        "pred", F.col("interval_idx").cast("long").alias("interval_idx"),
+        "start_off_us", "end_off_us", "n_events")
+
+
+def q_kg_edge_decay(spark, sf_dir):
+    """Recency-weighted edge confidence — the freshness policy a living
+    KG ranks facts by (the decay weighting kg_entity_activity's docstring
+    promises): every piece of evidence contributes an exact-integer decay
+    term 1e6 div (1 + age_days) where age is measured backwards from the
+    corpus's NEWEST turn, so just-seen evidence counts ~1e6 and year-old
+    evidence ~nothing. Output per canonical edge: raw support, the
+    decayed support sum, and the age of the freshest evidence. All
+    integer arithmetic (floor div on day buckets of tz-invariant
+    offsets) — the gate hashes exactly, no float tolerance.
+
+    100-TB shape: the resolver's one |triples| shuffle + a 1-row max
+    broadcast + one map-side-combinable agg per edge; decay is a scan
+    expression, never a join."""
+    out = _pipeline_outputs(spark, sf_dir)
+    sites = _resolved_triple_sites(out).select(
+        "conv_id", "turn_idx", "src_id", "dst_id", "pred")
+    tm = _turn_meta(out)
+    hi = tm.agg(F.max("ts_us").alias("max_us"))
+    ev = (
+        sites.join(tm.select("conv_id", "turn_idx", "ts_us"),
+                   ["conv_id", "turn_idx"], "inner")
+        .crossJoin(F.broadcast(hi))
+        .withColumn("age_days",
+                    F.expr(f"(max_us - ts_us) div {_DAY_US}"))
+        .withColumn("decay", F.expr("1000000 div (1 + age_days)"))
+    )
+    return ev.groupBy("src_id", "dst_id", "pred").agg(
+        F.count("*").cast("long").alias("weight"),
+        F.sum("decay").cast("long").alias("decay_sum"),
+        F.min("age_days").cast("long").alias("freshest_age_days"),
+    ).select(
+        F.col("src_id").cast("long").alias("src_id"),
+        F.col("dst_id").cast("long").alias("dst_id"),
+        "pred", "weight", "decay_sum", "freshest_age_days")
+
+
 def q_kg_edge_grounding(spark, sf_dir):
     """Provenance-by-speaker: per canonical edge, how its evidence splits
     across transcript roles — user-asserted vs assistant-asserted vs
@@ -2620,6 +2712,56 @@ SELECT src_id, dst_id, pred,
        max(off_us)::BIGINT AS last_off_us,
        (max(off_us) - min(off_us))::BIGINT AS span_us,
        count(DISTINCT off_us // 86400000000)::BIGINT AS n_days
+FROM ev GROUP BY src_id, dst_id, pred
+"""
+
+
+def _sql_kg_edge_intervals() -> str:
+    return f"""
+WITH {_sql_resolved_sites()},
+tu AS ({_sql_kg_turns()}),
+t0 AS (SELECT min(ts_us) AS min_us FROM tu),
+ev AS (SELECT res.src_id, res.dst_id, res.pred,
+              tu.ts_us - t0.min_us AS off_us
+       FROM res JOIN tu ON res.conv_id = tu.conv_id
+                       AND res.turn_idx = tu.turn_idx
+       CROSS JOIN t0),
+lag AS (SELECT src_id, dst_id, pred, off_us,
+               lag(off_us) OVER (
+                 PARTITION BY src_id, dst_id, pred
+                 ORDER BY off_us) AS prev_us
+        FROM ev),
+isl AS (SELECT src_id, dst_id, pred, off_us,
+               sum(CASE WHEN prev_us IS NULL
+                          OR off_us - prev_us > 7200000000
+                        THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY src_id, dst_id, pred
+                 ORDER BY off_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS interval_idx
+        FROM lag)
+SELECT src_id, dst_id, pred, interval_idx::BIGINT AS interval_idx,
+       min(off_us)::BIGINT AS start_off_us,
+       max(off_us)::BIGINT AS end_off_us,
+       count(*)::BIGINT AS n_events
+FROM isl GROUP BY src_id, dst_id, pred, interval_idx
+"""
+
+
+def _sql_kg_edge_decay() -> str:
+    return f"""
+WITH {_sql_resolved_sites()},
+tu AS ({_sql_kg_turns()}),
+hi AS (SELECT max(ts_us) AS max_us FROM tu),
+ev AS (SELECT res.src_id, res.dst_id, res.pred,
+              (hi.max_us - tu.ts_us) // 86400000000 AS age_days
+       FROM res JOIN tu ON res.conv_id = tu.conv_id
+                       AND res.turn_idx = tu.turn_idx
+       CROSS JOIN hi)
+SELECT src_id, dst_id, pred,
+       count(*)::BIGINT AS weight,
+       sum(1000000 // (1 + age_days))::BIGINT AS decay_sum,
+       min(age_days)::BIGINT AS freshest_age_days
 FROM ev GROUP BY src_id, dst_id, pred
 """
 
@@ -4099,6 +4241,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_entity_pagerank — these stay gate_sim + pytest covered)
         "kg_min_cost_path": q_kg_min_cost_path,
         "kg_hits": q_kg_hits,
+        # session-12 temporal rows (past-window: the temporal family
+        # keeps kg_edge_temporal / kg_entity_activity in-window; these
+        # refine the same offsets-only contract — gate_sim + pytest
+        # covered)
+        "kg_edge_intervals": q_kg_edge_intervals,
+        "kg_edge_decay": q_kg_edge_decay,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
@@ -4241,6 +4389,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": _sql_kg_negative_samples(),
         "kg_entity_cooccur": _sql_kg_entity_cooccur(),
         "kg_edge_temporal": _sql_kg_edge_temporal(),
+        "kg_edge_intervals": _sql_kg_edge_intervals(),
+        "kg_edge_decay": _sql_kg_edge_decay(),
         "kg_edge_grounding": _sql_kg_edge_grounding(),
         "kg_entity_activity": _sql_kg_entity_activity(),
         "kg_path_2hop": _sql_kg_path_2hop(),
