@@ -1591,6 +1591,93 @@ def q_kg_type_violations(spark, sf_dir):
 NEG_SAMPLES_K = 4
 
 
+def q_kg_pred_cardinality(spark, sf_dir):
+    """Predicate cardinality induction over the canonical graph — the
+    OWL-style functional / inverse-functional profile a KG serving
+    layer derives before it can validate upserts ("a person has ONE
+    birthplace") or pick join strategies (functional predicates join
+    like dimension lookups): per predicate, distinct edges / subjects /
+    objects, the max out-fan per subject and in-fan per object, mean
+    out-fan (exact 6dp), and the induced is_functional /
+    is_inverse_functional flags (max fan == 1). Complements
+    kg_schema_stats (type-pair profile) with the CARDINALITY axis of
+    schema induction.
+
+    100-TB shape: edges are already distinct per (src, dst, pred); two
+    map-side-combinable aggregation cascades — (pred, src)→count then
+    pred→max/avg/sum, and (pred, dst) likewise — each one shuffle whose
+    second stage runs over O(|V|·|preds|) rows, joined pred-to-pred on
+    O(|preds|)-sized frames (broadcast). No corpus-scale sort, no
+    self-join."""
+    e = _pipeline_outputs(spark, sf_dir)["edges"] \
+        .select("src_id", "dst_id", "pred")
+    out_fan = (e.groupBy("pred", "src_id").agg(F.count("*").alias("f"))
+               .groupBy("pred").agg(
+                   F.count("*").alias("n_src"),
+                   F.sum("f").alias("n_edges"),
+                   F.max("f").alias("max_out"),
+                   F.round(F.sum("f").cast("double")
+                           / F.count("*").cast("double"), 6)
+                    .alias("avg_out")))
+    in_fan = (e.groupBy("pred", "dst_id").agg(F.count("*").alias("f"))
+              .groupBy("pred").agg(
+                  F.count("*").alias("n_dst"),
+                  F.max("f").alias("max_in")))
+    return out_fan.join(F.broadcast(in_fan), "pred").select(
+        "pred",
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_src").cast("long").alias("n_src"),
+        F.col("n_dst").cast("long").alias("n_dst"),
+        F.col("max_out").cast("long").alias("max_out"),
+        F.col("max_in").cast("long").alias("max_in"),
+        "avg_out",
+        (F.col("max_out") == 1).alias("is_functional"),
+        (F.col("max_in") == 1).alias("is_inverse_functional"))
+
+
+def q_kg_pred_implication(spark, sf_dir):
+    """AMIE-style rule mining over the canonical graph: for every
+    ordered predicate pair (p1, p2), the empirical confidence of the
+    two length-1 Horn rules p1(x,y) ⇒ p2(x,y) (direction 'same') and
+    p1(x,y) ⇒ p2(y,x) (direction 'inv') — support = entity pairs where
+    both hold, confidence = support / |p1 pairs|, exact 6dp. This is
+    the rule-induction pass that FEEDS kg_infer_edges' materialization
+    (that row forward-chains one hand-picked rule; this one scores
+    every candidate implication, including inverse/symmetry discovery:
+    p(x,y) ⇒ p(y,x) with confidence 1 flags a symmetric predicate).
+
+    100-TB shape: the (src, dst, pred) edge list self-joins ONCE on the
+    entity pair (and once on the reversed pair) — shuffle keyed on the
+    pair, never all-pairs across predicates because the per-pair
+    predicate set is bounded by |preds|; marginals are an O(|preds|)
+    broadcast. Output is O(|preds|²) rows."""
+    e = (_pipeline_outputs(spark, sf_dir)["edges"]
+         .select("src_id", "dst_id", "pred").distinct())
+    marg = e.groupBy("pred").agg(F.count("*").alias("n_p1"))
+    a = e.select("src_id", "dst_id", F.col("pred").alias("p1"))
+    same = (a.join(e.select("src_id", "dst_id",
+                            F.col("pred").alias("p2")),
+                   ["src_id", "dst_id"])
+            .filter(F.col("p1") != F.col("p2"))
+            .withColumn("direction", F.lit("same")))
+    inv = (a.join(e.select(F.col("dst_id").alias("src_id"),
+                           F.col("src_id").alias("dst_id"),
+                           F.col("pred").alias("p2")),
+                  ["src_id", "dst_id"])
+           .withColumn("direction", F.lit("inv")))
+    return (same.unionByName(inv)
+            .groupBy("p1", "p2", "direction")
+            .agg(F.count("*").alias("support"))
+            .join(F.broadcast(marg), F.col("p1") == F.col("pred"))
+            .select(
+                "p1", "p2", "direction",
+                F.col("support").cast("long").alias("support"),
+                F.col("n_p1").cast("long").alias("n_p1"),
+                F.round(F.col("support").cast("double")
+                        / F.col("n_p1").cast("double"), 6)
+                 .alias("confidence")))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Negative sampling for KG-embedding training (the corrupted-triple
     protocol of Bordes et al. 2013, FILTERED setting): each positive edge
@@ -2695,6 +2782,53 @@ res AS (
             AND t.s1 = m1."start" AND t.e1 = m1."end"
   JOIN me m2 ON t.conv_id = m2.conv_id AND t.turn_idx = m2.turn_idx
             AND t.s2 = m2."start" AND t.e2 = m2."end")"""
+
+
+def _sql_kg_pred_cardinality() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS (SELECT src_id, dst_id, pred FROM ({kg["kg_graph_edges"]}) g),
+o AS (SELECT pred, src_id, count(*) AS f FROM e GROUP BY pred, src_id),
+i AS (SELECT pred, dst_id, count(*) AS f FROM e GROUP BY pred, dst_id),
+os AS (SELECT pred, count(*) AS n_src, sum(f) AS n_edges,
+              max(f) AS max_out,
+              round(sum(f)::DOUBLE / count(*)::DOUBLE, 6) AS avg_out
+       FROM o GROUP BY pred),
+isd AS (SELECT pred, count(*) AS n_dst, max(f) AS max_in
+        FROM i GROUP BY pred)
+SELECT os.pred,
+       os.n_edges::BIGINT AS n_edges, os.n_src::BIGINT AS n_src,
+       isd.n_dst::BIGINT AS n_dst, os.max_out::BIGINT AS max_out,
+       isd.max_in::BIGINT AS max_in, os.avg_out,
+       (os.max_out = 1) AS is_functional,
+       (isd.max_in = 1) AS is_inverse_functional
+FROM os JOIN isd USING (pred)
+"""
+
+
+def _sql_kg_pred_implication() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS (SELECT DISTINCT src_id, dst_id, pred
+           FROM ({kg["kg_graph_edges"]}) g),
+marg AS (SELECT pred, count(*) AS n_p1 FROM e GROUP BY pred),
+cand AS (
+  SELECT a.pred AS p1, b.pred AS p2, 'same' AS direction
+  FROM e a JOIN e b ON a.src_id = b.src_id AND a.dst_id = b.dst_id
+  WHERE a.pred <> b.pred
+  UNION ALL
+  SELECT a.pred AS p1, b.pred AS p2, 'inv' AS direction
+  FROM e a JOIN e b ON a.src_id = b.dst_id AND a.dst_id = b.src_id)
+SELECT c.p1, c.p2, c.direction,
+       count(*)::BIGINT AS support, m.n_p1::BIGINT AS n_p1,
+       round(count(*)::DOUBLE / m.n_p1::DOUBLE, 6) AS confidence
+FROM cand c JOIN marg m ON m.pred = c.p1
+GROUP BY c.p1, c.p2, c.direction, m.n_p1
+"""
 
 
 def _sql_kg_edge_temporal() -> str:
@@ -4247,6 +4381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covered)
         "kg_edge_intervals": q_kg_edge_intervals,
         "kg_edge_decay": q_kg_edge_decay,
+        # session-12 schema-induction rows (past-window: the schema
+        # family keeps kg_schema_stats / kg_type_violations in-window;
+        # gate_sim + pytest covered)
+        "kg_pred_cardinality": q_kg_pred_cardinality,
+        "kg_pred_implication": q_kg_pred_implication,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
@@ -4391,6 +4530,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_temporal": _sql_kg_edge_temporal(),
         "kg_edge_intervals": _sql_kg_edge_intervals(),
         "kg_edge_decay": _sql_kg_edge_decay(),
+        "kg_pred_cardinality": _sql_kg_pred_cardinality(),
+        "kg_pred_implication": _sql_kg_pred_implication(),
         "kg_edge_grounding": _sql_kg_edge_grounding(),
         "kg_entity_activity": _sql_kg_entity_activity(),
         "kg_path_2hop": _sql_kg_path_2hop(),
