@@ -646,3 +646,70 @@ def khop_subgraph(edges: DataFrame, n_seeds: int = 3, k: int = 2) -> DataFrame:
             .select("seed_id", "src_id", "dst_id", "pred",
                     F.col("weight").cast("long").alias("weight"),
                     "src_hops", "dst_hops"))
+
+
+def pred_cardinality(edges: DataFrame) -> DataFrame:
+    """Per-predicate cardinality profile over a (src_id, dst_id, pred)
+    edge list: distinct edges / subjects / objects, max out-fan per
+    subject and in-fan per object, mean out-fan (exact 6dp), plus the
+    induced OWL-style is_functional / is_inverse_functional flags
+    (max fan == 1). See q_kg_pred_cardinality for the scale argument
+    (two map-side-combinable agg cascades, O(|preds|) broadcast join)."""
+    e = edges.select("src_id", "dst_id", "pred")
+    out_fan = (e.groupBy("pred", "src_id").agg(F.count("*").alias("f"))
+               .groupBy("pred").agg(
+                   F.count("*").alias("n_src"),
+                   F.sum("f").alias("n_edges"),
+                   F.max("f").alias("max_out"),
+                   F.round(F.sum("f").cast("double")
+                           / F.count("*").cast("double"), 6)
+                    .alias("avg_out")))
+    in_fan = (e.groupBy("pred", "dst_id").agg(F.count("*").alias("f"))
+              .groupBy("pred").agg(
+                  F.count("*").alias("n_dst"),
+                  F.max("f").alias("max_in")))
+    return out_fan.join(F.broadcast(in_fan), "pred").select(
+        "pred",
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_src").cast("long").alias("n_src"),
+        F.col("n_dst").cast("long").alias("n_dst"),
+        F.col("max_out").cast("long").alias("max_out"),
+        F.col("max_in").cast("long").alias("max_in"),
+        "avg_out",
+        (F.col("max_out") == 1).alias("is_functional"),
+        (F.col("max_in") == 1).alias("is_inverse_functional"))
+
+
+def pred_implication(edges: DataFrame) -> DataFrame:
+    """Length-1 Horn-rule mining (AMIE-style) over a (src_id, dst_id,
+    pred) edge list: for every ordered predicate pair, confidence of
+    p1(x,y) => p2(x,y) ('same') and p1(x,y) => p2(y,x) ('inv');
+    support = entity pairs where both hold, confidence = support /
+    |p1 pairs| at exact 6dp. Self-rules are kept only in the 'inv'
+    direction (p(x,y) => p(y,x) with confidence 1 flags a symmetric
+    predicate); 'same' self-rules are trivially 1 and excluded. One
+    pair-keyed self-join each direction; marginals broadcast."""
+    e = edges.select("src_id", "dst_id", "pred").distinct()
+    marg = e.groupBy("pred").agg(F.count("*").alias("n_p1"))
+    a = e.select("src_id", "dst_id", F.col("pred").alias("p1"))
+    same = (a.join(e.select("src_id", "dst_id",
+                            F.col("pred").alias("p2")),
+                   ["src_id", "dst_id"])
+            .filter(F.col("p1") != F.col("p2"))
+            .withColumn("direction", F.lit("same")))
+    inv = (a.join(e.select(F.col("dst_id").alias("src_id"),
+                           F.col("src_id").alias("dst_id"),
+                           F.col("pred").alias("p2")),
+                  ["src_id", "dst_id"])
+           .withColumn("direction", F.lit("inv")))
+    return (same.unionByName(inv)
+            .groupBy("p1", "p2", "direction")
+            .agg(F.count("*").alias("support"))
+            .join(F.broadcast(marg), F.col("p1") == F.col("pred"))
+            .select(
+                "p1", "p2", "direction",
+                F.col("support").cast("long").alias("support"),
+                F.col("n_p1").cast("long").alias("n_p1"),
+                F.round(F.col("support").cast("double")
+                        / F.col("n_p1").cast("double"), 6)
+                 .alias("confidence")))

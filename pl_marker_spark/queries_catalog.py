@@ -1609,30 +1609,9 @@ def q_kg_pred_cardinality(spark, sf_dir):
     second stage runs over O(|V|·|preds|) rows, joined pred-to-pred on
     O(|preds|)-sized frames (broadcast). No corpus-scale sort, no
     self-join."""
-    e = _pipeline_outputs(spark, sf_dir)["edges"] \
-        .select("src_id", "dst_id", "pred")
-    out_fan = (e.groupBy("pred", "src_id").agg(F.count("*").alias("f"))
-               .groupBy("pred").agg(
-                   F.count("*").alias("n_src"),
-                   F.sum("f").alias("n_edges"),
-                   F.max("f").alias("max_out"),
-                   F.round(F.sum("f").cast("double")
-                           / F.count("*").cast("double"), 6)
-                    .alias("avg_out")))
-    in_fan = (e.groupBy("pred", "dst_id").agg(F.count("*").alias("f"))
-              .groupBy("pred").agg(
-                  F.count("*").alias("n_dst"),
-                  F.max("f").alias("max_in")))
-    return out_fan.join(F.broadcast(in_fan), "pred").select(
-        "pred",
-        F.col("n_edges").cast("long").alias("n_edges"),
-        F.col("n_src").cast("long").alias("n_src"),
-        F.col("n_dst").cast("long").alias("n_dst"),
-        F.col("max_out").cast("long").alias("max_out"),
-        F.col("max_in").cast("long").alias("max_in"),
-        "avg_out",
-        (F.col("max_out") == 1).alias("is_functional"),
-        (F.col("max_in") == 1).alias("is_inverse_functional"))
+    from .graphops import pred_cardinality
+
+    return pred_cardinality(_pipeline_outputs(spark, sf_dir)["edges"])
 
 
 def q_kg_pred_implication(spark, sf_dir):
@@ -1651,31 +1630,9 @@ def q_kg_pred_implication(spark, sf_dir):
     pair, never all-pairs across predicates because the per-pair
     predicate set is bounded by |preds|; marginals are an O(|preds|)
     broadcast. Output is O(|preds|²) rows."""
-    e = (_pipeline_outputs(spark, sf_dir)["edges"]
-         .select("src_id", "dst_id", "pred").distinct())
-    marg = e.groupBy("pred").agg(F.count("*").alias("n_p1"))
-    a = e.select("src_id", "dst_id", F.col("pred").alias("p1"))
-    same = (a.join(e.select("src_id", "dst_id",
-                            F.col("pred").alias("p2")),
-                   ["src_id", "dst_id"])
-            .filter(F.col("p1") != F.col("p2"))
-            .withColumn("direction", F.lit("same")))
-    inv = (a.join(e.select(F.col("dst_id").alias("src_id"),
-                           F.col("src_id").alias("dst_id"),
-                           F.col("pred").alias("p2")),
-                  ["src_id", "dst_id"])
-           .withColumn("direction", F.lit("inv")))
-    return (same.unionByName(inv)
-            .groupBy("p1", "p2", "direction")
-            .agg(F.count("*").alias("support"))
-            .join(F.broadcast(marg), F.col("p1") == F.col("pred"))
-            .select(
-                "p1", "p2", "direction",
-                F.col("support").cast("long").alias("support"),
-                F.col("n_p1").cast("long").alias("n_p1"),
-                F.round(F.col("support").cast("double")
-                        / F.col("n_p1").cast("double"), 6)
-                 .alias("confidence")))
+    from .graphops import pred_implication
+
+    return pred_implication(_pipeline_outputs(spark, sf_dir)["edges"])
 
 
 def q_kg_negative_samples(spark, sf_dir):

@@ -843,3 +843,50 @@ def test_hits_matches_numpy_and_keeps_zero_degree(spark):
     got = {r.node: (r.h, r.a) for r in hits(nodes, edges, iters=3).collect()}
     assert got == {v: (int(h[idx[v]]), int(a[idx[v]])) for v in ids}
     assert got[9] == (0, 0)
+
+
+def test_pred_cardinality_flags_and_fans(spark):
+    """Hand graph pins the cardinality profile: pred F is functional
+    (every subject has exactly one object) but NOT inverse-functional
+    (object 5 has two inbound); pred M is neither (subject 1 fans out
+    to 2 objects); avg_out is the exact 6dp mean of per-subject fans."""
+    from pl_marker_spark.graphops import pred_cardinality
+
+    edges = spark.createDataFrame(
+        [(1, 5, "F"), (2, 5, "F"), (3, 6, "F"),
+         (1, 7, "M"), (1, 8, "M"), (2, 9, "M")],
+        "src_id long, dst_id long, pred string")
+    got = {r.pred: r.asDict() for r in pred_cardinality(edges).collect()}
+    f, m = got["F"], got["M"]
+    assert (f["n_edges"], f["n_src"], f["n_dst"]) == (3, 3, 2)
+    assert (f["max_out"], f["max_in"]) == (1, 2)
+    assert f["is_functional"] and not f["is_inverse_functional"]
+    assert f["avg_out"] == 1.0
+    assert (m["n_edges"], m["n_src"], m["n_dst"]) == (3, 2, 3)
+    assert (m["max_out"], m["max_in"]) == (2, 1)
+    assert not m["is_functional"] and m["is_inverse_functional"]
+    assert m["avg_out"] == 1.5
+
+
+def test_pred_implication_directions_and_symmetry(spark):
+    """Hand graph pins the rule miner: P={ (1,2), (2,1), (3,4) } is
+    symmetric on 2 of 3 pairs -> inv self-rule confidence 2/3; Q holds
+    on (1,2) only -> P=>Q 'same' support 1 conf 1/3, Q=>P 'same'
+    support 1 conf 1; R=(2,1) makes P=>R 'inv' fire on the (1,2)
+    positive; 'same' self-rules are excluded."""
+    from pl_marker_spark.graphops import pred_implication
+
+    edges = spark.createDataFrame(
+        [(1, 2, "P"), (2, 1, "P"), (3, 4, "P"),
+         (1, 2, "Q"), (2, 1, "R")],
+        "src_id long, dst_id long, pred string")
+    got = {(r.p1, r.p2, r.direction): (r.support, r.n_p1,
+                                       round(r.confidence, 6))
+           for r in pred_implication(edges).collect()}
+    assert got[("P", "P", "inv")] == (2, 3, 0.666667)
+    assert got[("P", "Q", "same")] == (1, 3, 0.333333)
+    assert got[("Q", "P", "same")] == (1, 1, 1.0)
+    assert got[("P", "R", "inv")] == (1, 3, 0.333333)
+    assert got[("Q", "R", "inv")] == (1, 1, 1.0)
+    assert ("P", "P", "same") not in got
+    assert ("Q", "Q", "same") not in got
