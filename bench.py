@@ -375,6 +375,25 @@ def main() -> None:
         extras["aa_ring_400k_pairs"] = row.c
         assert n_labels < n_nodes // 2, f"labelprop degenerate: {n_labels}"
 
+        # --- Transitive redundancy at graph scale (round-5 session 13):
+        # same ±1/±2 directed cycle, one predicate. Closed form: every
+        # (i, i+2) edge is redundant with EXACTLY one witness (the chain
+        # i → i+1 → i+2); no (i, i+1) edge is (out-fan of i+2 starts at
+        # i+3) — so aa_n rows, witness sum aa_n. A wrong wedge filter or
+        # a dropped join-back key fails loudly. ---------------------------
+        from pl_marker_spark.graphops import redundant_edges
+
+        t0 = time.time()
+        red = redundant_edges(
+            cyc.select(F.col("src").alias("src_id"),
+                       F.col("dst").alias("dst_id"), F.lit("P").alias("pred")),
+            same_pred=True)
+        rrow = red.agg(F.count("*").alias("c"),
+                       F.sum("n_witness").alias("s")).collect()[0]
+        timings["redundant_400k"] = round(time.time() - t0, 3)
+        assert (rrow.c, rrow.s) == (aa_n, aa_n), f"redundant_400k: {rrow}"
+        extras["redundant_400k_edges"] = rrow.c
+
         # --- BGP matching at graph scale (round-5 session 8): the kg
         # corpus' entity graph binds the cyclic pattern ~25 times, so the
         # conjunctive-query join shape gets a deterministic typed graph

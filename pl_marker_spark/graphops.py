@@ -713,3 +713,81 @@ def pred_implication(edges: DataFrame) -> DataFrame:
                 F.round(F.col("support").cast("double")
                         / F.col("n_p1").cast("double"), 6)
                  .alias("confidence")))
+
+
+def functional_conflicts(edges: DataFrame,
+                         func_share_min: float = 0.8) -> DataFrame:
+    """Cardinality-constraint conflict detection over a (src_id, dst_id,
+    pred) edge list — the upsert-QA pass that pred_cardinality's induced
+    profile licenses: every subject holding MORE than one distinct object
+    under a predicate is a conflict candidate, and the per-predicate
+    functional share (fraction of subjects with exactly one object)
+    routes it — candidates under a mostly-functional predicate
+    (share >= func_share_min) are the "person with two birthplaces" rows
+    a curator must resolve; the rest are ordinary multi-valued facts.
+    Emits (pred, src_id, n_obj, func_share, is_suspect, objs) with objs a
+    deterministic ascending comma digest of the conflicting object ids.
+
+    100-TB shape: one distinct projection, one (pred, src)-keyed agg
+    (map-side combinable; the digest is bounded by per-subject out-fan,
+    the same bound entity_cards rides), one O(|preds|·|V|)-row profile
+    agg, profile broadcast back. No self-join, no corpus-scale sort."""
+    fan = (edges.select("src_id", "dst_id", "pred").distinct()
+           .groupBy("pred", "src_id")
+           .agg(F.countDistinct("dst_id").alias("n_obj"),
+                F.concat_ws(",", F.transform(
+                    F.array_sort(F.collect_set("dst_id")),
+                    lambda x: x.cast("string"))).alias("objs")))
+    profile = fan.groupBy("pred").agg(
+        F.round(F.sum((F.col("n_obj") == 1).cast("long")).cast("double")
+                / F.count("*").cast("double"), 6).alias("func_share"))
+    return (fan.filter(F.col("n_obj") > 1)
+            .join(F.broadcast(profile), "pred")
+            .select("pred", "src_id",
+                    F.col("n_obj").cast("long").alias("n_obj"),
+                    "func_share",
+                    (F.col("func_share") >= F.lit(func_share_min))
+                    .alias("is_suspect"),
+                    "objs"))
+
+
+def redundant_edges(edges: DataFrame, same_pred: bool = True) -> DataFrame:
+    """One-step transitive redundancy over a (src_id, dst_id, pred) edge
+    list — the transitive-reduction prepass of KG compression: an edge
+    (a, c, p) is redundant when some mid b (distinct from both endpoints)
+    carries a 2-hop chain a→b→c. ``same_pred=True`` requires both chain
+    legs to carry p itself (classic transitive reduction of one
+    relation); ``same_pred=False`` accepts ANY predicate pair — the
+    derivable-fact census that is the inverse of rule materialization
+    (kg_infer_edges ADDS missing closures; this reports present edges a
+    minimized serving graph could drop). Emits each redundant edge with
+    its chain-witness count (pred, src_id, dst_id, n_witness).
+
+    100-TB shape: the distinct edge list is materialized ONCE
+    (localCheckpoint — it enters the plan three times; the
+    triangle_counts lesson), the wedge is one equi-join keyed on the mid
+    (plus pred in same-pred mode), and redundancy is an ids-only inner
+    join back to the edge list, never an all-pairs probe. Hub mids are
+    the skew risk — at real scale cap or salt on degree exactly as
+    triangle_counts documents; the wedge fan-out is
+    Σ_b deg_in(b)·deg_out(b) (per pred in same-pred mode)."""
+    e = edges.select("src_id", "dst_id", "pred").distinct().localCheckpoint()
+    keys = ["b", "pred"] if same_pred else ["b"]
+    w1 = e.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"),
+                  *(["pred"] if same_pred else []))
+    w2 = e.select(F.col("src_id").alias("b"), F.col("dst_id").alias("c"),
+                  *(["pred"] if same_pred else []))
+    grp = ([F.col("pred").alias("wp")] if same_pred else []) + \
+        [F.col("a"), F.col("c")]
+    wedges = (w1.join(w2, keys)
+              .filter((F.col("b") != F.col("a"))
+                      & (F.col("b") != F.col("c"))
+                      & (F.col("a") != F.col("c")))
+              .groupBy(*grp)
+              .agg(F.count("*").alias("n_witness")))
+    cond = (F.col("a") == F.col("src_id")) & (F.col("c") == F.col("dst_id"))
+    if same_pred:
+        cond = cond & (F.col("wp") == F.col("pred"))
+    return (wedges.join(e, cond)
+            .select("pred", "src_id", "dst_id",
+                    F.col("n_witness").cast("long").alias("n_witness")))

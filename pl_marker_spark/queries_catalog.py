@@ -1635,6 +1635,49 @@ def q_kg_pred_implication(spark, sf_dir):
     return pred_implication(_pipeline_outputs(spark, sf_dir)["edges"])
 
 
+def q_kg_functional_conflicts(spark, sf_dir):
+    """Cardinality-constraint conflict detection — the upsert-QA report
+    kg_pred_cardinality's induced profile licenses: every subject with
+    more than one distinct object under a predicate, routed by the
+    predicate's functional share (fraction of subjects with exactly one
+    object; conflicts under a share ≥ 0.8 predicate are the "person with
+    two birthplaces" rows a curator must resolve). Digest of conflicting
+    object ids is ascending-sorted, so hash-comparable across engines
+    and snapshots.
+
+    100-TB shape (graphops.functional_conflicts): one distinct
+    projection, one (pred, src)-keyed map-side-combinable agg (digest
+    bounded by per-subject out-fan — the entity_cards bound), one
+    O(|preds|·|V|)-row profile agg broadcast back. No self-join, no
+    corpus-scale sort."""
+    from .graphops import functional_conflicts
+
+    return functional_conflicts(_pipeline_outputs(spark, sf_dir)["edges"])
+
+
+def q_kg_redundant_edges(spark, sf_dir):
+    """One-step redundancy census — the derivability prepass of KG
+    compression: present edges (a, c, p) already implied by ANY 2-hop
+    chain a→b→c (any predicate pair; the corpus' relation set has no
+    same-pred transitive closures, so the catalog row runs the
+    any-pred mode — graphops.redundant_edges(same_pred=True) is the
+    classic one-relation transitive reduction, unit-pinned). Complements
+    kg_infer_edges (which MATERIALIZES missing closures) with the
+    inverse question — which present edges are derivable and could be
+    dropped from a minimized serving graph.
+
+    100-TB shape (graphops.redundant_edges): distinct edge list
+    materialized once (it enters the plan three times — the
+    graph_triangles lesson), one wedge equi-join keyed on the mid,
+    redundancy as an ids-only inner join back to the edge list. Hub-mid
+    skew capped/salted per the triangle_counts discipline at real
+    scale."""
+    from .graphops import redundant_edges
+
+    return redundant_edges(_pipeline_outputs(spark, sf_dir)["edges"],
+                           same_pred=False)
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Negative sampling for KG-embedding training (the corrupted-triple
     protocol of Bordes et al. 2013, FILTERED setting): each positive edge
@@ -2785,6 +2828,43 @@ SELECT c.p1, c.p2, c.direction,
        round(count(*)::DOUBLE / m.n_p1::DOUBLE, 6) AS confidence
 FROM cand c JOIN marg m ON m.pred = c.p1
 GROUP BY c.p1, c.p2, c.direction, m.n_p1
+"""
+
+
+def _sql_kg_functional_conflicts() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS (SELECT DISTINCT src_id, dst_id, pred
+           FROM ({kg["kg_graph_edges"]}) g),
+fan AS (SELECT pred, src_id, count(*) AS n_obj,
+               string_agg(dst_id::VARCHAR, ',' ORDER BY dst_id) AS objs
+        FROM e GROUP BY pred, src_id),
+prof AS (SELECT pred,
+                round(sum(CASE WHEN n_obj = 1 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*)::DOUBLE, 6) AS func_share
+         FROM fan GROUP BY pred)
+SELECT f.pred, f.src_id, f.n_obj::BIGINT AS n_obj, p.func_share,
+       (p.func_share >= 0.8) AS is_suspect, f.objs
+FROM fan f JOIN prof p USING (pred) WHERE f.n_obj > 1
+"""
+
+
+def _sql_kg_redundant_edges() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS (SELECT DISTINCT src_id, dst_id, pred
+           FROM ({kg["kg_graph_edges"]}) g),
+w AS (SELECT e1.src_id AS a, e2.dst_id AS c, count(*) AS n_witness
+      FROM e e1 JOIN e e2 ON e1.dst_id = e2.src_id
+      WHERE e1.dst_id <> e1.src_id AND e1.dst_id <> e2.dst_id
+        AND e1.src_id <> e2.dst_id
+      GROUP BY e1.src_id, e2.dst_id)
+SELECT e.pred, e.src_id, e.dst_id, w.n_witness::BIGINT AS n_witness
+FROM w JOIN e ON w.a = e.src_id AND w.c = e.dst_id
 """
 
 
@@ -4343,6 +4423,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate_sim + pytest covered)
         "kg_pred_cardinality": q_kg_pred_cardinality,
         "kg_pred_implication": q_kg_pred_implication,
+        # session-13 QA rows (past-window: the constraint family keeps
+        # kg_schema_stats / kg_type_violations in-window and the
+        # chain/closure shapes hold in-window records via kg_path_2hop /
+        # kg_infer_edges; gate_sim + pytest covered)
+        "kg_functional_conflicts": q_kg_functional_conflicts,
+        "kg_redundant_edges": q_kg_redundant_edges,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
@@ -4489,6 +4575,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_decay": _sql_kg_edge_decay(),
         "kg_pred_cardinality": _sql_kg_pred_cardinality(),
         "kg_pred_implication": _sql_kg_pred_implication(),
+        "kg_functional_conflicts": _sql_kg_functional_conflicts(),
+        "kg_redundant_edges": _sql_kg_redundant_edges(),
         "kg_edge_grounding": _sql_kg_edge_grounding(),
         "kg_entity_activity": _sql_kg_entity_activity(),
         "kg_path_2hop": _sql_kg_path_2hop(),

@@ -890,3 +890,50 @@ def test_pred_implication_directions_and_symmetry(spark):
     assert got[("Q", "R", "inv")] == (1, 1, 1.0)
     assert ("P", "P", "same") not in got
     assert ("Q", "Q", "same") not in got
+
+
+def test_functional_conflicts_routing_and_digest(spark):
+    """Hand graph pins conflict detection: pred F (share 3/4 = 0.75 <
+    0.8) yields a non-suspect conflict for subject 4 with digest '7,8';
+    pred G (share 4/5 = 0.8) yields a SUSPECT conflict for subject 5;
+    a duplicated edge row must not inflate n_obj (distinct first)."""
+    from pl_marker_spark.graphops import functional_conflicts
+
+    edges = spark.createDataFrame(
+        [(1, 5, "F"), (1, 5, "F"), (2, 5, "F"), (3, 6, "F"),
+         (4, 7, "F"), (4, 8, "F"),
+         (1, 2, "G"), (2, 3, "G"), (3, 4, "G"), (4, 5, "G"),
+         (5, 6, "G"), (5, 7, "G")],
+        "src_id long, dst_id long, pred string")
+    got = {(r.pred, r.src_id): r.asDict()
+           for r in functional_conflicts(edges).collect()}
+    assert set(got) == {("F", 4), ("G", 5)}
+    f = got[("F", 4)]
+    assert (f["n_obj"], f["func_share"], f["is_suspect"]) == (2, 0.75, False)
+    assert f["objs"] == "7,8"
+    g = got[("G", 5)]
+    assert (g["n_obj"], g["func_share"], g["is_suspect"]) == (2, 0.8, True)
+    assert g["objs"] == "6,7"
+
+
+def test_redundant_edges_witnesses_and_exclusions(spark):
+    """Hand graph pins the reduction prepass: (1,3,P) is redundant with
+    TWO witnesses (mids 2 and 4); (1,2,P) is not (no same-pred chain);
+    a cross-pred chain must not witness (5->6 P, 6->9 Q does not make
+    (5,9,P) redundant); a self-loop mid is excluded ((7,7)+(7,8) does
+    not flag (7,8))."""
+    from pl_marker_spark.graphops import redundant_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2, "P"), (2, 3, "P"), (1, 3, "P"), (1, 4, "P"), (4, 3, "P"),
+         (5, 6, "P"), (6, 9, "Q"), (5, 9, "P"),
+         (7, 7, "P"), (7, 8, "P")],
+        "src_id long, dst_id long, pred string")
+    got = {(r.pred, r.src_id, r.dst_id): r.n_witness
+           for r in redundant_edges(edges).collect()}
+    assert got == {("P", 1, 3): 2}
+    # any-pred mode: the cross-pred chain 5 -P-> 6 -Q-> 9 now witnesses
+    # the present (5, 9, P); everything else is unchanged
+    got_any = {(r.pred, r.src_id, r.dst_id): r.n_witness
+               for r in redundant_edges(edges, same_pred=False).collect()}
+    assert got_any == {("P", 1, 3): 2, ("P", 5, 9): 1}
