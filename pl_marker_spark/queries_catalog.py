@@ -1678,6 +1678,58 @@ def q_kg_redundant_edges(spark, sf_dir):
                            same_pred=False)
 
 
+def q_kg_linking_b3(spark, sf_dir):
+    """Entity-resolution quality dashboard — B-cubed precision/recall/F1
+    of the linker+canonicalization output (Bagga & Baldwin 1998, the
+    standard ER clustering metric): predicted class = the canonical
+    entity_id every mention landed on, gold class = the mention's surface
+    string (the synthetic gazetteer is injective by construction, so
+    surface IS ground-truth identity — over-merges by the
+    shingle-similarity linker show up as B³ precision < 1, split
+    surfaces as recall < 1). One summary row: mention count, predicted /
+    gold cluster counts, and B³ P/R/F1 in exact integer micro-units —
+    each cell's n_cs²·1e6 div n term floors BEFORE the sum, so the
+    result is reduction-order-identical across engines (the kg_ppr
+    discipline); F1 is derived from the micro P/R the same way.
+
+    100-TB shape: the (entity, surface) contingency table is one
+    map-side-combinable groupBy over the mention_entity evidence table;
+    cluster and gold marginals are vocab-sized aggregates broadcast onto
+    the cells; everything after the first shuffle is O(|vocab|)."""
+    return b3_summary(_pipeline_outputs(spark, sf_dir)["mention_entity"])
+
+
+def b3_summary(me):
+    """B³ P/R/F1 summary row over a (surface, entity_id) mention table —
+    see q_kg_linking_b3 for semantics and the integer micro-unit
+    discipline. Factored for hand-graph unit pinning."""
+    cells = (me.groupBy("entity_id", "surface")
+             .agg(F.count("*").alias("n_cs")))
+    clus = cells.groupBy("entity_id").agg(F.sum("n_cs").alias("n_c"))
+    gold = cells.groupBy("surface").agg(F.sum("n_cs").alias("n_g"))
+    j = (cells.join(F.broadcast(clus), "entity_id")
+         .join(F.broadcast(gold), "surface"))
+    agg = j.agg(
+        F.sum("n_cs").alias("n_mentions"),
+        F.countDistinct("entity_id").alias("n_clusters"),
+        F.countDistinct("surface").alias("n_golds"),
+        F.sum(F.expr("(n_cs * n_cs * 1000000) div n_c")).alias("p_sum"),
+        F.sum(F.expr("(n_cs * n_cs * 1000000) div n_g")).alias("r_sum"),
+    )
+    return agg.select(
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_golds").cast("long").alias("n_golds"),
+        F.expr("p_sum div n_mentions").cast("long").alias("b3_p_micro"),
+        F.expr("r_sum div n_mentions").cast("long").alias("b3_r_micro"),
+        F.expr("CASE WHEN p_sum div n_mentions + r_sum div n_mentions = 0 "
+               "THEN 0 ELSE (2 * (p_sum div n_mentions) * "
+               "(r_sum div n_mentions)) div "
+               "(p_sum div n_mentions + r_sum div n_mentions) END")
+        .cast("long").alias("b3_f1_micro"),
+    )
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Negative sampling for KG-embedding training (the corrupted-triple
     protocol of Bordes et al. 2013, FILTERED setting): each positive edge
@@ -2865,6 +2917,37 @@ w AS (SELECT e1.src_id AS a, e2.dst_id AS c, count(*) AS n_witness
       GROUP BY e1.src_id, e2.dst_id)
 SELECT e.pred, e.src_id, e.dst_id, w.n_witness::BIGINT AS n_witness
 FROM w JOIN e ON w.a = e.src_id AND w.c = e.dst_id
+"""
+
+
+def _sql_kg_linking_b3() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH me AS ({kg["kg_mention_entity"]}),
+cells AS (SELECT entity_id, surface, count(*) AS n_cs
+          FROM me GROUP BY entity_id, surface),
+clus AS (SELECT entity_id, sum(n_cs) AS n_c FROM cells GROUP BY entity_id),
+gold AS (SELECT surface, sum(n_cs) AS n_g FROM cells GROUP BY surface),
+j AS (SELECT c.n_cs, cl.n_c, g.n_g, c.entity_id, c.surface
+      FROM cells c JOIN clus cl USING (entity_id) JOIN gold g USING (surface)),
+agg AS (SELECT sum(n_cs) AS n_mentions,
+               count(DISTINCT entity_id) AS n_clusters,
+               count(DISTINCT surface) AS n_golds,
+               sum((n_cs * n_cs * 1000000) // n_c) AS p_sum,
+               sum((n_cs * n_cs * 1000000) // n_g) AS r_sum
+        FROM j)
+SELECT n_mentions::BIGINT AS n_mentions,
+       n_clusters::BIGINT AS n_clusters,
+       n_golds::BIGINT AS n_golds,
+       (p_sum // n_mentions)::BIGINT AS b3_p_micro,
+       (r_sum // n_mentions)::BIGINT AS b3_r_micro,
+       (CASE WHEN p_sum // n_mentions + r_sum // n_mentions = 0 THEN 0
+             ELSE (2 * (p_sum // n_mentions) * (r_sum // n_mentions))
+                  // (p_sum // n_mentions + r_sum // n_mentions)
+        END)::BIGINT AS b3_f1_micro
+FROM agg
 """
 
 
@@ -4429,6 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_infer_edges; gate_sim + pytest covered)
         "kg_functional_conflicts": q_kg_functional_conflicts,
         "kg_redundant_edges": q_kg_redundant_edges,
+        "kg_linking_b3": q_kg_linking_b3,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
@@ -4577,6 +4661,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_implication": _sql_kg_pred_implication(),
         "kg_functional_conflicts": _sql_kg_functional_conflicts(),
         "kg_redundant_edges": _sql_kg_redundant_edges(),
+        "kg_linking_b3": _sql_kg_linking_b3(),
         "kg_edge_grounding": _sql_kg_edge_grounding(),
         "kg_entity_activity": _sql_kg_entity_activity(),
         "kg_path_2hop": _sql_kg_path_2hop(),

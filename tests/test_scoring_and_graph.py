@@ -937,3 +937,21 @@ def test_redundant_edges_witnesses_and_exclusions(spark):
     got_any = {(r.pred, r.src_id, r.dst_id): r.n_witness
                for r in redundant_edges(edges, same_pred=False).collect()}
     assert got_any == {("P", 1, 3): 2, ("P", 5, 9): 1}
+
+
+def test_b3_summary_hand_clusters(spark):
+    """Hand clustering pins the B³ micro-unit arithmetic: predicted
+    cluster 1 over-merges three 'A' mentions with one 'B' (precision
+    hit), the second 'B' sits alone (recall hit), 'C' is perfect.
+    P_sum = 9e6//4 + 1e6//4 + 1e6 + 1e6 = 4.5e6 -> p 750000;
+    R_sum = 9e6//3 + 1e6//2 + 1e6//2 + 1e6 = 5e6 -> r 833333;
+    every // floors BEFORE the sum, so the values are exact."""
+    from pl_marker_spark.queries_catalog import b3_summary
+
+    me = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (1, "A"), (1, "B"), (2, "B"), (3, "C")],
+        "entity_id long, surface string")
+    row = b3_summary(me).collect()[0]
+    assert (row.n_mentions, row.n_clusters, row.n_golds) == (6, 3, 3)
+    assert (row.b3_p_micro, row.b3_r_micro) == (750_000, 833_333)
+    assert row.b3_f1_micro == (2 * 750_000 * 833_333) // (750_000 + 833_333)

@@ -45,7 +45,9 @@ def canon(rows, cols):
 out = {}
 qs = qc.queries()
 oracles = qc.oracle_sql()
-for name in qs:
+
+
+def run_once(name):
     rec = {"rows_match": False, "schema_match": False, "hash_match": False,
            "err": None}
     try:
@@ -62,10 +64,31 @@ for name in qs:
         rec["hash_match"] = canon(srows, scols) == canon(drows, dcols)
     except Exception as exc:  # noqa: BLE001
         rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
-    out[name] = rec
+    return rec
+
+
+for name in qs:
+    rec = run_once(name)
     ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
-    print(("PASS" if ok else "FAIL"), name, rec.get("spark_rows"),
-          rec["err"] or "", flush=True)
+    if not ok:
+        # One retry: an irreproducible single-evaluation anomaly (seen
+        # once for kg_edge_intervals in a heavily-loaded session-13
+        # window, never reproduced across 7 re-evaluations in/across
+        # processes) must surface as explicit flaky signal, not as a
+        # red record indistinguishable from a real mismatch. A retry
+        # that passes is recorded loudly; a retry that fails keeps the
+        # original failure.
+        rec2 = run_once(name)
+        if rec2["rows_match"] and rec2["schema_match"] and rec2["hash_match"]:
+            rec2["flaky_first_attempt"] = rec
+            rec = rec2
+            ok = True
+            print("FLAKY-PASS", name, "first attempt mismatched, retry clean",
+                  flush=True)
+    out[name] = rec
+    if not (rec.get("flaky_first_attempt") and ok):
+        print(("PASS" if ok else "FAIL"), name, rec.get("spark_rows"),
+              rec["err"] or "", flush=True)
 
 with open(OUT, "w") as f:
     json.dump(out, f, indent=1)
