@@ -791,3 +791,118 @@ def redundant_edges(edges: DataFrame, same_pred: bool = True) -> DataFrame:
     return (wedges.join(e, cond)
             .select("pred", "src_id", "dst_id",
                     F.col("n_witness").cast("long").alias("n_witness")))
+
+
+def rule_mine_2hop(edges: DataFrame) -> DataFrame:
+    """AMIE-style closed 2-hop Horn-rule mining over a (src_id, dst_id,
+    pred) edge list: for every predicate triple (p1, p2, p3) score the
+    rule  p1(x,y) AND p2(y,z) => p3(x,z)  on non-degenerate paths
+    (x, y, z pairwise distinct). ``body_pairs`` = distinct (x, z)
+    bindings of the body per (p1, p2); ``support`` = body bindings whose
+    head edge p3(x,z) is present; ``conf_std`` = support / body_pairs
+    (closed-world confidence); ``conf_pca`` = support / |body bindings
+    whose x has SOME p3 fact| — the partial-completeness-assumption
+    denominator of Galarraga et al. 2013 (AMIE): under an open world, an
+    x with no known p3 edge is unknown, not a counterexample. Only rules
+    with support >= 1 are emitted (zero-support candidates are the
+    O(|preds|^3) tail a miner prunes). This is the length-2 extension of
+    pred_implication (length-1 rules) and the scoring pass whose winners
+    kg_infer_edges-style forward chaining materializes.
+
+    100-TB shape: the distinct edge list is materialized ONCE
+    (localCheckpoint — it enters the plan four times), the body is one
+    mid-keyed wedge equi-join collapsed to distinct (p1, p2, x, z) and
+    re-materialized (it also enters three downstream joins); support is
+    an (x, z)-keyed ids-only join against the edge list and the PCA
+    denominator an x-keyed join against the O(|preds|*|V|) distinct
+    subject table — never an all-pairs probe. Hub mids are the skew
+    risk; cap or salt on degree exactly as triangle_counts documents."""
+    e = edges.select("src_id", "dst_id", "pred").distinct().localCheckpoint()
+    w1 = e.select(F.col("src_id").alias("x"), F.col("dst_id").alias("y"),
+                  F.col("pred").alias("p1"))
+    w2 = e.select(F.col("src_id").alias("y"), F.col("dst_id").alias("z"),
+                  F.col("pred").alias("p2"))
+    body = (w1.join(w2, "y")
+            .filter((F.col("x") != F.col("y")) & (F.col("y") != F.col("z"))
+                    & (F.col("x") != F.col("z")))
+            .select("p1", "p2", "x", "z").distinct().localCheckpoint())
+    body_n = body.groupBy("p1", "p2").agg(F.count("*").alias("body_pairs"))
+    head = e.select(F.col("src_id").alias("x"), F.col("dst_id").alias("z"),
+                    F.col("pred").alias("p3"))
+    sup = (body.join(head, ["x", "z"])
+           .groupBy("p1", "p2", "p3").agg(F.count("*").alias("support")))
+    subj = e.select(F.col("pred").alias("p3"),
+                    F.col("src_id").alias("x")).distinct()
+    pca = (body.join(subj, "x")
+           .groupBy("p1", "p2", "p3").agg(F.count("*").alias("pca_body")))
+    return (sup.join(pca, ["p1", "p2", "p3"])
+            .join(F.broadcast(body_n), ["p1", "p2"])
+            .select(
+                "p1", "p2", "p3",
+                F.col("body_pairs").cast("long").alias("body_pairs"),
+                F.col("support").cast("long").alias("support"),
+                F.col("pca_body").cast("long").alias("pca_body"),
+                F.round(F.col("support").cast("double")
+                        / F.col("body_pairs").cast("double"), 6)
+                 .alias("conf_std"),
+                F.round(F.col("support").cast("double")
+                        / F.col("pca_body").cast("double"), 6)
+                 .alias("conf_pca")))
+
+
+def community_modularity(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Community detection + Newman modularity over a directed (src_id,
+    dst_id) edge list, viewed undirected: canonical (a < b) distinct
+    pairs (self-loops dropped) run the deterministic synchronous LPA of
+    ``label_propagation`` for a pinned ``rounds``; each community then
+    gets one row (community, n_nodes, within_edges, degree_sum,
+    modularity) where modularity is that community's Newman term
+    e_c/m - (d_c/(2m))^2 at 6dp — summing the column gives the
+    partition's Q, and per-community rows (not one global scalar) keep
+    the whole assignment hash-pinnable. Unlike the connected-component
+    census (cc_components) this splits weakly-bridged regions instead of
+    flooding through single spurious edges, and the modularity column is
+    the quality gate that decides whether the split is real structure.
+
+    100-TB shape: the canonical pair list is materialized once; LPA is
+    per-round one dst-keyed join + one map-side-combinable vote count +
+    one node-partitioned row_number (label_propagation's checkpointed
+    discipline, plan depth flat in rounds); degrees are one
+    map-side-combinable count; the three per-community aggregates are
+    label-keyed shuffles of node-sized frames and |m| rides a 1-row
+    broadcast. Output is O(#communities)."""
+    e = (edges.filter(F.col("src_id") != F.col("dst_id"))
+         .select(F.least("src_id", "dst_id").alias("a"),
+                 F.greatest("src_id", "dst_id").alias("b"))
+         .distinct().localCheckpoint())
+    lab = label_propagation(e, rounds=rounds, a="a", b="b")
+    m = e.agg(F.count("*").alias("m"))
+    deg = (e.select(F.col("a").alias("node")).unionAll(
+               e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    com = lab.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_nodes"))
+    dsum = (lab.join(deg, "node")
+            .groupBy(F.col("label").alias("community"))
+            .agg(F.sum("deg").alias("degree_sum")))
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("cb"))
+    win = (e.join(la, "a").join(lb, "b")
+           .filter(F.col("ca") == F.col("cb"))
+           .groupBy(F.col("ca").alias("community"))
+           .agg(F.count("*").alias("within_edges")))
+    return (com.join(dsum, "community")
+            .join(win, "community", "left")
+            .crossJoin(F.broadcast(m))
+            .select(
+                F.col("community").cast("long").alias("community"),
+                F.col("n_nodes").cast("long").alias("n_nodes"),
+                F.coalesce("within_edges", F.lit(0)).cast("long")
+                 .alias("within_edges"),
+                F.col("degree_sum").cast("long").alias("degree_sum"),
+                F.round(
+                    F.coalesce("within_edges", F.lit(0)).cast("double")
+                    / F.col("m").cast("double")
+                    - F.pow(F.col("degree_sum").cast("double")
+                            / (F.lit(2.0) * F.col("m").cast("double")),
+                            F.lit(2.0)), 6).alias("modularity")))

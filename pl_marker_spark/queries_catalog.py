@@ -1678,6 +1678,57 @@ def q_kg_redundant_edges(spark, sf_dir):
                            same_pred=False)
 
 
+def q_kg_rule_mine_2hop(spark, sf_dir):
+    """AMIE-style closed 2-hop Horn-rule mining (Galarraga et al. 2013)
+    over the canonical graph: score every rule p1(x,y) ∧ p2(y,z) ⇒
+    p3(x,z) on non-degenerate paths with body-pair support, closed-world
+    confidence AND the PCA confidence that made AMIE the standard KG
+    miner (denominator = body bindings whose x has SOME p3 fact, so
+    open-world incompleteness is not punished as a counterexample).
+    The length-2 extension of kg_pred_implication (length-1 rules); its
+    winners are exactly what kg_infer_edges-style forward chaining
+    materializes and kg_redundant_edges inverts.
+
+    100-TB shape (graphops.rule_mine_2hop): edge list materialized once
+    (enters the plan four times), body = ONE mid-keyed wedge join
+    collapsed to distinct (p1, p2, x, z) and re-materialized; support
+    and PCA denominators are ids-only equi-joins; output is at most
+    O(|preds|³) rules. Hub mids salted/capped per the triangle_counts
+    discipline at real scale."""
+    from .graphops import rule_mine_2hop
+
+    return rule_mine_2hop(_pipeline_outputs(spark, sf_dir)["edges"])
+
+
+KG_LPA_ROUNDS = 3
+
+
+def q_kg_communities(spark, sf_dir):
+    """Community detection + Newman modularity over the canonical entity
+    graph: deterministic synchronous LPA (Raghavan et al. 2007; rounds
+    pinned at 3 so the DuckDB twin is a mechanical chained-CTE unroll)
+    over the undirected canonical pair list, then one row per community
+    with node count, within-community edge count, degree mass and the
+    community's Newman modularity term e_c/m − (d_c/2m)² at 6dp — the
+    column-sum is the partition's Q, and per-community rows keep the
+    whole assignment hash-pinnable. Complements kg_cc_components: LPA
+    splits weakly-bridged regions instead of flooding through one
+    spurious link, and modularity is the quality gate that says whether
+    the split is real structure (the related-entity panel / graph
+    partitioning signal a serving layer wants).
+
+    100-TB shape (graphops.community_modularity): canonical pairs
+    materialized once; per LPA round one dst-keyed join + one
+    map-side-combinable vote count + one node-partitioned row_number
+    with labels re-checkpointed (plan depth flat in rounds); the three
+    per-community aggregates shuffle node-sized frames keyed on the
+    label; |m| rides a 1-row broadcast. Output O(#communities)."""
+    from .graphops import community_modularity
+
+    return community_modularity(_pipeline_outputs(spark, sf_dir)["edges"],
+                                rounds=KG_LPA_ROUNDS)
+
+
 def q_kg_linking_b3(spark, sf_dir):
     """Entity-resolution quality dashboard — B-cubed precision/recall/F1
     of the linker+canonicalization output (Bagga & Baldwin 1998, the
@@ -2918,6 +2969,83 @@ w AS (SELECT e1.src_id AS a, e2.dst_id AS c, count(*) AS n_witness
 SELECT e.pred, e.src_id, e.dst_id, w.n_witness::BIGINT AS n_witness
 FROM w JOIN e ON w.a = e.src_id AND w.c = e.dst_id
 """
+
+
+def _sql_kg_rule_mine_2hop() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH e AS (SELECT DISTINCT src_id, dst_id, pred
+           FROM ({kg["kg_graph_edges"]}) g),
+body AS (SELECT DISTINCT e1.pred AS p1, e2.pred AS p2,
+                e1.src_id AS x, e2.dst_id AS z
+         FROM e e1 JOIN e e2 ON e1.dst_id = e2.src_id
+         WHERE e1.src_id <> e1.dst_id AND e2.src_id <> e2.dst_id
+           AND e1.src_id <> e2.dst_id),
+bn AS (SELECT p1, p2, count(*) AS body_pairs FROM body GROUP BY p1, p2),
+sup AS (SELECT b.p1, b.p2, h.pred AS p3, count(*) AS support
+        FROM body b JOIN e h ON h.src_id = b.x AND h.dst_id = b.z
+        GROUP BY b.p1, b.p2, h.pred),
+subj AS (SELECT DISTINCT pred AS p3, src_id AS x FROM e),
+pca AS (SELECT b.p1, b.p2, s.p3, count(*) AS pca_body
+        FROM body b JOIN subj s ON s.x = b.x GROUP BY b.p1, b.p2, s.p3)
+SELECT s.p1, s.p2, s.p3, bn.body_pairs::BIGINT AS body_pairs,
+       s.support::BIGINT AS support, p.pca_body::BIGINT AS pca_body,
+       round(s.support::DOUBLE / bn.body_pairs::DOUBLE, 6) AS conf_std,
+       round(s.support::DOUBLE / p.pca_body::DOUBLE, 6) AS conf_pca
+FROM sup s
+JOIN pca p ON p.p1 = s.p1 AND p.p2 = s.p2 AND p.p3 = s.p3
+JOIN bn ON bn.p1 = s.p1 AND bn.p2 = s.p2
+"""
+
+
+def _sql_kg_communities() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    sql = f"""
+WITH g AS (SELECT DISTINCT least(src_id, dst_id) AS a,
+                  greatest(src_id, dst_id) AS b
+           FROM ({kg["kg_graph_edges"]}) e WHERE src_id <> dst_id),
+und AS (SELECT a AS s, b AS d FROM g UNION ALL SELECT b, a FROM g),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM und)"""
+    prev = "l0"
+    for r in range(1, KG_LPA_ROUNDS + 1):
+        sql += f""",
+c{r} AS (SELECT node, label, count(*) AS cnt FROM (
+           SELECT u.s AS node, l.label FROM und u
+           JOIN {prev} l ON l.node = u.d
+           UNION ALL SELECT node, label FROM {prev}) v
+         GROUP BY node, label),
+l{r} AS (SELECT node, label FROM (
+           SELECT node, label, row_number() OVER (
+             PARTITION BY node ORDER BY cnt DESC, label) AS rn
+           FROM c{r}) x WHERE rn = 1)"""
+        prev = f"l{r}"
+    sql += f""",
+deg AS (SELECT s AS node, count(*) AS deg FROM und GROUP BY s),
+m AS (SELECT count(*) AS m FROM g),
+com AS (SELECT label AS community, count(*) AS n_nodes
+        FROM {prev} GROUP BY label),
+dsum AS (SELECT l.label AS community, sum(d.deg) AS degree_sum
+         FROM {prev} l JOIN deg d ON d.node = l.node GROUP BY l.label),
+win AS (SELECT la.label AS community, count(*) AS within_edges
+        FROM g JOIN {prev} la ON la.node = g.a
+        JOIN {prev} lb ON lb.node = g.b
+        WHERE la.label = lb.label GROUP BY la.label)
+SELECT c.community::BIGINT AS community, c.n_nodes::BIGINT AS n_nodes,
+       coalesce(w.within_edges, 0)::BIGINT AS within_edges,
+       d.degree_sum::BIGINT AS degree_sum,
+       round(coalesce(w.within_edges, 0)::DOUBLE / m.m::DOUBLE
+             - pow(d.degree_sum::DOUBLE / (2.0 * m.m::DOUBLE), 2.0), 6)
+         AS modularity
+FROM com c
+JOIN dsum d ON d.community = c.community
+LEFT JOIN win w ON w.community = c.community
+CROSS JOIN m
+"""
+    return sql
 
 
 def _sql_kg_linking_b3() -> str:
@@ -4513,6 +4641,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_functional_conflicts": q_kg_functional_conflicts,
         "kg_redundant_edges": q_kg_redundant_edges,
         "kg_linking_b3": q_kg_linking_b3,
+        # session-14 rule-mining + community rows (past-window: the rule
+        # family keeps kg_pred_implication / kg_infer_edges in-window and
+        # the partition family keeps kg_cc_components; gate_sim + pytest
+        # covered)
+        "kg_rule_mine_2hop": q_kg_rule_mine_2hop,
+        "kg_communities": q_kg_communities,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
@@ -4661,6 +4795,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_implication": _sql_kg_pred_implication(),
         "kg_functional_conflicts": _sql_kg_functional_conflicts(),
         "kg_redundant_edges": _sql_kg_redundant_edges(),
+        "kg_rule_mine_2hop": _sql_kg_rule_mine_2hop(),
+        "kg_communities": _sql_kg_communities(),
         "kg_linking_b3": _sql_kg_linking_b3(),
         "kg_edge_grounding": _sql_kg_edge_grounding(),
         "kg_entity_activity": _sql_kg_entity_activity(),

@@ -955,3 +955,54 @@ def test_b3_summary_hand_clusters(spark):
     assert (row.n_mentions, row.n_clusters, row.n_golds) == (6, 3, 3)
     assert (row.b3_p_micro, row.b3_r_micro) == (750_000, 833_333)
     assert row.b3_f1_micro == (2 * 750_000 * 833_333) // (750_000 + 833_333)
+
+
+def test_rule_mine_2hop_pca_vs_std(spark):
+    """Hand graph pins AMIE 2-hop mining — the textbook PCA example:
+    born_in(a1,c1) ∧ city_of(c1,C) and born_in(a2,c2) ∧ city_of(c2,C)
+    give 2 body pairs; only citizen_of(a1,C) exists, so conf_std = 1/2
+    but conf_pca = 1/1 (a2 has NO citizen_of fact -> not a
+    counterexample under partial completeness). A degenerate closed
+    path (x == z) must not enter the body, and support-0 rules are
+    absent."""
+    from pl_marker_spark.graphops import rule_mine_2hop
+
+    edges = spark.createDataFrame(
+        [(1, 10, "born_in"), (2, 20, "born_in"),
+         (10, 100, "city_of"), (20, 100, "city_of"),
+         (1, 100, "citizen_of"),
+         # x == z closed path: 3 -P-> 4 -Q-> 3 must not count as a body
+         (3, 4, "P"), (4, 3, "Q")],
+        "src_id long, dst_id long, pred string")
+    rows = {(r.p1, r.p2, r.p3): r.asDict()
+            for r in rule_mine_2hop(edges).collect()}
+    r = rows[("born_in", "city_of", "citizen_of")]
+    assert (r["body_pairs"], r["support"], r["pca_body"]) == (2, 1, 1)
+    assert (r["conf_std"], r["conf_pca"]) == (0.5, 1.0)
+    # the degenerate (3,4,P)+(4,3,Q) path produced no rule at all
+    assert all(p1 not in ("P", "Q") for (p1, _, _) in rows)
+    # no zero-support rules are emitted
+    assert all(v["support"] >= 1 for v in rows.values())
+
+
+def test_community_modularity_two_triangles(spark):
+    """Two triangles {1,2,3} and {4,5,6} bridged by 3-4: LPA (3 rounds,
+    smallest-label ties) lands communities 1 and 4; m=7, each community
+    has 3 within edges and degree mass 7, so each Newman term is
+    3/7 - (7/14)^2 = 0.178571 and Q = 2x. Directed duplicates and a
+    self-loop must collapse/drop in the canonical pair prep."""
+    from pl_marker_spark.graphops import community_modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+         (2, 1),          # reverse duplicate of (1,2) -> same canonical pair
+         (5, 5)],         # self-loop -> dropped
+        "src_id long, dst_id long")
+    got = {r.community: r.asDict()
+           for r in community_modularity(edges).collect()}
+    assert set(got) == {1, 4}
+    for c in (1, 4):
+        assert got[c]["n_nodes"] == 3
+        assert got[c]["within_edges"] == 3
+        assert got[c]["degree_sum"] == 7
+        assert got[c]["modularity"] == 0.178571
