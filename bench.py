@@ -394,6 +394,61 @@ def main() -> None:
         assert (rrow.c, rrow.s) == (aa_n, aa_n), f"redundant_400k: {rrow}"
         extras["redundant_400k_edges"] = rrow.c
 
+        # --- AMIE 2-hop rule mining at graph scale (round-5 session 14):
+        # same ±1/±2 cycle with the +1 edges labeled A and the +2 edges B.
+        # Closed form: the ONLY supported rule is A(x,y) ∧ A(y,z) ⇒ B(x,z)
+        # — every chain i → i+1 → i+2 is closed by the B chord — with
+        # body = support = pca = aa_n and both confidences exactly 1.0;
+        # A∘B / B∘A / B∘B bodies all land on (i, i+3/i+4) non-edges, so a
+        # fabricated rule or a lost body binding fails loudly. ------------
+        from pl_marker_spark.graphops import rule_mine_2hop
+
+        t0 = time.time()
+        rules = rule_mine_2hop(
+            cyc.select(F.col("src").alias("src_id"),
+                       F.col("dst").alias("dst_id"),
+                       F.when(F.pmod(F.col("dst") - F.col("src"), aa_n) == 1,
+                              "A").otherwise("B").alias("pred"))).collect()
+        timings["rules2hop_400k"] = round(time.time() - t0, 3)
+        assert len(rules) == 1, f"rules2hop_400k fabricated: {rules}"
+        ru = rules[0]
+        assert (ru.p1, ru.p2, ru.p3, ru.body_pairs, ru.support, ru.pca_body,
+                ru.conf_std, ru.conf_pca) == (
+            "A", "A", "B", aa_n, aa_n, aa_n, 1.0, 1.0), f"wrong: {ru}"
+        extras["rules2hop_400k_support"] = ru.support
+
+        # --- Community detection + modularity at graph scale (round-5
+        # session 14): 40k disjoint 5-cliques (200k nodes / 400k edges).
+        # LPA converges in one round (every node sees its whole clique →
+        # smallest-id tie-break = clique min), so the closed form is exact:
+        # 40k communities of 5 nodes, 10 within-edges and degree mass 20
+        # each, every Newman term round(10/4e5 − (20/8e5)², 6) = 2.5e-5. --
+        from pl_marker_spark.graphops import community_modularity
+
+        n_cliq = 40_000
+        pairs = [(j, k) for j in range(5) for k in range(j + 1, 5)]
+        cliq = spark.range(n_cliq).select(
+            (F.col("id") * 5).alias("base"),
+            F.explode(F.array(*[
+                F.struct(F.lit(j).alias("j"), F.lit(k).alias("k"))
+                for j, k in pairs])).alias("p")
+        ).select((F.col("base") + F.col("p.j")).alias("src_id"),
+                 (F.col("base") + F.col("p.k")).alias("dst_id"))
+        t0 = time.time()
+        crow = community_modularity(cliq).agg(
+            F.count("*").alias("c"), F.min("n_nodes").alias("nlo"),
+            F.max("n_nodes").alias("nhi"), F.min("within_edges").alias("wlo"),
+            F.max("within_edges").alias("whi"),
+            F.min("degree_sum").alias("dlo"), F.max("degree_sum").alias("dhi"),
+            F.min("modularity").alias("mlo"), F.max("modularity").alias("mhi"),
+        ).collect()[0]
+        timings["communities_400k"] = round(time.time() - t0, 3)
+        assert (crow.c, crow.nlo, crow.nhi, crow.wlo, crow.whi, crow.dlo,
+                crow.dhi, crow.mlo, crow.mhi) == (
+            n_cliq, 5, 5, 10, 10, 20, 20, 0.000025, 0.000025), \
+            f"communities_400k wrong: {crow}"
+        extras["communities_400k"] = crow.c
+
         # --- BGP matching at graph scale (round-5 session 8): the kg
         # corpus' entity graph binds the cyclic pattern ~25 times, so the
         # conjunctive-query join shape gets a deterministic typed graph
