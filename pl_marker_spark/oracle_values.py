@@ -54,7 +54,7 @@ def _oracle_outputs() -> dict:
         return _CACHE["out"]
     from . import synth
 
-    turns, _gm, _gr = synth.local_corpus(N_KG_CONVS)
+    turns, _gm, gold_rel = synth.local_corpus(N_KG_CONVS)
     o = run_oracle(turns, DEFAULT_CONFIG)
     turn_words = {(r[0], r[1]): split_words(r[3]) for r in turns}
     g = graph_oracle(o["refined"], o["triples"], turn_words)
@@ -69,7 +69,8 @@ def _oracle_outputs() -> dict:
         (r[0], tids[r[0]][r[1]], *r[2:])
         for r in oracle_two_stage(ordered, DEFAULT_CONFIG)
     )
-    _CACHE["out"] = {"oracle": o, "graph": g, "two_stage": ts}
+    _CACHE["out"] = {"oracle": o, "graph": g, "two_stage": ts,
+                     "gold_rel": gold_rel}
     return _CACHE["out"]
 
 
@@ -390,6 +391,15 @@ def kg_oracle_sqls() -> dict[str, str]:
              "entity_id"],
             ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "VARCHAR",
              "VARCHAR", "BIGINT"],
+        ),
+        # planted gold relations straight from the synthetic generator —
+        # NOT a pipeline output; the calibration twin joins predictions
+        # against these (synth.gold_relations_df is the Spark-side twin)
+        "kg_gold_relations": _values_sql(
+            out["gold_rel"],
+            ["conv_id", "turn_idx", "s1", "e1", "s2", "e2", "label"],
+            ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER",
+             "INTEGER", "VARCHAR"],
         ),
     }
 

@@ -1781,6 +1781,63 @@ def b3_summary(me):
     )
 
 
+def q_kg_conf_calibration(spark, sf_dir):
+    """Confidence-calibration report (reliability diagram) for the
+    extractor: predicted triples bucketed into 10 equal-width score bands
+    between the corpus min/max score, each band reporting volume and
+    precision against the PLANTED gold relations (synth's generator is
+    the ground truth the pipeline-vs-gold P/R≥0.95 pytest gate already
+    uses; a hit accepts either orientation of the pair, the
+    symmetric-agnostic rule of O9's scoring). This is the quality
+    dashboard that tells a curator which score threshold buys which
+    precision — the operational knob the north rule's P/R target turns
+    into at serving time.
+
+    100-TB shape: min/max ride a 1-row broadcast; the gold join is an
+    ids-only equi-join on the natural key (gold is corpus-planted,
+    |gold| ~ |triples|); bucketing is a scan expression; the final agg
+    is 10 rows map-side-combined. No sort, no window over the corpus
+    (an ntile decile would need one — equal-width bands don't)."""
+    from . import synth
+    from .oracle_values import N_KG_CONVS
+
+    t = _pipeline_outputs(spark, sf_dir)["triples"]
+    gold = synth.gold_relations_df(spark, N_KG_CONVS)
+    return conf_calibration(t, gold)
+
+
+def conf_calibration(t: DataFrame, gold: DataFrame,
+                     n_buckets: int = 10) -> DataFrame:
+    """Equal-width score-band calibration of a triples frame against a
+    gold (conv_id, turn_idx, s1, e1, s2, e2, label) table — see
+    q_kg_conf_calibration. Factored for hand-pinned unit testing."""
+    key = ["conv_id", "turn_idx", "s1", "e1", "s2", "e2", "pred"]
+    g = gold.select("conv_id", "turn_idx", "s1", "e1", "s2", "e2",
+                    F.col("label").alias("pred"))
+    g = (g.unionByName(g.select(
+            "conv_id", "turn_idx",
+            F.col("s2").alias("s1"), F.col("e2").alias("e1"),
+            F.col("s1").alias("s2"), F.col("e1").alias("e2"), "pred"))
+         .distinct().withColumn("hit", F.lit(1)))
+    tt = t.select(*key, F.round("score", 6).alias("score"))
+    stats = tt.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    return (tt.join(g, key, "left")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("bucket", F.when(
+                F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                F.least(F.floor((F.col("score") - F.col("mn"))
+                                * F.lit(float(n_buckets))
+                                / (F.col("mx") - F.col("mn"))),
+                        F.lit(n_buckets - 1))).cast("long"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                  .alias("n_hit"))
+            .withColumn("prec", F.round(
+                F.col("n_hit").cast("double") / F.col("n").cast("double"),
+                6)))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Negative sampling for KG-embedding training (the corrupted-triple
     protocol of Bordes et al. 2013, FILTERED setting): each positive edge
@@ -3046,6 +3103,37 @@ LEFT JOIN win w ON w.community = c.community
 CROSS JOIN m
 """
     return sql
+
+
+def _sql_kg_conf_calibration() -> str:
+    from .oracle_values import kg_oracle_sqls
+
+    kg = kg_oracle_sqls()
+    return f"""
+WITH t AS (SELECT conv_id, turn_idx, s1, e1, s2, e2, pred, score
+           FROM ({kg["kg_triples"]}) x),
+g0 AS (SELECT conv_id, turn_idx, s1, e1, s2, e2, label AS pred
+       FROM ({kg["kg_gold_relations"]}) y),
+g AS (SELECT DISTINCT * FROM (
+        SELECT * FROM g0
+        UNION ALL
+        SELECT conv_id, turn_idx, s2 AS s1, e2 AS e1,
+               s1 AS s2, e1 AS e2, pred FROM g0) u),
+st AS (SELECT min(score) AS mn, max(score) AS mx FROM t),
+h AS (SELECT t.score,
+             CASE WHEN g.pred IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM t LEFT JOIN g
+        ON g.conv_id = t.conv_id AND g.turn_idx = t.turn_idx
+       AND g.s1 = t.s1 AND g.e1 = t.e1 AND g.s2 = t.s2 AND g.e2 = t.e2
+       AND g.pred = t.pred),
+b AS (SELECT CASE WHEN st.mx = st.mn THEN 0
+             ELSE least(floor((h.score - st.mn) * 10.0 / (st.mx - st.mn)),
+                        9) END::BIGINT AS bucket, h.hit
+      FROM h CROSS JOIN st)
+SELECT bucket, count(*)::BIGINT AS n, sum(hit)::BIGINT AS n_hit,
+       round(sum(hit)::DOUBLE / count(*)::DOUBLE, 6) AS prec
+FROM b GROUP BY bucket
+"""
 
 
 def _sql_kg_linking_b3() -> str:
@@ -4647,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covered)
         "kg_rule_mine_2hop": q_kg_rule_mine_2hop,
         "kg_communities": q_kg_communities,
+        "kg_conf_calibration": q_kg_conf_calibration,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
@@ -4797,6 +4886,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_redundant_edges": _sql_kg_redundant_edges(),
         "kg_rule_mine_2hop": _sql_kg_rule_mine_2hop(),
         "kg_communities": _sql_kg_communities(),
+        "kg_conf_calibration": _sql_kg_conf_calibration(),
         "kg_linking_b3": _sql_kg_linking_b3(),
         "kg_edge_grounding": _sql_kg_edge_grounding(),
         "kg_entity_activity": _sql_kg_entity_activity(),

@@ -1006,3 +1006,26 @@ def test_community_modularity_two_triangles(spark):
         assert got[c]["within_edges"] == 3
         assert got[c]["degree_sum"] == 7
         assert got[c]["modularity"] == 0.178571
+
+
+def test_conf_calibration_hand_buckets(spark):
+    """Hand frame pins the calibration algebra: scores 0.0/0.5/1.0 land
+    in buckets 0/5/9 (max clamps to the last band); the 0.5 prediction
+    matches gold only via the SWAPPED orientation (the symmetric-agnostic
+    hit rule); the 1.0 prediction's label mismatch is a miss."""
+    from pl_marker_spark.queries_catalog import conf_calibration
+
+    t = spark.createDataFrame(
+        [("c", 0, 1, 2, 3, 4, "R", 0.0),     # exact gold hit
+         ("c", 0, 5, 6, 7, 8, "S", 0.5),     # hit via swapped orientation
+         ("c", 0, 1, 2, 7, 8, "R", 1.0)],    # no gold -> miss
+        "conv_id string, turn_idx int, s1 int, e1 int, s2 int, e2 int, "
+        "pred string, score double")
+    gold = spark.createDataFrame(
+        [("c", 0, 1, 2, 3, 4, "R"),
+         ("c", 0, 7, 8, 5, 6, "S")],
+        "conv_id string, turn_idx int, s1 int, e1 int, s2 int, e2 int, "
+        "label string")
+    got = {r.bucket: (r.n, r.n_hit, r.prec)
+           for r in conf_calibration(t, gold).collect()}
+    assert got == {0: (1, 1, 1.0), 5: (1, 1, 1.0), 9: (1, 0, 0.0)}
