@@ -47,21 +47,35 @@ qs = qc.queries()
 oracles = qc.oracle_sql()
 
 
-def run_once(name):
+def run_once(name, connection=None):
+    connection = connection or con
     rec = {"rows_match": False, "schema_match": False, "hash_match": False,
            "err": None}
     try:
         sdf = qs[name](spark, SF)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
-        res = con.execute(oracles[name])
+        res = connection.execute(oracles[name])
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
         rec["spark_rows"] = len(srows)
         rec["oracle_rows"] = len(drows)
         rec["rows_match"] = len(srows) == len(drows)
         rec["schema_match"] = sorted(scols) == sorted(dcols)
-        rec["hash_match"] = canon(srows, scols) == canon(drows, dcols)
+        sc, dc = canon(srows, scols), canon(drows, dcols)
+        rec["hash_match"] = sc == dc
+        if not rec["hash_match"]:
+            # diagnosable artifact for an intermittent mismatch: the
+            # symmetric row difference (a session-13/14 kg_edge_intervals
+            # anomaly failed in ONE long-lived session, passed in every
+            # fresh process — without the differing rows there is nothing
+            # to root-cause)
+            dset = set(dc)
+            sset = set(sc)
+            rec["only_spark"] = [list(map(str, r))
+                                 for r in sc if r not in dset][:10]
+            rec["only_oracle"] = [list(map(str, r))
+                                  for r in dc if r not in sset][:10]
     except Exception as exc:  # noqa: BLE001
         rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
     return rec
@@ -71,13 +85,14 @@ for name in qs:
     rec = run_once(name)
     ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
     if not ok:
-        # One retry: an irreproducible single-evaluation anomaly (seen
-        # once for kg_edge_intervals in a heavily-loaded session-13
-        # window, never reproduced across 7 re-evaluations in/across
-        # processes) must surface as explicit flaky signal, not as a
-        # red record indistinguishable from a real mismatch. A retry
-        # that passes is recorded loudly; a retry that fails keeps the
-        # original failure.
+        # Retry ladder for intermittent anomalies (kg_edge_intervals:
+        # failed BOTH attempts inside one long-lived session, green in
+        # every fresh process and every other replay): retry #1 re-runs
+        # both sides as-is; retry #2 rebuilds the DuckDB side on a FRESH
+        # connection+views, so a pass there implicates accumulated
+        # DuckDB session state while a persistent fail points at the
+        # Spark side. Whichever retry passes is recorded loudly with the
+        # failing attempt (incl. its differing rows) preserved.
         rec2 = run_once(name)
         if rec2["rows_match"] and rec2["schema_match"] and rec2["hash_match"]:
             rec2["flaky_first_attempt"] = rec
@@ -85,6 +100,24 @@ for name in qs:
             ok = True
             print("FLAKY-PASS", name, "first attempt mismatched, retry clean",
                   flush=True)
+        else:
+            con2 = duckdb.connect()
+            for t in ("region nation customer supplier part orders lineitem "
+                      "events documents embeddings").split():
+                con2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                             f"read_parquet('{SF}/{t}.parquet')")
+            rec3 = run_once(name, con2)
+            con2.close()
+            if (rec3["rows_match"] and rec3["schema_match"]
+                    and rec3["hash_match"]):
+                rec3["flaky_first_attempt"] = rec
+                rec3["flaky_second_attempt"] = rec2
+                rec3["passed_on"] = "fresh_duckdb_connection"
+                rec = rec3
+                ok = True
+                print("FLAKY-PASS", name,
+                      "both shared-connection attempts mismatched, "
+                      "fresh-connection retry clean", flush=True)
     out[name] = rec
     if not (rec.get("flaky_first_attempt") and ok):
         print(("PASS" if ok else "FAIL"), name, rec.get("spark_rows"),
