@@ -189,3 +189,39 @@ def connected_components(
         F.col("u").alias("sid"),
         F.coalesce("component", F.col("u")).alias("component"),
     )
+
+
+def incremental_components(assign: DataFrame, new_edges: DataFrame,
+                           **cc_kwargs) -> DataFrame:
+    """Fold a NEW batch of (src, dst) similarity edges into an existing
+    (sid, component) assignment WITHOUT touching the historical edge
+    set — the per-ingest-batch canonicalization step a living KG runs.
+
+    Correctness: the star forest {sid → component} is
+    connectivity-equivalent to the edge set it summarized (same node
+    partition), so CC over (star forest ∪ new edges) equals CC over
+    (all historical edges ∪ new edges); and because both paths label a
+    component by its MINIMUM member id, the result is row-identical to
+    a full recompute — untouched components keep their old label,
+    merged components get the min of the merged labels
+    (equality-pinned in test_scoring_and_graph and gated against the
+    full-closure DuckDB twin in kg_cc_incremental).
+
+    100-TB shape: input to the star rounds is one row per existing
+    non-singleton entity plus the delta — O(|V| + |new|), independent
+    of the historical |E| (which a full recompute would re-shuffle
+    O(log n) times). Old singletons and delta-only nodes re-enter via
+    the coalesce spine."""
+    star = (assign.filter(F.col("sid") != F.col("component"))
+            .select(F.col("sid").alias("src"),
+                    F.col("component").alias("dst")))
+    e = star.unionByName(new_edges.select("src", "dst"))
+    out = connected_components(e, **cc_kwargs)
+    allnodes = (assign.select("sid")
+                .union(new_edges.select(F.col("src").alias("sid")))
+                .union(new_edges.select(F.col("dst").alias("sid")))
+                .distinct())
+    return (allnodes.join(out.withColumnRenamed("sid", "s2"),
+                          allnodes.sid == F.col("s2"), "left")
+            .select("sid",
+                    F.coalesce("component", F.col("sid")).alias("component")))

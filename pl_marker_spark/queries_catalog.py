@@ -2641,6 +2641,48 @@ def q_kg_cc_components(spark, sf_dir):
                     "component_size"))
 
 
+def q_kg_cc_incremental(spark, sf_dir):
+    """Incremental canonicalization: the KG's undirected evidence edges
+    are split deterministically into a BASE half and a DELTA half
+    (pmod(src+dst, 2) — direction-symmetric, so both orientations of a
+    pair land together); full CC runs on the base only, then
+    pipeline/cc.incremental_components folds the delta into that
+    assignment via its star forest — cost O(|V| + |delta|), never
+    re-shuffling the historical edges. The gated frame is the final
+    component census, and its twin is the SAME full-closure recursive
+    CTE that gates kg_cc_components — so the hash check IS the
+    incremental ≡ full-recompute equivalence (min-id labels preserved
+    for untouched islands, min of merged labels for merged ones).
+
+    100-TB shape: the fold's star rounds see one row per existing
+    non-singleton entity plus the delta; old singletons re-enter via a
+    node-spine coalesce. This is the per-batch discipline the
+    streaming/kg_snapshot_delta story needs to stay sublinear in
+    corpus age."""
+    from .graphops import symmetrize
+    from .pipeline.cc import connected_components, incremental_components
+
+    out = _pipeline_outputs(spark, sf_dir)
+    e, n = out["edges"], out["nodes"]
+    und = symmetrize(e)
+    base = und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    old = base.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(2)) == 0)
+    new = base.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(2)) == 1)
+    assign0 = connected_components(old)
+    spine = n.select(F.col("entity_id").alias("sid"))
+    assign = (spine.join(assign0, "sid", "left")
+              .select("sid", F.coalesce("component", "sid")
+                      .alias("component")))
+    lbl = (incremental_components(assign, new)
+           .select(F.col("sid").alias("entity_id"), "component"))
+    sz = lbl.groupBy("component").agg(
+        F.count("*").cast("long").alias("component_size"))
+    return (lbl.join(sz, "component")
+            .select(F.col("entity_id").cast("long").alias("entity_id"),
+                    F.col("component").cast("long").alias("component_id"),
+                    "component_size"))
+
+
 def q_kg_khop_subgraph(spark, sf_dir):
     """Induced 2-hop neighborhood export around the 3 highest-degree
     entities — the CONSTRUCT/visualization serving primitive next to
@@ -4736,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rule_mine_2hop": q_kg_rule_mine_2hop,
         "kg_communities": q_kg_communities,
         "kg_conf_calibration": q_kg_conf_calibration,
+        "kg_cc_incremental": q_kg_cc_incremental,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
@@ -4903,6 +4946,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_stats": _sql_kg_graph_stats(),
         "kg_entity_card": _sql_kg_entity_card(),
         "kg_cc_components": _sql_kg_cc_components(),
+        # incremental fold vs the SAME independent full-closure twin:
+        # the hash gate is the incremental == full-recompute equivalence
+        "kg_cc_incremental": _sql_kg_cc_components(),
         "kg_khop_subgraph": _sql_kg_khop_subgraph(),
         "kg_min_cost_path": _sql_kg_min_cost_path(),
         "kg_hits": _sql_kg_hits(),

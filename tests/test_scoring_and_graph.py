@@ -1029,3 +1029,29 @@ def test_conf_calibration_hand_buckets(spark):
     got = {r.bucket: (r.n, r.n_hit, r.prec)
            for r in conf_calibration(t, gold).collect()}
     assert got == {0: (1, 1, 1.0), 5: (1, 1, 1.0), 9: (1, 0, 0.0)}
+
+
+def test_incremental_components_equals_full(spark):
+    """The star-forest fold is row-identical to a full recompute: base
+    edges {1-2, 6-7} + pre-existing singleton 9; delta {2-3, 4-5}. The
+    merged component {1,2,3} takes label 1, the NEW pair {4,5} label 4,
+    the untouched {6,7} KEEPS label 6, and 9 stays its own singleton.
+    Both the driver union-find gate and the distributed alternating-star
+    branch (local_threshold=0) of the fold must agree with CC over the
+    full union."""
+    from pl_marker_spark.pipeline.cc import (connected_components,
+                                             incremental_components)
+
+    old = spark.createDataFrame([(1, 2), (6, 7)], "src long, dst long")
+    new = spark.createDataFrame([(2, 3), (4, 5)], "src long, dst long")
+    assign = connected_components(old).unionByName(
+        spark.createDataFrame([(9, 9)], "sid long, component long"))
+    full = {r.sid: r.component
+            for r in connected_components(old.unionByName(new)).collect()}
+    full[9] = 9     # the full recompute never saw the isolated node
+    for thr in (100_000, 0):
+        inc = {r.sid: r.component
+               for r in incremental_components(
+                   assign, new, local_threshold=thr).collect()}
+        assert inc == full == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4,
+                               6: 6, 7: 6, 9: 9}
