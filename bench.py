@@ -305,6 +305,27 @@ def main() -> None:
         assert n_comp == n_nodes // ring, f"cc_star_400k merged wrong: {n_comp}"
         extras["cc_star_components"] = n_comp
 
+        # --- Incremental canonicalization at graph scale (round-5 session
+        # 14): fold a 100-edge delta (bridging ring 2k to ring 2k+1) into
+        # the 200-component assignment above WITHOUT re-shuffling the 400k
+        # historical edges — the star-forest input is 200k rows + 100
+        # delta edges. Closed form: exactly 100 merged components, each
+        # labeled by the min of its two ring minima. The leg's wall time
+        # vs cc_star_400k IS the incremental claim (fold ≪ recompute). --
+        from pl_marker_spark.pipeline.cc import incremental_components
+
+        assign = comp.localCheckpoint()
+        delta = spark.range(100).select(
+            (F.col("id") * 2 * ring).alias("src"),
+            ((F.col("id") * 2 + 1) * ring).alias("dst"))
+        t0 = time.time()
+        inc = incremental_components(assign, delta, local_threshold=0)
+        n_comp_inc = inc.select("component").distinct().count()
+        timings["cc_incremental_400k"] = round(time.time() - t0, 3)
+        assert n_comp_inc == n_nodes // ring // 2, \
+            f"cc_incremental_400k merged wrong: {n_comp_inc}"
+        extras["cc_incremental_components"] = n_comp_inc
+
         # --- PageRank at graph scale (round-4 VERDICT item #3): the kg corpus'
         # entity graph is a few hundred edges, so the lineage-checkpoint
         # behavior only shows at a real |E|. Reuse the 400k-edge ring graph
