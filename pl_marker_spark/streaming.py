@@ -970,7 +970,12 @@ def stream_kg_graph(
     canonicalization is a vocab-scale job re-run per batch — the vocab
     table is orders of magnitude smaller than the transcript corpus, and
     the only evidence-scale operations in step 3 are one mention_entity
-    join and one triple-endpoint resolution. After ANY batching, the
+    join and one triple-endpoint resolution. At a vocab size where even
+    that re-run hurts, the CC inside can switch to the delta fold
+    (pipeline/cc.incremental_components — row-identical to the full
+    recompute, gated by kg_cc_incremental): similarity edges between two
+    OLD surfaces never change when new surfaces arrive, so the per-batch
+    edge delta is exactly the new-surface-incident block join. After ANY batching, the
     published nodes/edges/mention_entity equal the one-shot batch
     pipeline over the concatenated corpus (tests/test_streaming.py gates
     all three tables).
