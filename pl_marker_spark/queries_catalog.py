@@ -1806,6 +1806,23 @@ def q_kg_conf_calibration(spark, sf_dir):
     return conf_calibration(t, gold)
 
 
+def q_kg_gold_relations(spark, sf_dir):
+    """The planted gold-relation table itself, under the gate: the
+    Spark side is the DISTRIBUTED generator (synth.gold_relations_df,
+    mapInPandas over a conv-id range) and the twin is the same corpus
+    materialized by the single-process python path
+    (synth.local_corpus → VALUES) — a generator-determinism cross-check
+    both the calibration row and the pipeline-vs-gold pytest gate
+    depend on: if the distributed and local corpus paths ever drifted
+    (pandas dtype change, partition-dependent state), every downstream
+    quality number would silently shift; this row makes that drift a
+    loud hash mismatch. Map-only plan, no shuffle."""
+    from . import synth
+    from .oracle_values import N_KG_CONVS
+
+    return synth.gold_relations_df(spark, N_KG_CONVS)
+
+
 def conf_calibration(t: DataFrame, gold: DataFrame,
                      n_buckets: int = 10) -> DataFrame:
     """Equal-width score-band calibration of a triples frame against a
@@ -4779,6 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_conf_calibration": q_kg_conf_calibration,
         "kg_cc_incremental": q_kg_cc_incremental,
+        "kg_gold_relations": q_kg_gold_relations,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
