@@ -1055,3 +1055,48 @@ def test_incremental_components_equals_full(spark):
                    assign, new, local_threshold=thr).collect()}
         assert inc == full == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4,
                                6: 6, 7: 6, 9: 9}
+
+
+def test_incremental_components_random_equivalence(spark):
+    """Randomized pin of the star-forest equivalence claim: for seeded
+    random graphs, CC(base) folded with the delta equals CC(base ∪
+    delta) row-for-row — including nodes that appear only in the base
+    assignment. One Spark run per seed; the full recompute is a local
+    union-find (independent implementation)."""
+    import random
+
+    from pl_marker_spark.pipeline.cc import (connected_components,
+                                             incremental_components)
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        base, delta = edges[:30], edges[30:]
+        # local union-find over the union — the independent oracle
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for u, v in edges:
+            touched.update((u, v))
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        base_nodes = {x for uv in base for x in uv}
+        expect = {x: find(x) for x in touched | base_nodes}
+
+        bdf = spark.createDataFrame(base, "src long, dst long")
+        ddf = spark.createDataFrame(delta, "src long, dst long")
+        assign = connected_components(bdf)
+        got = {r.sid: r.component
+               for r in incremental_components(assign, ddf).collect()}
+        # nodes only in the delta enter via the fold; nodes only in the
+        # base stay via the assignment spine — both must carry the
+        # union's min-id labels
+        assert got == expect, f"seed {seed}: {got} != {expect}"
