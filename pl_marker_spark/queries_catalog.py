@@ -1071,6 +1071,73 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+KNN_K = 5
+
+
+def q_knn_mutual_graph(spark, sf_dir):
+    """Mutual-kNN graph over the embedding column — the
+    semantic-clustering prepass (each doc's top-K cosine neighbors;
+    keep the pair only when BOTH directions agree): mutual-kNN edges
+    are the standard robust input to clustering / dedup seeding because
+    a hub vector that floods one-directional kNN lists cannot create
+    mutual edges with everything. One row per mutual pair (a < b) with
+    the cosine and both directed ranks.
+
+    Plan: the pairwise score matrix is computed ONCE over (i, j) with
+    i≠j (JVM higher-order dot/norms, no UDF), per-source top-K via a
+    rank window bounded by the per-source candidate count, and the
+    mutual join is two independent projections of the MATERIALIZED kNN
+    list (the Spark 4.1 same-instance self-join trap — see
+    _resolved_triple_sites). Brute N² is the gate shape at 500 vectors;
+    the production candidate generator is the IVF within-cell join the
+    gated semdedup/ann_ivf rows already exercise, with this exact
+    rank+mutual tail re-ranking the bucketed candidates."""
+    e = _doc(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("v"))
+    a = e.select(F.col("vec_id").alias("src"), F.col("v").alias("av"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("bv"))
+    dot = F.aggregate(F.zip_with("av", "bv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("av", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("bv", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    sims = (a.crossJoin(b).filter(F.col("src") != F.col("dst"))
+            .select("src", "dst", (dot / (na * nb)).alias("sim")))
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), "dst")
+    knn = (sims.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= KNN_K).localCheckpoint())
+    x = knn.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"),
+                   "sim", F.col("rk").alias("rank_ab"))
+    y = knn.select(F.col("dst").alias("a_id"), F.col("src").alias("b_id"),
+                   F.col("rk").alias("rank_ba"))
+    return (x.join(y, ["a_id", "b_id"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", F.round("sim", 6).alias("sim"),
+                    F.col("rank_ab").cast("long").alias("rank_ab"),
+                    F.col("rank_ba").cast("long").alias("rank_ba")))
+
+
+SQL_KNN_MUTUAL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM e a, e b WHERE a.vec_id != b.vec_id),
+r AS (SELECT src, dst, sim,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY sim DESC, dst) AS rk
+      FROM s),
+k AS (SELECT * FROM r WHERE rk <= {KNN_K})
+SELECT x.src AS a_id, x.dst AS b_id, round(x.sim, 6) AS sim,
+       x.rk::BIGINT AS rank_ab, y.rk::BIGINT AS rank_ba
+FROM k x JOIN k y ON x.src = y.dst AND x.dst = y.src
+WHERE x.src < x.dst
+"""
+
+
 SQL_ANN = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
@@ -4797,6 +4864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conf_calibration": q_kg_conf_calibration,
         "kg_cc_incremental": q_kg_cc_incremental,
         "kg_gold_relations": q_kg_gold_relations,
+        "knn_mutual_graph": q_knn_mutual_graph,
         "bpe_encode": DATAOPS_QUERIES["bpe_encode"],
         "bigram_lm_ce": DATAOPS_QUERIES["bigram_lm_ce"],
         "jsd_drift": DATAOPS_QUERIES["jsd_drift"],
@@ -4914,6 +4982,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_merge": SQL_DUP_SPAN_MERGE,
         "containment_neardup": SQL_CONTAINMENT,
         "ann_cosine_topk": SQL_ANN,
+        "knn_mutual_graph": SQL_KNN_MUTUAL,
         "ann_ivf_topk": _sql_ann_ivf(),
         "semdedup": _sql_semdedup(),
         "minhash_neardup": _sql_minhash(),
