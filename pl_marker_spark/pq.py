@@ -70,6 +70,92 @@ def _subvectors(e: DataFrame, m_pq: int, sub: int) -> DataFrame:
         "vec_id", "b.m", "b.sv")
 
 
+def _pq_cand(e: DataFrame, cb_rows, m_pq: int, sub_d: int, *,
+             with_sv: bool) -> DataFrame:
+    """One encode pass of the corpus against the DRIVER-RESIDENT
+    codebook — the PQ twin of ``ann_ivf._cell_cand`` (round-6, guide
+    §2.3/§2.4/§4.2). Replaces the former subspace-explode →
+    join(broadcast(cb)) → per-(vec_id, m) row_number window, which
+    materialized N·M·K rows and shuffled the sv payload through the
+    ranking sort. The N·M·K·sub_d squared-L2 terms run as a vectorized
+    Arrow kernel with SEQUENTIAL per-dimension accumulation
+    (acc += (a_d − b_d)·(a_d − b_d) in dimension order — bit-equal to
+    the Catalyst ``aggregate(zip_with(...))`` fold), and only codes
+    within CAND_MARGIN of each (vector, subspace)'s raw minimum are
+    emitted (~1 per (vec_id, m)); the JVM round(·,6) + min(struct)
+    winner pick then reproduces the original window bit-for-bit
+    (round is monotone). ``cb_rows``: collected (m, code, cv) rows —
+    bounded at M·K (the PQ contract: the codebook fits in memory).
+    Missing (m, code) entries (an empty Lloyd cell) get +inf distance,
+    matching the old inner join's exclusion. Emits
+    (vec_id, m, code, raw[, sv])."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .ann_ivf import CAND_MARGIN
+
+    k_max = max(r["code"] for r in cb_rows) + 1
+    cbm = np.full((m_pq, k_max, sub_d), np.inf)
+    for r in cb_rows:
+        cbm[r["m"], r["code"]] = r["cv"]
+    margin = CAND_MARGIN
+    n_dim = m_pq * sub_d
+
+    fields = [pa.field("vec_id", pa.int64()), pa.field("m", pa.int64()),
+              pa.field("code", pa.int64()), pa.field("raw", pa.float64())]
+    if with_sv:
+        fields.append(pa.field("sv", pa.list_(pa.float64())))
+    out_schema = pa.schema(fields)
+
+    def gen(batches):
+        for batch in batches:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            n = len(vid)
+            if n == 0:
+                continue
+            u = np.asarray(batch.column("uv").flatten().to_numpy(
+                zero_copy_only=False)).reshape(n, n_dim)
+            for m in range(m_pq):
+                sv = u[:, m * sub_d:(m + 1) * sub_d]
+                acc = np.zeros((n, k_max))
+                # sequential per-dim accumulation == the Catalyst fold
+                for d in range(sub_d):
+                    t = sv[:, d:d + 1] - cbm[m, :, d][None, :]
+                    acc += t * t
+                mask = acc <= (acc.min(axis=1)[:, None] + margin)
+                ri, ci = np.nonzero(mask)
+                arrs = [pa.array(vid[ri]),
+                        pa.array(np.full(len(ri), m, dtype=np.int64)),
+                        pa.array(ci.astype(np.int64)),
+                        pa.array(acc[ri, ci])]
+                if with_sv:
+                    vals = sv[ri].ravel()
+                    offs = np.arange(len(ri) + 1, dtype=np.int32) * sub_d
+                    arrs.append(pa.ListArray.from_arrays(
+                        pa.array(offs), pa.array(vals)))
+                yield pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+
+    spark_schema = "vec_id long, m long, code long, raw double" + (
+        ", sv array<double>" if with_sv else "")
+    return e.select("vec_id", "uv").mapInArrow(gen, spark_schema)
+
+
+def _argmin_code(cand: DataFrame, *, with_sv: bool = False) -> DataFrame:
+    """Exact argmin code pick over kernel candidates: JVM round(·,6) +
+    min(struct(d2, code)) — lexicographic struct order IS (d2 asc, code
+    asc), the original window's order, as a hash aggregation instead of
+    a partitioned sort (the ann_ivf._argmax_cell discipline)."""
+    fields = [F.round("raw", 6).alias("d2"), F.col("code")]
+    if with_sv:
+        fields.append(F.col("sv"))
+    w = cand.groupBy("vec_id", "m").agg(F.min(F.struct(*fields)).alias("w"))
+    cols = ["vec_id", "m", F.col("w.code").alias("code"),
+            F.col("w.d2").alias("d2")]
+    if with_sv:
+        cols.append(F.col("w.sv").alias("sv"))
+    return w.select(*cols)
+
+
 def pq_codebook_codes(
     spark: SparkSession, sf_dir: str, *, m_pq: int = M_PQ,
     k_pq: int = K_PQ, lloyd_rounds: int = 1, n_dim: int = DIM,
@@ -78,32 +164,36 @@ def pq_codebook_codes(
     ``(codes, cb)``: codes = (vec_id, m, code, d2) with d2 the rounded
     squared L2 of the kept assignment; cb = (m, code, cv) broadcast-
     sized. Seed init (subvectors of the first k_pq vectors) + a
-    distributed Lloyd round per subspace — the ``ann_ivf.rank_cells``
-    pattern applied M times in one plan."""
+    distributed Lloyd round per subspace, with the assignment passes run
+    as margin-candidate Arrow kernels against the driver-resident
+    codebook (see _pq_cand — bit-equal to the former explode + broadcast
+    join + window plan, minus the N·M·K-row ranking shuffle) and the
+    re-centering as the same per-(m, code, pos) posexplode + avg
+    map-side-combinable aggregation as before."""
     if n_dim % m_pq:
         raise ValueError(f"pq: dim {n_dim} not divisible by m_pq {m_pq}")
     sub_d = n_dim // m_pq
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        _unit(F.transform("embedding", lambda x: x.cast("double"))).alias("uv"),
-    )
-    sub = _subvectors(e, m_pq, sub_d)
-    cb = sub.filter(F.col("vec_id") < k_pq).select(
-        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv"))
+    from .ann_ivf import _unit_df, _unit_py
 
-    def assign(cb_df: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-        ranked = sub.join(F.broadcast(cb_df), "m").select(
-            "vec_id", "m", "code", "sv", F.round(d2, 6).alias("d2"))
-        wv = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
-        return (ranked.withColumn("rk", F.row_number().over(wv))
-                .filter(F.col("rk") == 1))
+    e = _unit_df(spark, sf_dir)
+    # seed codebook: subvectors of the first k_pq vectors — bounded
+    # collect from the RAW parquet (pushed-down filter) + driver-side
+    # exact unit normalization; identical values to the old sub.filter
+    # path (see ann_ivf._unit_py)
+    seed = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") < k_pq)
+            .select("vec_id", "embedding").collect())
+    cb_rows = []
+    for r in seed:
+        uv = _unit_py(r["embedding"])
+        cb_rows.extend(
+            {"m": m, "code": r["vec_id"],
+             "cv": uv[m * sub_d:(m + 1) * sub_d]} for m in range(m_pq))
 
     for _ in range(lloyd_rounds):
-        a_r = assign(cb).select("m", "code", "sv")
-        cb = (
+        a_r = _argmin_code(_pq_cand(e, cb_rows, m_pq, sub_d, with_sv=True),
+                           with_sv=True).select("m", "code", "sv")
+        cb_df = (
             a_r.select("m", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("m", "code", "pos").agg(F.avg("x").alias("cx"))
             .groupBy("m", "code").agg(
@@ -112,15 +202,18 @@ def pq_codebook_codes(
                     lambda s: F.round(s["cx"], 6),
                 ).alias("cv"))
         )
-        if lloyd_rounds > 1:
-            cb = cb.localCheckpoint()
+        cb_rows = [r.asDict() for r in cb_df.collect()]  # bounded: M·K
 
-    # the trained codebook is M*K rows but its LINEAGE is a corpus-wide
-    # aggregation, and the ANN path references it twice (encode join +
-    # query LUT) — materialize once so the training subtree never
-    # re-evaluates (the semdedup lesson, ann_ivf.py:305)
-    cb = cb.localCheckpoint()
-    codes = assign(cb).select("vec_id", "m", "code", "d2")
+    # the trained codebook is M·K rows and already driver-resident; the
+    # DataFrame form consumers join against is rebuilt from the collected
+    # rows, so the training subtree never re-evaluates (the semdedup
+    # lesson, ann_ivf.py:305) and no corpus-wide lineage rides it
+    cb = spark.createDataFrame(
+        [(r["m"], r["code"], list(r["cv"])) for r in cb_rows],
+        "m long, code long, cv array<double>")
+    codes = _argmin_code(
+        _pq_cand(e, cb_rows, m_pq, sub_d, with_sv=False)).select(
+        "vec_id", "m", "code", "d2")
     return codes, cb
 
 
@@ -143,26 +236,76 @@ def pq_ann_topk(
     broadcast LUT of partial dots against the codebook; the coded corpus
     is scanned via an (m, code) broadcast equi-join + a groupBy sum —
     the corpus side never touches a float vector."""
+    from .ann_ivf import _collect_queries
+
     codes, cb = pq_codebook_codes(
         spark, sf_dir, m_pq=m_pq, k_pq=k_pq,
         lloyd_rounds=lloyd_rounds, n_dim=n_dim)
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        _unit(F.transform("embedding", lambda x: x.cast("double"))).alias("uv"),
-    )
-    qsub = _subvectors(
-        e.filter(F.col("vec_id") < n_queries), m_pq, n_dim // m_pq
-    ).select(F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv"))
-    lut = qsub.join(cb, "m").select(
-        "q_id", "m", "code",
-        _dot(F.col("qsv"), F.col("cv")).alias("pdot"),
-        _dot(F.col("cv"), F.col("cv")).alias("cn2"))
-    scored = (
-        codes.select("vec_id", "m", "code")
-        .join(F.broadcast(lut), ["m", "code"])
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("pdot").alias("num"), F.sum("cn2").alias("rn2"))
+    sub_d = n_dim // m_pq
+    # The query-side LUT is (n_queries · M · K) partial dots — bounded by
+    # construction, so it is built driver-side from the bounded query
+    # collect + the already-driver-resident codebook, with the SAME
+    # sequential fold order as the old JVM _dot expressions (round-6: the
+    # former plan joined the corpus-scale code rows against the broadcast
+    # LUT and hash-aggregated N·n_queries·M rows; the Arrow kernel below
+    # does the same M-term gather-sum per (query, vector) vectorized,
+    # summing m ascending, and emits one row per pair).
+    qid_list, qvecs = _collect_queries(spark, sf_dir, n_queries)
+    cbr = cb.collect()
+    import numpy as np
+
+    k_max = max(r["code"] for r in cbr) + 1
+    cn_lut = np.zeros((m_pq, k_max))
+    for r in cbr:
+        cv = r["cv"]
+        s = 0.0
+        for x in cv:
+            s = s + x * x          # sequential fold == _dot(cv, cv)
+        cn_lut[r["m"], r["code"]] = s
+    qids = np.asarray(qid_list, dtype=np.int64)
+    pdm = np.zeros((len(qid_list), m_pq, k_max))
+    for qi, uv in enumerate(qvecs):
+        for r in cbr:
+            m = r["m"]
+            cv = r["cv"]
+            s = 0.0
+            for d in range(sub_d):
+                s = s + uv[m * sub_d + d] * cv[d]  # == _dot(qsv, cv)
+            pdm[qi, m, r["code"]] = s
+    pd_lut = pdm  # (n_queries, M, K) partial dots
+
+    # pivot codes to one row per vector (M small ints) for the scan
+    codes_arr = (codes.groupBy("vec_id").agg(
+        F.array_sort(F.collect_list(F.struct("m", "code"))).alias("mc"))
+        .select("vec_id",
+                F.transform("mc", lambda s: s["code"]).alias("codes")))
+
+    import pyarrow as pa
+
+    n_q = len(qids)
+
+    def scan(batches):
+        for batch in batches:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            n = len(vid)
+            if n == 0:
+                continue
+            cd = np.asarray(batch.column("codes").flatten().to_numpy(
+                zero_copy_only=False)).reshape(n, m_pq).astype(np.int64)
+            num = np.zeros((n_q, n))
+            rn2 = np.zeros(n)
+            for m in range(m_pq):        # m ascending — deterministic sum
+                num += pd_lut[:, m, cd[:, m]]
+                rn2 += cn_lut[m, cd[:, m]]
+            keep = qids[:, None] != vid[None, :]
+            ri, ci = np.nonzero(keep)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qids[ri]), pa.array(vid[ci]),
+                 pa.array(num[ri, ci]), pa.array(rn2[ci])],
+                ["q_id", "vec_id", "num", "rn2"])
+
+    scored = (codes_arr.mapInArrow(
+        scan, "q_id long, vec_id long, num double, rn2 double")
         .select("q_id", "vec_id",
                 F.round(F.col("num") / F.sqrt(F.col("rn2")), 6).alias("sim"))
     )
@@ -270,14 +413,18 @@ def ivf_pq_topk(
     probe-scan side. Any recall delta vs pq_ann_topk (same codes, full
     scan) is pure probe pruning; any delta vs ivf_topk (same probes,
     float payload) is pure quantization."""
-    from .ann_ivf import K_CELLS, NPROBE, rank_cells
+    from .ann_ivf import K_CELLS, NPROBE, _argmax_cell, rank_cells
 
     k_cells = K_CELLS if k_cells is None else k_cells
     nprobe = NPROBE if nprobe is None else nprobe
-    _, ranked = rank_cells(spark, sf_dir, k_cells=k_cells)
-    asn = ranked.filter(F.col("crk") == 1).select("vec_id", "cell")
-    probes = ranked.filter(
-        (F.col("crk") <= nprobe) & (F.col("vec_id") < n_queries)
+    _, cand = rank_cells(spark, sf_dir, k_cells=k_cells,
+                         rank_all_below=n_queries)
+    asn = _argmax_cell(cand)
+    qr = cand.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", "cell", F.round("raw", 6).alias("csim"))
+    wq0 = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cell")
+    probes = qr.withColumn("crk", F.row_number().over(wq0)).filter(
+        F.col("crk") <= nprobe
     ).select(F.col("vec_id").alias("q_id"), "cell")
     codes, cb = pq_codebook_codes(
         spark, sf_dir, m_pq=m_pq, k_pq=k_pq,
