@@ -172,6 +172,39 @@ def _unit_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.mapInArrow(gen, "vec_id long, uv array<double>")
 
 
+def _raw_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+
+
+def _unit_batch(batch):
+    """(vec_id ndarray, U ndarray) from an Arrow batch. A raw
+    ``embedding`` column gets float32 → float64 widening (exact) + the
+    `_unit` fold (sequential Σx², one sqrt, one divide per element),
+    vectorized; a pre-normalized ``uv`` column passes through unchanged.
+    Shared by every assignment kernel so each pass is ONE Python
+    boundary over the raw parquet scan instead of a chained
+    unit-kernel → assign-kernel pair (round-6: the chained form paid
+    the Arrow transpose + IPC twice)."""
+    import numpy as np
+
+    vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    n = len(vid)
+    if n == 0:
+        return vid, None
+    names = batch.schema.names
+    if "uv" in names:
+        return vid, np.asarray(
+            batch.column("uv").flatten().to_numpy(
+                zero_copy_only=False)).reshape(n, -1)
+    x = np.asarray(batch.column("embedding").flatten().to_numpy(
+        zero_copy_only=False)).reshape(n, -1).astype(np.float64)
+    nn = np.zeros(n)
+    for d in range(x.shape[1]):
+        nn += x[:, d] * x[:, d]
+    return vid, x / np.sqrt(nn)[:, None]
+
+
 def _cell_cand(e: DataFrame, cells, cent, cnorm, *,
                rank_all_below: int = 0, with_uv: bool = True) -> DataFrame:
     """One assignment pass of the corpus against the DRIVER-RESIDENT
@@ -197,9 +230,10 @@ def _cell_cand(e: DataFrame, cells, cent, cnorm, *,
     import pyarrow as pa
 
     cells_np = np.asarray(cells, dtype=np.int64)
-    cmat = np.asarray(cent, dtype=np.float64)
+    cmat_t = np.ascontiguousarray(
+        np.asarray(cent, dtype=np.float64).T)          # (d, K), rows contig
     cn_np = None if cnorm is None else np.asarray(cnorm, dtype=np.float64)
-    n_dim = cmat.shape[1]
+    n_dim, n_cells = cmat_t.shape
     margin = CAND_MARGIN
 
     fields = [pa.field("vec_id", pa.int64()), pa.field("cell", pa.int64()),
@@ -210,17 +244,18 @@ def _cell_cand(e: DataFrame, cells, cent, cnorm, *,
 
     def gen(batches):
         for batch in batches:
-            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            uv_col = batch.column("uv")
+            vid, u = _unit_batch(batch)
             n = len(vid)
             if n == 0:
                 continue
-            u = np.asarray(uv_col.flatten().to_numpy(
-                zero_copy_only=False)).reshape(n, n_dim)
-            acc = np.zeros((n, cmat.shape[0]))
+            uf = np.asfortranarray(u)                  # columns contiguous
+            acc = np.zeros((n, n_cells))
+            tmp = np.empty((n, n_cells))
             # sequential per-dim accumulation == the Catalyst fold order
+            # (outer product = the same one multiply, += the same one add)
             for d in range(n_dim):
-                acc += u[:, d:d + 1] * cmat[None, :, d]
+                np.multiply.outer(uf[:, d], cmat_t[d], out=tmp)
+                acc += tmp
             if cn_np is not None:
                 acc = acc / cn_np[None, :]
             mask = acc >= (acc.max(axis=1)[:, None] - margin)
@@ -230,13 +265,15 @@ def _cell_cand(e: DataFrame, cells, cent, cnorm, *,
             arrs = [pa.array(vid[ri]), pa.array(cells_np[ci]),
                     pa.array(acc[ri, ci])]
             if with_uv:
-                arrs.append(uv_col.take(pa.array(ri)))
+                uvals = u[ri].ravel()
+                offs = np.arange(len(ri) + 1, dtype=np.int32) * n_dim
+                arrs.append(pa.ListArray.from_arrays(pa.array(offs),
+                                                     pa.array(uvals)))
             yield pa.RecordBatch.from_arrays(arrs, schema=out_schema)
 
     spark_schema = "vec_id long, cell long, raw double" + (
         ", uv array<double>" if with_uv else "")
-    sel = e.select("vec_id", "uv")
-    return sel.mapInArrow(gen, spark_schema)
+    return e.mapInArrow(gen, spark_schema)
 
 
 def _collect_queries(spark: SparkSession, sf_dir: str, n_queries: int):
@@ -347,7 +384,8 @@ def rank_cells(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
     collected (bounded: K ≪ N by the IVF contract) to drive the next
     kernel pass. ``cand`` is localCheckpoint-ed so multi-consumer plans
     (assignment + probes) run the kernel once."""
-    e = _unit_df(spark, sf_dir)
+    raw = _raw_embeddings(spark, sf_dir)
+    e = _unit_df(spark, sf_dir)       # consumers that still want (id, uv)
     # --- init centroids (unit vectors; the round-0 kernel skips the /cn
     # normalization, IEEE-identical to the old unit-round fast path) -----
     if init == "seed":
@@ -355,8 +393,7 @@ def rank_cells(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
         # into the scan; filtering the kernel output would scan the whole
         # corpus through Python), unit-normalized driver-side with the
         # exact fold order (_unit_py)
-        rows = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-                .filter(F.col("vec_id") < k_cells)
+        rows = (raw.filter(F.col("vec_id") < k_cells)
                 .select("vec_id", "embedding").collect())
         rows.sort(key=lambda r: r["vec_id"])
         cells = [r["vec_id"] for r in rows]
@@ -374,7 +411,7 @@ def rank_cells(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
     # same map-side-combinable re-centering expressions as before -------
     for r in range(lloyd_rounds):
         a_r = _argmax_cell(
-            _cell_cand(e, cells, cent, cnorm), with_uv=True)
+            _cell_cand(raw, cells, cent, cnorm), with_uv=True)
         cent_df = (
             a_r.select("cell", F.posexplode("uv").alias("pos", "x"))
             .groupBy("cell", "pos").agg(F.avg("x").alias("cx"))
@@ -390,7 +427,7 @@ def rank_cells(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
         cells = [cr["cell"] for cr in crows]
         cent = [cr["c"] for cr in crows]
         cnorm = [cr["cn"] for cr in crows]
-    cand = _cell_cand(e, cells, cent, cnorm,
+    cand = _cell_cand(raw, cells, cent, cnorm,
                       rank_all_below=rank_all_below).localCheckpoint()
     return e, cand
 
@@ -408,8 +445,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
     e, cand = rank_cells(spark, sf_dir, k_cells=k_cells,
                          lloyd_rounds=lloyd_rounds, init=init,
                          rank_all_below=n_queries)
-    # assignment (argmax cell) — ids only; uv re-joins where needed
-    asn = _argmax_cell(cand)
+    # assignment (argmax cell) with the vector payload carried through —
+    # the inverted lists feed scoring directly, so the corpus is never
+    # re-scanned for the query path (round-6)
+    asn = _argmax_cell(cand, with_uv=True)
     # query probes: nprobe nearest cells for the pinned query set — the
     # kernel kept ALL cells for vec_id < n_queries, so this window ranks
     # exactly the rows the old full window ranked, at n_queries·K rows
@@ -420,12 +459,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
     probes = qr.withColumn("crk", F.row_number().over(wq0)).filter(
         F.col("crk") <= nprobe
     ).select(F.col("vec_id").alias("q_id"), "cell")
-    # --- scan only the probed inverted lists: ids-only probe→members
-    # join (the broadcast-tiny probe table never ships query vectors),
-    # then the exact cosine against the driver-resident query set -------
+    # --- scan only the probed inverted lists: the broadcast-tiny probe
+    # table never ships query vectors, and the lists already carry uv —
+    # exact cosine against the driver-resident query set ----------------
     cand2 = (probes.join(asn, "cell")
-             .filter(F.col("q_id") != F.col("vec_id"))
-             .join(e.select("vec_id", "uv"), "vec_id"))
+             .filter(F.col("q_id") != F.col("vec_id")))
     qids, qvecs = _collect_queries(spark, sf_dir, n_queries)
     scored = _score_candidates(cand2, qids, qvecs).select(
         "q_id", "vec_id", F.round("raw", 6).alias("sim"))
@@ -777,7 +815,7 @@ def ivf_sq_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
     quantization error (measured ~none — see tests)."""
     e, cand = rank_cells(spark, sf_dir, k_cells=k_cells,
                          rank_all_below=n_queries)
-    asn = _argmax_cell(cand)
+    asn = _argmax_cell(cand, with_uv=True)
     qr = cand.filter(F.col("vec_id") < n_queries).select(
         "vec_id", "cell", F.round("raw", 6).alias("csim"))
     wq0 = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cell")
@@ -788,10 +826,9 @@ def ivf_sq_topk(spark: SparkSession, sf_dir: str, *, k_cells: int = K_CELLS,
     # reconstructed on read inside the scoring kernel (bit-identical to
     # the former JVM transform — see _score_candidates; reconstruction
     # is not unit-norm, so the cosine re-normalizes by |ruv|; |qv| = 1
-    # by construction). Ids-only probe→members join as in ivf_topk.
+    # by construction). The lists already carry uv — no corpus re-scan.
     cand2 = (probes.join(asn, "cell")
-             .filter(F.col("q_id") != F.col("vec_id"))
-             .join(e.select("vec_id", "uv"), "vec_id"))
+             .filter(F.col("q_id") != F.col("vec_id")))
     qids, qvecs = _collect_queries(spark, sf_dir, n_queries)
     scored = _score_candidates(cand2, qids, qvecs, sq=True).select(
         "q_id", "vec_id",

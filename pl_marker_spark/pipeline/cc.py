@@ -37,13 +37,17 @@ def _both_directions(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # No trailing distinct (round-6, guide §2.4): the only consumer is the
+    # composed _small_star(_large_star(cur)) round, whose min-aggregation
+    # is duplicate-insensitive and whose own trailing distinct dedups the
+    # (bounded, ≤2x) duplicate fan-through — so the per-round edge set is
+    # unchanged while each round drops one full |E|-scale exchange.
     nbrs = _both_directions(edges)
     mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
     return (
         nbrs.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("mn").alias("v"))
-        .distinct()
     )
 
 

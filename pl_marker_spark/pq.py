@@ -92,14 +92,13 @@ def _pq_cand(e: DataFrame, cb_rows, m_pq: int, sub_d: int, *,
     import numpy as np
     import pyarrow as pa
 
-    from .ann_ivf import CAND_MARGIN
+    from .ann_ivf import CAND_MARGIN, _unit_batch
 
     k_max = max(r["code"] for r in cb_rows) + 1
     cbm = np.full((m_pq, k_max, sub_d), np.inf)
     for r in cb_rows:
         cbm[r["m"], r["code"]] = r["cv"]
     margin = CAND_MARGIN
-    n_dim = m_pq * sub_d
 
     fields = [pa.field("vec_id", pa.int64()), pa.field("m", pa.int64()),
               pa.field("code", pa.int64()), pa.field("raw", pa.float64())]
@@ -109,14 +108,12 @@ def _pq_cand(e: DataFrame, cb_rows, m_pq: int, sub_d: int, *,
 
     def gen(batches):
         for batch in batches:
-            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            vid, u = _unit_batch(batch)
             n = len(vid)
             if n == 0:
                 continue
-            u = np.asarray(batch.column("uv").flatten().to_numpy(
-                zero_copy_only=False)).reshape(n, n_dim)
             for m in range(m_pq):
-                sv = u[:, m * sub_d:(m + 1) * sub_d]
+                sv = np.ascontiguousarray(u[:, m * sub_d:(m + 1) * sub_d])
                 acc = np.zeros((n, k_max))
                 # sequential per-dim accumulation == the Catalyst fold
                 for d in range(sub_d):
@@ -137,7 +134,7 @@ def _pq_cand(e: DataFrame, cb_rows, m_pq: int, sub_d: int, *,
 
     spark_schema = "vec_id long, m long, code long, raw double" + (
         ", sv array<double>" if with_sv else "")
-    return e.select("vec_id", "uv").mapInArrow(gen, spark_schema)
+    return e.mapInArrow(gen, spark_schema)
 
 
 def _argmin_code(cand: DataFrame, *, with_sv: bool = False) -> DataFrame:
@@ -173,15 +170,14 @@ def pq_codebook_codes(
     if n_dim % m_pq:
         raise ValueError(f"pq: dim {n_dim} not divisible by m_pq {m_pq}")
     sub_d = n_dim // m_pq
-    from .ann_ivf import _unit_df, _unit_py
+    from .ann_ivf import _raw_embeddings, _unit_py
 
-    e = _unit_df(spark, sf_dir)
+    e = _raw_embeddings(spark, sf_dir)
     # seed codebook: subvectors of the first k_pq vectors — bounded
     # collect from the RAW parquet (pushed-down filter) + driver-side
     # exact unit normalization; identical values to the old sub.filter
     # path (see ann_ivf._unit_py)
-    seed = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            .filter(F.col("vec_id") < k_pq)
+    seed = (e.filter(F.col("vec_id") < k_pq)
             .select("vec_id", "embedding").collect())
     cb_rows = []
     for r in seed:
