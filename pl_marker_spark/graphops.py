@@ -247,9 +247,10 @@ def bounded_reachability(edges: DataFrame, max_hops: int = 3) -> DataFrame:
     already reached, so a pair is emitted exactly at its min-hops level
     (the anti-join IS the min() — no per-pair aggregation pass). Cycle
     self-reachability is kept. The edge list is localCheckpoint-ed once
-    (2 narrow columns); the frontier and reached set re-checkpoint per
-    level so plan depth — and recompute cost — stays flat in max_hops
-    (the pagerank/LPA discipline). Depth stays capped: a web-scale
+    (2 narrow columns); each level's frontier re-checkpoints and the
+    reached set is a lazy union over those eager levels, so plan depth —
+    and recompute cost — stays flat in max_hops (the pagerank/LPA
+    discipline). Depth stays capped: a web-scale
     transitive closure is quadratic and never materialized wholesale;
     hub fan-out follows the degree-cap/salt discipline documented on
     triangle_counts."""
@@ -266,7 +267,11 @@ def bounded_reachability(edges: DataFrame, max_hops: int = 3) -> DataFrame:
                .join(reached.select("src_id", "dst_id"),
                      ["src_id", "dst_id"], "left_anti")
                .withColumn("hops", F.lit(k)).localCheckpoint())
-        reached = reached.unionAll(nxt).localCheckpoint()
+        # reached is a lazy union of checkpointed levels (round-6): the
+        # anti-join and the final result only ever scan already-eager
+        # frontier tables, so re-checkpointing the union bought nothing
+        # but one extra materialization pass per level
+        reached = reached.unionAll(nxt)
         frontier = nxt
     return reached
 
@@ -414,8 +419,10 @@ def hits(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
     Plan shape per iteration: exactly two |E|-scale equi-join +
     map-side-combinable aggregations (one keyed on dst for a, one on src
     for h), each left-joined back onto the node spine so zero-degree
-    nodes hold 0 rather than vanish; scores re-checkpoint per iteration
-    so lineage stays flat (the pagerank discipline). At production scale
+    nodes hold 0 rather than vanish; the h scores re-checkpoint per
+    iteration so lineage stays flat (the pagerank discipline — a's
+    lineage is one join over checkpointed inputs, bounded without its
+    own eager materialization). At production scale
     the edge list would be bucketed by src/dst so both joins reuse scan
     partitioning."""
     e = (edges.filter(F.col("src_id") != F.col("dst_id"))
@@ -426,9 +433,13 @@ def hits(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
         a_in = (e.join(h.select(F.col("node").alias("src_id"), "h"),
                        "src_id")
                 .groupBy("dst_id").agg(F.sum("h").alias("s")))
+        # `a` is NOT checkpointed (round-6): its lineage is one join +
+        # agg over the checkpointed e and h, so depth stays bounded; only
+        # the last iteration's `a` is consumed twice (h_out + the final
+        # join), one cheap recompute against 3 saved eager jobs
         a = (spine.join(a_in, spine["node"] == a_in["dst_id"], "left")
              .select("node", F.coalesce("s", F.lit(0))
-                     .cast("long").alias("a")).localCheckpoint())
+                     .cast("long").alias("a")))
         h_out = (e.join(a.select(F.col("node").alias("dst_id"), "a"),
                         "dst_id")
                  .groupBy("src_id").agg(F.sum("a").alias("s")))
@@ -450,21 +461,23 @@ def next_hop_table(edges: DataFrame, walk_len: int = 4) -> DataFrame:
     argmin, and every walk is replayable from the table alone.
 
     Returns (step, cur, nxt) for step 1..walk_len. One |E|·walk_len
-    explode + a per-(step, cur) window over neighbor lists — partitioned
-    by node, so the sort is per-adjacency-list, never global. Hub nodes
-    carry the usual degree-cap/salt note (triangle_counts)."""
-    from pyspark.sql import Window
-
+    explode + a per-(step, cur) argmin — a map-side-combinable
+    min(struct(hash, b)) hash aggregation (round-6: lexicographic struct
+    order IS the former window's (hash asc, b asc) order, so the winner
+    is identical, without the node-partitioned SORT of |E|·walk_len rows
+    the row_number window paid — the label_propagation winner-pick
+    discipline). Hub nodes carry the usual degree-cap/salt note
+    (triangle_counts)."""
     und = symmetrize(edges)
     adj = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     cand = adj.withColumn(
         "step", F.explode(F.array(*[F.lit(i) for i in range(1, walk_len + 1)])))
     hkey = F.md5(F.concat_ws(":", "step", "a", "b"))
-    w = Window.partitionBy("step", "a").orderBy(hkey.asc(), F.col("b").asc())
-    return (cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("step", F.col("a").alias("cur"), F.col("b").alias("nxt")))
+    return (cand.groupBy("step", F.col("a").alias("cur"))
+            .agg(F.min(F.struct(hkey.alias("h"), F.col("b").alias("nxt")))
+                 .alias("w"))
+            .select("step", "cur", F.col("w.nxt").alias("nxt")))
 
 
 def personalized_pagerank(edges: DataFrame, n_seeds: int = 5,
