@@ -223,33 +223,17 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code").cast("long").alias("code"), "d2")
 
 
-def pq_ann_topk(
-    spark: SparkSession, sf_dir: str, *, m_pq: int = M_PQ,
-    k_pq: int = K_PQ, lloyd_rounds: int = 1, top_k: int = TOP_K,
-    n_queries: int = N_QUERIES, n_dim: int = DIM,
-) -> DataFrame:
-    """ADC top-k over PQ codes: full-precision query subvectors build a
-    broadcast LUT of partial dots against the codebook; the coded corpus
-    is scanned via an (m, code) broadcast equi-join + a groupBy sum —
-    the corpus side never touches a float vector."""
-    from .ann_ivf import _collect_queries
-
-    codes, cb = pq_codebook_codes(
-        spark, sf_dir, m_pq=m_pq, k_pq=k_pq,
-        lloyd_rounds=lloyd_rounds, n_dim=n_dim)
-    sub_d = n_dim // m_pq
-    # The query-side LUT is (n_queries · M · K) partial dots — bounded by
-    # construction, so it is built driver-side from the bounded query
-    # collect + the already-driver-resident codebook, with the SAME
-    # sequential fold order as the old JVM _dot expressions (round-6: the
-    # former plan joined the corpus-scale code rows against the broadcast
-    # LUT and hash-aggregated N·n_queries·M rows; the Arrow kernel below
-    # does the same M-term gather-sum per (query, vector) vectorized,
-    # summing m ascending, and emits one row per pair).
-    qid_list, qvecs = _collect_queries(spark, sf_dir, n_queries)
-    cbr = cb.collect()
+def _adc_luts(spark, sf_dir, cb, m_pq, sub_d, n_queries):
+    """Driver-built ADC lookup tables — bounded at n_queries · M · K.
+    pdot/cn2 use the SAME sequential fold order as the former JVM
+    `_dot` expressions, so every LUT entry is bit-identical. Returns
+    (qids int64 ndarray, pd_lut (Nq, M, K), cn_lut (M, K))."""
     import numpy as np
 
+    from .ann_ivf import _collect_queries
+
+    qid_list, qvecs = _collect_queries(spark, sf_dir, n_queries)
+    cbr = cb.collect()
     k_max = max(r["code"] for r in cbr) + 1
     cn_lut = np.zeros((m_pq, k_max))
     for r in cbr:
@@ -268,14 +252,44 @@ def pq_ann_topk(
             for d in range(sub_d):
                 s = s + uv[m * sub_d + d] * cv[d]  # == _dot(qsv, cv)
             pdm[qi, m, r["code"]] = s
-    pd_lut = pdm  # (n_queries, M, K) partial dots
+    return qids, pdm, cn_lut
 
-    # pivot codes to one row per vector (M small ints) for the scan
-    codes_arr = (codes.groupBy("vec_id").agg(
+
+def _codes_array(codes: DataFrame) -> DataFrame:
+    """(vec_id, m, code) rows -> (vec_id, codes array ordered by m): the
+    M-small-int payload the ADC gather kernels scan."""
+    return (codes.groupBy("vec_id").agg(
         F.array_sort(F.collect_list(F.struct("m", "code"))).alias("mc"))
         .select("vec_id",
                 F.transform("mc", lambda s: s["code"]).alias("codes")))
 
+
+def pq_ann_topk(
+    spark: SparkSession, sf_dir: str, *, m_pq: int = M_PQ,
+    k_pq: int = K_PQ, lloyd_rounds: int = 1, top_k: int = TOP_K,
+    n_queries: int = N_QUERIES, n_dim: int = DIM,
+) -> DataFrame:
+    """ADC top-k over PQ codes: full-precision query subvectors build a
+    broadcast LUT of partial dots against the codebook; the coded corpus
+    is scanned via an (m, code) broadcast equi-join + a groupBy sum —
+    the corpus side never touches a float vector."""
+    codes, cb = pq_codebook_codes(
+        spark, sf_dir, m_pq=m_pq, k_pq=k_pq,
+        lloyd_rounds=lloyd_rounds, n_dim=n_dim)
+    sub_d = n_dim // m_pq
+    # The query-side LUT is (n_queries · M · K) partial dots — bounded by
+    # construction, so it is built driver-side from the bounded query
+    # collect + the already-driver-resident codebook, with the SAME
+    # sequential fold order as the old JVM _dot expressions (round-6: the
+    # former plan joined the corpus-scale code rows against the broadcast
+    # LUT and hash-aggregated N·n_queries·M rows; the Arrow kernel below
+    # does the same M-term gather-sum per (query, vector) vectorized,
+    # summing m ascending, and emits one row per pair).
+    qids, pd_lut, cn_lut = _adc_luts(spark, sf_dir, cb, m_pq, sub_d,
+                                     n_queries)
+    codes_arr = _codes_array(codes)
+
+    import numpy as np
     import pyarrow as pa
 
     n_q = len(qids)
@@ -425,23 +439,46 @@ def ivf_pq_topk(
     codes, cb = pq_codebook_codes(
         spark, sf_dir, m_pq=m_pq, k_pq=k_pq,
         lloyd_rounds=lloyd_rounds, n_dim=n_dim)
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        _unit(F.transform("embedding", lambda x: x.cast("double"))).alias("uv"),
-    )
-    qsub = _subvectors(
-        e.filter(F.col("vec_id") < n_queries), m_pq, n_dim // m_pq
-    ).select(F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv"))
-    lut = qsub.join(cb, "m").select(
-        "q_id", "m", "code",
-        _dot(F.col("qsv"), F.col("cv")).alias("pdot"),
-        _dot(F.col("cv"), F.col("cv")).alias("cn2"))
+    sub_d = n_dim // m_pq
+    # ADC over the probed lists (round-6): the former plan joined the
+    # corpus-scale code ROWS (N·M) against the candidate set and a
+    # broadcast LUT, then hash-aggregated |cand|·M rows; now the M codes
+    # ride as one small array per vector (_codes_array) and a gather-sum
+    # kernel emits one row per candidate pair — same driver-built LUT
+    # values (see _adc_luts), same m-ascending summation as the full-scan
+    # kernel, and the unchanged JVM round(·,6) + top-k window on top.
+    qids, pd_lut, cn_lut = _adc_luts(spark, sf_dir, cb, m_pq, sub_d,
+                                     n_queries)
     cand = probes.join(asn, "cell").filter(F.col("q_id") != F.col("vec_id"))
-    scored = (
-        cand.join(codes.select("vec_id", "m", "code"), "vec_id")
-        .join(F.broadcast(lut), ["q_id", "m", "code"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("pdot").alias("num"), F.sum("cn2").alias("rn2"))
+    pairs = cand.join(_codes_array(codes), "vec_id")
+
+    import numpy as np
+    import pyarrow as pa
+
+    qidx = {int(q): i for i, q in enumerate(qids)}
+
+    def gather(batches):
+        for batch in batches:
+            qid = batch.column("q_id").to_numpy(zero_copy_only=False)
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            n = len(qid)
+            if n == 0:
+                continue
+            cd = np.asarray(batch.column("codes").flatten().to_numpy(
+                zero_copy_only=False)).reshape(n, m_pq).astype(np.int64)
+            qi = np.fromiter((qidx[int(q)] for q in qid), dtype=np.int64,
+                             count=n)
+            num = np.zeros(n)
+            rn2 = np.zeros(n)
+            for m in range(m_pq):        # m ascending — deterministic sum
+                num += pd_lut[qi, m, cd[:, m]]
+                rn2 += cn_lut[m, cd[:, m]]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid), pa.array(vid), pa.array(num),
+                 pa.array(rn2)], ["q_id", "vec_id", "num", "rn2"])
+
+    scored = (pairs.select("q_id", "vec_id", "codes").mapInArrow(
+        gather, "q_id long, vec_id long, num double, rn2 double")
         .select("q_id", "vec_id",
                 F.round(F.col("num") / F.sqrt(F.col("rn2")), 6).alias("sim"))
     )
