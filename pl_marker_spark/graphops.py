@@ -172,6 +172,21 @@ def label_propagation(und: DataFrame, rounds: int = 3,
     behavior: community detection the reference's entity-link stage
     would sit upstream of; unlike connected components, LPA does not
     flood through one spurious near-dup edge."""
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType)
+
+    for col in (a, b):
+        if not isinstance(und.schema[col].dataType,
+                          (ByteType, ShortType, IntegerType, LongType)):
+            # the max(struct(cnt, -label)) winner pick negates the label,
+            # which is only order-reversing for integral types (round-6,
+            # ADVICE: a string-id caller — plausible since
+            # connected_components accepts string sids — must fail loudly
+            # here instead of silently corrupting tie-breaks)
+            raise TypeError(
+                f"label_propagation: column {col!r} must be integral "
+                f"(got {und.schema[col].dataType}); map string ids to "
+                "longs first")
     e = und.select(a, b).localCheckpoint()
     # the symmetrized adjacency enters one d-keyed join per round: hash-
     # partition + sort it on d ONCE (round-6, guide §2.4) so every round
@@ -898,8 +913,9 @@ def community_modularity(edges: DataFrame, rounds: int = 3) -> DataFrame:
 
     100-TB shape: the canonical pair list is materialized once; LPA is
     per-round one dst-keyed join + one map-side-combinable vote count +
-    one node-partitioned row_number (label_propagation's checkpointed
-    discipline, plan depth flat in rounds); degrees are one
+    one hash-aggregated max(struct(cnt, -label)) winner pick
+    (label_propagation's checkpointed discipline, plan depth flat in
+    rounds); degrees are one
     map-side-combinable count; the three per-community aggregates are
     label-keyed shuffles of node-sized frames and |m| rides a 1-row
     broadcast. Output is O(#communities)."""

@@ -850,9 +850,10 @@ def q_graph_labelprop(spark, sf_dir):
 
     Scale shape: the edge list is materialized once (ids only); each
     round is one dst-keyed join to pull neighbor labels + one
-    map-side-combinable (node, label) count + one node-partitioned
-    row_number — per-round state is node-sized, re-checkpointed so the
-    plan depth stays constant across rounds. Unlike connected components
+    map-side-combinable (node, label) count + one hash-aggregated
+    max(struct(cnt, -label)) winner pick — per-round state is
+    node-sized, re-checkpointed so the plan depth stays constant across
+    rounds. Unlike connected components
     (dedup_cluster), LPA splits weakly-bridged clusters instead of
     flooding through single spurious edges — the property you want when
     one bad near-dup pair would otherwise glue two big dup families."""

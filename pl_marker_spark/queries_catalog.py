@@ -1786,8 +1786,9 @@ def q_kg_communities(spark, sf_dir):
 
     100-TB shape (graphops.community_modularity): canonical pairs
     materialized once; per LPA round one dst-keyed join + one
-    map-side-combinable vote count + one node-partitioned row_number
-    with labels re-checkpointed (plan depth flat in rounds); the three
+    map-side-combinable vote count + one hash-aggregated
+    max(struct(cnt, -label)) winner pick with labels re-checkpointed
+    (plan depth flat in rounds); the three
     per-community aggregates shuffle node-sized frames keyed on the
     label; |m| rides a 1-row broadcast. Output O(#communities)."""
     from .graphops import community_modularity

@@ -70,12 +70,18 @@ def run_once(name, connection=None):
             # anomaly failed in ONE long-lived session, passed in every
             # fresh process — without the differing rows there is nothing
             # to root-cause)
-            dset = set(dc)
-            sset = set(sc)
+            # Counter-based diff (round-6, ADVICE): set-membership hid
+            # multiplicity-only mismatches (same rows, different dup
+            # counts) as two empty lists — exactly the nothing-to-root-
+            # cause situation this diagnostic exists to avoid
+            from collections import Counter
+
+            s_extra = Counter(sc) - Counter(dc)
+            d_extra = Counter(dc) - Counter(sc)
             rec["only_spark"] = [list(map(str, r))
-                                 for r in sc if r not in dset][:10]
+                                 for r in s_extra.elements()][:10]
             rec["only_oracle"] = [list(map(str, r))
-                                  for r in dc if r not in sset][:10]
+                                  for r in d_extra.elements()][:10]
     except Exception as exc:  # noqa: BLE001
         rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
     return rec
