@@ -50,10 +50,13 @@ def pagerank(nodes: DataFrame, und: DataFrame, iters: int = 5,
     # does not re-run the upstream edge pipeline k times.
     adj_deg = adj.join(deg, "src").localCheckpoint()
     # The spine is hash-partitioned + sorted on the join key ONCE before
-    # its checkpoint (round-6, guide §2.4): the per-iteration left join
-    # otherwise re-exchanges and re-sorts it every iteration (measured
-    # 6.4-8.9 -> 4.5-4.8 s at 400k edges / 6 iterations); checkpointed
-    # partitioning/ordering are preserved, so iterations reuse them.
+    # its checkpoint (round-6, guide §2.4): interleaved A/B at 400k
+    # edges / 6 iterations measured 7.3-13.2 s (as-was) -> 5.6-6.8 s
+    # (repartition) -> 5.0-5.3 s (repartition + sort). Note the AQE-
+    # wrapped checkpoint reports UnknownPartitioning in explain, so the
+    # win is the hash-local, AQE-sized layout the checkpoint captures
+    # (fewer/cheaper per-iteration shuffle blocks), asserted by
+    # measurement rather than by plan metadata.
     node_ids = (nodes.select("node").repartition("node")
                 .sortWithinPartitions("node").localCheckpoint())
     ranks = node_ids.select("node", F.lit(1.0).alias("pr"))
@@ -189,9 +192,10 @@ def label_propagation(und: DataFrame, rounds: int = 3,
                 "longs first")
     e = und.select(a, b).localCheckpoint()
     # the symmetrized adjacency enters one d-keyed join per round: hash-
-    # partition + sort it on d ONCE (round-6, guide §2.4) so every round
-    # reuses the checkpointed layout; the labels side arrives partitioned
-    # by node from its winner-pick aggregation already
+    # partition + sort it on d ONCE (round-6, guide §2.4 — the pagerank
+    # measured-layout discipline) so every round consumes the hash-local
+    # checkpointed layout; the labels side arrives partitioned by node
+    # from its winner-pick aggregation already
     und2 = (e.select(F.col(a).alias("s"), F.col(b).alias("d")).unionAll(
         e.select(F.col(b).alias("s"), F.col(a).alias("d")))
         .repartition("d").sortWithinPartitions("d").localCheckpoint())
@@ -454,8 +458,8 @@ def hits(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
     e = (edges.filter(F.col("src_id") != F.col("dst_id"))
          .select("src_id", "dst_id").distinct().localCheckpoint())
     # spine pre-partitioned + sorted on the join key once (the pagerank
-    # round-6 discipline): both per-iteration spine joins then reuse the
-    # checkpointed partitioning instead of re-exchanging it
+    # round-6 discipline — measured win from the hash-local AQE-sized
+    # checkpoint layout; both per-iteration spine joins consume it)
     spine = (nodes.select("node").repartition("node")
              .sortWithinPartitions("node").localCheckpoint())
     h = spine.withColumn("h", F.lit(1).cast("long"))
