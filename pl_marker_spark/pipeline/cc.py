@@ -159,8 +159,12 @@ def connected_components(
                 edges.sparkSession,
                 e.schema["u"].dataType,
             )
-    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     cur = e.localCheckpoint()
+    # node spine derives from the CHECKPOINTED edge list (round-6): the
+    # final left join consumes `nodes` long after the star loop, and
+    # reading the materialized checkpoint there avoids re-running the
+    # upstream select/filter/distinct edge pipeline at assignment time.
+    nodes = cur.select("u").union(cur.select(F.col("v").alias("u"))).distinct()
     sig = _signature(cur)
     converged = sig[0] == 0
     if converged:
