@@ -2082,9 +2082,22 @@ def q_kg_edge_intervals(spark, sf_dir):
     island windows sort WITHIN each edge's partition (bounded by
     per-edge evidence, never a global sort); the interval rollup is
     map-side combinable on (edge, island). Tie order inside a window is
-    irrelevant: equal timestamps have gap 0, so island ids are
-    deterministic under any tie-break. Twin: the same islands derived
-    via SQL window functions in DuckDB — textbook gaps-and-islands."""
+    irrelevant ON THE SPARK SIDE: the lag flag and the running-sum
+    island id are stacked Window operators sharing ONE physical sort, so
+    equal timestamps land in the same island under any tie-break
+    (determinism + python-reference equality pinned in
+    tests/test_edge_intervals_determinism). Twin: the same islands
+    derived via SQL window functions in DuckDB — textbook
+    gaps-and-islands, BUT the twin computes its two window passes over a
+    non-unique ORDER BY in separate CTEs, and DuckDB 1.0.0's parallel
+    window execution can order tied rows differently between the passes
+    under CPU contention: the round-5 "ghost" mismatch. Root-caused in
+    round 6 (tools/ghost_stress.py: Spark 50/50 stable, DuckDB 3/50
+    divergent with an island spanning a >2 h gap — the twin's own CASE
+    rule violated, so the twin's evaluation moved, not this query). The
+    oracle SQL text is frozen; any gate mismatch on this row that shows
+    an island id 0 or an island spanning more than _GAP_US is that
+    engine-side artifact — rerun on a fresh connection."""
     from pyspark.sql import Window
 
     out = _pipeline_outputs(spark, sf_dir)
