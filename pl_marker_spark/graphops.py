@@ -204,7 +204,13 @@ def label_propagation(und: DataFrame, rounds: int = 3,
     for _ in range(rounds):
         nbr = und2.join(labels.withColumnRenamed("node", "d"), "d").select(
             F.col("s").alias("node"), "label")
-        votes = nbr.unionAll(labels.select("node", "label"))
+        # one exchange serves BOTH aggregation levels (round-6, guide
+        # §2.2): hash partitioning on node satisfies the clustered
+        # distribution of groupBy(node, label) AND groupBy(node), so the
+        # explicit repartition replaces two agg exchanges per round with
+        # one — identical results (aggregation is partitioning-invariant)
+        votes = nbr.unionAll(labels.select("node", "label")) \
+            .repartition("node")
         cnt = votes.groupBy("node", "label").agg(F.count("*").alias("cnt"))
         labels = (
             cnt.groupBy("node")
